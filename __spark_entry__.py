@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the engine's flagship pipeline — the reference's core
+dataflow (CDC envelope parse → route → partition-key synthesis → Kafka
+record assembly, MySQLCDC2AWSMSK.scala:95-168) — over synthesized Debezium
+events from the sf0.001 orders table.
+
+``queries`` / ``oracle_sql`` expose every implemented operator from
+SURVEY.md §2 (registry in flink_cdc_msk_spark/plans/).
 """
 
 from __future__ import annotations
@@ -13,26 +15,29 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from flink_cdc_msk_spark.config import TableRouting
+from flink_cdc_msk_spark.operators.route import route_mysql_cdc
+from flink_cdc_msk_spark.plans import registry
+from flink_cdc_msk_spark.sources.cdc_sim import synthesize_mysql_events
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full CDC routing pipeline at sf0.001 → routed Kafka
+    records (db, table, partition_key, topic, partition, value)."""
+    routing = TableRouting.parse(
+        '[{"db":"test_db","table":"orders","primary_key":"o_orderkey"}]'
+    )
+    events = synthesize_mysql_events(spark, "/root/testdata/sf0.001")
+    return route_mysql_cdc(
+        events, routing, topic_prefix="cdc_", num_partitions=12
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    registry.ensure_loaded()
+    return dict(registry.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    registry.ensure_loaded()
+    return dict(registry.ORACLES)

@@ -1,0 +1,136 @@
+"""Routing config + job params.
+
+Reproduces the reference's ``table_pk`` "catalog" semantics
+(MySQLCDC2AWSMSK.scala:71-86) and its flat job-parameter model
+(model/ParamsModel.scala:5-16, util/ParameterToolUtils.scala:18-83).
+
+Key semantics (all verified against the reference source):
+  * config is a JSON array of ``{"db","table","primary_key"
+    [,"column_max_length"]}`` objects; backslashes are stripped before
+    parsing (``params.tablePK.replace("\\\\","")``, scala:71).
+  * the lookup key is ``db + "=" + table`` and is treated as a **regex**,
+    matched with ``findFirstIn`` (unanchored substring search) against the
+    event's ``db=table`` string (scala:104-112).
+  * keys are probed **longest first** (``sortBy(- _.length)``, scala:86);
+    the first match wins.
+  * ``column_max_length`` is a ``|``-separated list of ``col=N`` pairs
+    (scala:122-140).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class TableRule:
+    """One routing rule: regex key ``db=table`` → PK columns + truncations."""
+
+    key: str  # the "db=table" regex
+    primary_key: tuple[str, ...] = ()  # () ⇒ no_pk fallback
+    column_max_length: tuple[tuple[str, int], ...] = ()  # ((col, maxlen), ...)
+
+    @property
+    def max_length_str(self) -> str:
+        """Back to the reference's ``col1=10|col2=20`` wire form."""
+        return "|".join(f"{c}={n}" for c, n in self.column_max_length)
+
+
+@dataclass
+class TableRouting:
+    """Ordered routing table: rules sorted longest-key-first (scala:86)."""
+
+    rules: list[TableRule] = field(default_factory=list)
+
+    @classmethod
+    def parse(cls, table_pk_json: str) -> "TableRouting":
+        # scala:71 strips backslashes before parsing (KDA property escaping).
+        raw = json.loads(table_pk_json.replace("\\", ""))
+        by_key: dict[str, TableRule] = {}
+        for item in raw:
+            key = f"{item['db']}={item['table']}"
+            pk = tuple(c for c in item.get("primary_key", "").split(",") if c)
+            cml: tuple[tuple[str, int], ...] = ()
+            if item.get("column_max_length"):
+                cml = tuple(
+                    (p.split("=")[0], int(p.split("=")[1]))
+                    for p in item["column_max_length"].split("|")
+                )
+            # later duplicate key overwrites earlier (mutable.Map.put)
+            by_key[key] = TableRule(key, pk, cml)
+        rules = sorted(by_key.values(), key=lambda r: -len(r.key))
+        return cls(rules=rules)
+
+    def lookup(self, db: str, table: str) -> TableRule | None:
+        """Driver-side lookup mirroring the task-side regex probe
+        (scala:104-112): unanchored search, longest key first."""
+        probe = f"{db}={table}"
+        for rule in self.rules:
+            if re.search(rule.key, probe):
+                return rule
+        return None
+
+
+@dataclass
+class CDCParams:
+    """Flat job parameters (model/ParamsModel.scala:5-16).
+
+    Only the fields that affect dataflow semantics; infra-only knobs
+    (brokers, AWS profile/region) pass through to connector options.
+    """
+
+    broker_list: str = "localhost:9092"
+    topic: str = ""  # fixed topic when topic_prefix unset (scala:191-220)
+    topic_prefix: str = ""  # per-db fan-out: prefix + lower(db) (scala:8-12)
+    table_pk: str = "[]"
+    delivery_guarantee: str = "exactly_once"  # or at_least_once (scala:187-190)
+    kafka_properties: str = ""  # "k=v,k=v" producer passthrough (scala:179-186)
+    position: str = "initial"  # initial|latest|file:pos|gtid:...|timestamp:ms
+    server_id: str = "5400-5500"
+    server_time_zone: str = "Etc/GMT"
+    chunk_size: int = 8096  # snapshot split size (scala:255-258)
+    checkpoint_dir: str = ""
+    checkpoint_interval: int = 60
+    parallel: int = 4
+    num_partitions: int | None = None  # sink partition count for parity mode
+
+    @property
+    def routing(self) -> TableRouting:
+        return TableRouting.parse(self.table_pk)
+
+    def kafka_options(self) -> dict[str, str]:
+        """Producer property passthrough → ``kafka.*`` writer options
+        (scala:179-186; README.md:46-47)."""
+        opts: dict[str, str] = {}
+        if self.kafka_properties:
+            for pair in self.kafka_properties.split(","):
+                if "=" in pair:
+                    k, v = pair.split("=", 1)
+                    opts[f"kafka.{k.strip()}"] = v.strip()
+        return opts
+
+
+def parse_kafka_startup_position(position: str) -> dict[str, str]:
+    """Map the reference's startup-position grammar (scala:224-244) onto
+    Spark Kafka-source options (SURVEY.md A2-A6).
+
+    ``initial``   → earliest (snapshot semantics come from the batch union,
+                    see sources/jdbc.py)
+    ``latest``    → latest
+    ``timestamp:<ms>`` → startingTimestamp
+    ``file[:pos]`` / ``gtid:<set>`` → no Kafka analog; documented unsupported
+    (a Debezium-topic replay has its own offsets).
+    """
+    if position == "initial":
+        return {"startingOffsets": "earliest"}
+    if position == "latest":
+        return {"startingOffsets": "latest"}
+    if position.startswith("timestamp:"):
+        return {"startingTimestamp": position.split(":", 1)[1]}
+    raise ValueError(
+        f"startup position {position!r} has no Kafka-source analog "
+        "(binlog file/pos and GTID are MySQL-wire concepts; replaying a "
+        "Debezium topic uses Kafka offsets instead)"
+    )

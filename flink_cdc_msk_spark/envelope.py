@@ -1,0 +1,90 @@
+"""Change-event envelope schemas (SURVEY.md §1.1-§1.3).
+
+The reference moves raw Debezium/Mongo JSON strings end-to-end
+(DataStreamSource[String], MySQLCDC2AWSMSK.scala:93). Here the payload gets a
+declared nested StructType so Catalyst can prune/push down; ``before``/
+``after`` stay ``map<string,string>`` because the reference treats row fields
+opaquely-stringly (``getAsString``) and must work for any table without a
+per-table schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Debezium `source` block — fields per the sample documented at
+# MySQLCDC2AWSMSK.scala:91.
+MYSQL_SOURCE_SCHEMA = StructType(
+    [
+        StructField("version", StringType()),
+        StructField("connector", StringType()),
+        StructField("name", StringType()),
+        StructField("ts_ms", LongType()),
+        StructField("snapshot", StringType()),
+        StructField("db", StringType()),
+        StructField("sequence", StringType()),
+        StructField("table", StringType()),
+        StructField("server_id", LongType()),
+        StructField("gtid", StringType()),
+        StructField("file", StringType()),
+        StructField("pos", LongType()),
+        StructField("row", IntegerType()),
+        StructField("thread", StringType()),
+        StructField("query", StringType()),
+    ]
+)
+
+# Debezium envelope, schema block omitted (JsonDebeziumDeserializationSchema
+# (false), scala:273). before/after as opaque string maps — matches the
+# reference's getAsString access pattern (scala:113-121) and keeps the
+# pipeline table-agnostic. `op` ∈ {c,u,d,r} (scala:100).
+MYSQL_ENVELOPE_SCHEMA = StructType(
+    [
+        StructField("before", MapType(StringType(), StringType())),
+        StructField("after", MapType(StringType(), StringType())),
+        StructField("source", MYSQL_SOURCE_SCHEMA),
+        StructField("op", StringType()),
+        StructField("ts_ms", LongType()),
+        StructField("transaction", StringType()),
+    ]
+)
+
+# Mongo change-stream envelope — sample at MongoCDC2AWSMSK.scala:95-96.
+# documentKey stays a raw string: the reference regex-extracts `_id` from the
+# string form because `_id` may be scalar OR a nested object (scala:86-92).
+MONGO_ENVELOPE_SCHEMA = StructType(
+    [
+        StructField("_id", StringType()),
+        StructField("operationType", StringType()),
+        StructField("fullDocument", StringType()),
+        StructField(
+            "source",
+            StructType(
+                [
+                    StructField("ts_ms", LongType()),
+                    StructField("snapshot", StringType()),
+                ]
+            ),
+        ),
+        StructField("ts_ms", LongType()),
+        StructField(
+            "ns",
+            StructType(
+                [StructField("db", StringType()), StructField("coll", StringType())]
+            ),
+        ),
+        StructField("to", StringType()),
+        StructField("documentKey", StringType()),
+        StructField("updateDescription", StringType()),
+        StructField("clusterTime", StringType()),
+        StructField("txnNumber", LongType()),
+        StructField("lsid", StringType()),
+    ]
+)

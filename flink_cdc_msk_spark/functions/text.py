@@ -1,0 +1,81 @@
+"""Text-analysis expression helpers (LLM-pipeline surface, SURVEY.md Part B).
+
+All pure Catalyst expressions (JVM-side, codegen-friendly) — token ops use
+array functions over ``split``, never per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A small deterministic stopword profile per language. The heuristic is the
+# classic stopword-hit-count language guesser; profiles are part of the
+# engine (arbitrary but fixed — the oracle uses the same lists).
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "von"),
+    "fr": ("le", "la", "les", "et", "est", "de"),
+    "es": ("el", "la", "los", "y", "es", "de"),
+}
+
+PUNCT_CLASS = "[.,!?;:]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens, lowercased, empties dropped."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(col), " "), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def stopword_hits(col: Column | str, words: tuple[str, ...]) -> Column:
+    """# tokens that are in the given stopword list."""
+    wl = F.array(*[F.lit(w) for w in words])
+    return F.size(
+        F.filter(tokens(col), lambda t: F.array_contains(wl, t))
+    ).cast("bigint")
+
+
+def punct_ratio(col: Column | str) -> Column:
+    col = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(col, PUNCT_CLASS, "")
+    return F.round(
+        (F.length(col) - F.length(stripped)) / F.length(col), 6
+    )
+
+
+def avg_token_len(col: Column | str) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    return F.round(total / F.size(toks), 4)
+
+
+def rolling_fingerprint(col: Column | str, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash over characters: ``h = (31h + cp) % mod``.
+
+    Same recurrence as Java hashCode but in modular space — a cheap
+    whole-document fingerprint for exact-dup detection that both Spark
+    (aggregate) and DuckDB (list_reduce) can evaluate identically.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    chars = F.filter(F.split(col, ""), lambda c: c != F.lit(""))
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(mod),
+    )
+
+
+def rolling_fingerprint_sql(expr: str, mod: int = 1_000_000_007) -> str:
+    """DuckDB oracle for :func:`rolling_fingerprint` over SQL column expr."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(regexp_split_to_array({expr}, ''), "
+        f"c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % {mod})"
+    )

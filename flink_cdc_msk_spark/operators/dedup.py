@@ -1,0 +1,255 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families (SURVEY.md Part B, LLM-pipeline row):
+
+  exact            hash-groupBy on the full text (or a fingerprint)
+  token Jaccard    inverted-index self-join — exact set similarity, scalable
+                   because the join fans out by *token*, not by doc pair
+  MinHash + LSH    signature → banding → bucket join → verify; the 100 TB
+                   path (candidate generation is linear in corpus size)
+  SimHash          64-bit fingerprint, banded hamming-distance candidates
+
+All candidate generation is pure DataFrame code (shuffles on token / band
+keys — broadcast-free, skew handled by frequent-token pruning). Nothing
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def distinct_tokens(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """→ (id, token) distinct pairs — the inverted-index building block."""
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(tokens(text_col))).alias("token")
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep min-id doc per identical text. One shuffle on the text hash."""
+    return df.groupBy(F.col(text_col).alias("text")).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_token_freq: int | None = None,
+) -> DataFrame:
+    """All (i<j) pairs with token-set Jaccard >= threshold, via
+    inverted-index self-join (explode tokens → join on token → count
+    intersections → sizes → |A∩B| / (|A|+|B|-|A∩B|)).
+
+    ``max_token_freq`` prunes ultra-common tokens before the join — the
+    standard skew guard at scale (a token in every doc creates an O(n²)
+    join group; dropping tokens with df > cutoff bounds each group, at the
+    cost of slightly under-counting intersections — leave None for exact).
+    """
+    toks = distinct_tokens(df, text_col, id_col)
+    if max_token_freq is not None:
+        freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        toks = (
+            toks.join(freq.filter(F.col("df") <= max_token_freq), "token")
+            .select("id", "token")
+        )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id1", "sz": "sz1"}), "id1")
+        .join(sizes.withColumnsRenamed({"id": "id2", "sz": "sz2"}), "id2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz1") + F.col("sz2") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (id, h0..h{k-1}) MinHash signature per doc.
+
+    Hash family: ``xxhash64(token, seed=i)`` — deterministic, JVM-side,
+    no Python. One shuffle (groupBy id); partial min aggregation keeps the
+    map side cheap.
+    """
+    toks = distinct_tokens(df, text_col, id_col)
+    aggs = [
+        F.min(F.xxhash64(F.col("token"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return toks.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding + exact-Jaccard verification.
+
+    Pipeline: signatures → per-band bucket key = xxhash64 of the band's
+    rows → self-join per (band, bucket) → distinct candidates → verify
+    with exact token-set Jaccard (computed only for candidates — the
+    verify join is linear in candidate count). Scales as O(corpus) for
+    candidate generation vs O(corpus²) brute force.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, num_hashes, text_col, id_col)
+    band_entries = []
+    for b in range(bands):
+        cols = [F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_entries.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket"))
+        )
+    banded = sigs.select(
+        "id", F.explode(F.array(*band_entries)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    x = banded.alias("x")
+    y = banded.alias("y")
+    candidates = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
+        .distinct()
+    )
+
+    # verify candidates with exact token-set Jaccard via array ops
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(tokens(text_col)).alias("toks"),
+    )
+    return (
+        candidates.join(
+            sets.withColumnsRenamed({"id": "id1", "toks": "toks1"}), "id1"
+        )
+        .join(sets.withColumnsRenamed({"id": "id2", "toks": "toks2"}), "id2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("toks1", "toks2"))
+                / F.size(F.array_union("toks1", "toks2")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """→ (id, simhash) 64-bit SimHash per doc.
+
+    Per token: xxhash64; per bit: +1 if set else -1, summed over tokens;
+    fingerprint bit i = sign of sum. 64 conditional sums — wide but flat
+    aggregation, single shuffle on id, all codegen."""
+    toks = distinct_tokens(df, text_col, id_col).withColumn(
+        "th", F.xxhash64("token")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("id").agg(*bit_sums)
+    fp = None
+    for i in range(64):
+        bit = F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return agg.select("id", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairs with hamming(simhash) <= max_hamming via 4×16-bit banding.
+
+    Pigeonhole: any pair within hamming distance 3 agrees exactly on at
+    least one of 4 disjoint 16-bit bands → candidates = bucket-join on
+    band value, then exact bit_count(xor) verify. Linear candidate
+    generation, no cross product."""
+    fps = simhash64(df, text_col, id_col)
+    bands = fps.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bv"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    x = bands.alias("x")
+    y = bands.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id1"),
+            F.col("y.id").alias("id2"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

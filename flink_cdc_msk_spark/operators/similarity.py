@@ -1,0 +1,220 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline (broadcast the query set —
+the corpus side streams, never shuffles), and an IVF-style
+centroid-bucketed variant as the scale path (search only the closest
+``nprobe`` clusters → corpus-side work drops by ~n_clusters/nprobe).
+
+Dot products are pure Catalyst array expressions (``zip_with`` +
+``aggregate``) computed in double — JVM-side, no Python, and identical
+sequential summation order to DuckDB's ``list_cosine_similarity`` so the
+oracle hashes match after rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def as_double(col: Column | str) -> Column:
+    col = F.col(col) if isinstance(col, str) else col
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query: broadcast queries × stream corpus.
+
+    Output: (query_id, vec_id, cos, rank). The corpus never shuffles; the
+    only exchange is the per-query ranking (partitionBy query_id), whose
+    cardinality is |queries| × |corpus| rows *before* the rank filter —
+    at scale cap the query batch size, or use :func:`ivf_topk`.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double(vec_col).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (i<j) pairs with cosine >= threshold. Exact O(n²) — correct
+    baseline for the oracle; the LSH-bucketed variant below is the scale
+    path."""
+    a = corpus.select(F.col(id_col).alias("id1"), as_double(vec_col).alias("v1"))
+    b = corpus.select(F.col(id_col).alias("id2"), as_double(vec_col).alias("v2"))
+    return (
+        a.join(F.broadcast(b), F.col("id1") < F.col("id2"))
+        .withColumn("cos", F.round(cosine(F.col("v1"), F.col("v2")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id1", "id2", "cos")
+    )
+
+
+def random_hyperplane_buckets(
+    df: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Signed-random-projection LSH bucket per vector (cosine LSH).
+
+    Hyperplanes are derived deterministically from (seed, plane, dim) via
+    a hash → no driver-side randomness, identical across runs/executors.
+    Bucket = n_planes sign bits packed into a long.
+    """
+    dims = F.size(F.col(vec_col))
+    planes = []
+    for p in range(n_planes):
+        # pseudo-random ±1 weights per dimension: parity of xxhash64
+        proj = F.aggregate(
+            F.zip_with(
+                as_double(vec_col),
+                F.sequence(F.lit(0), dims - 1),
+                lambda x, i: F.when(
+                    F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(2)) == 0,
+                    x,
+                ).otherwise(-x),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        planes.append(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    bucket = planes[0]
+    for b in planes[1:]:
+        bucket = bucket.bitwiseOR(b)
+    return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+
+
+def lsh_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs restricted to same-LSH-bucket candidates — the
+    approximate scale path (recall < 1.0; probability a pair at cosine c
+    collides is (1 - arccos(c)/π)^n_planes)."""
+    buckets = random_hyperplane_buckets(corpus, n_planes, id_col, vec_col)
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("v")
+    ).join(buckets, "id")
+    a = vecs.alias("a")
+    b = vecs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .withColumn("cos", F.round(cosine(F.col("a.v"), F.col("b.v")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col("a.id").alias("id1"), F.col("b.id").alias("id2"), "cos"
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: centroids = first ``n_centroids`` corpus vectors
+    (deterministic stand-in for k-means — the partition/probe plumbing is
+    what matters); assign every vector to its nearest centroid; per query
+    probe the ``nprobe`` nearest centroids and rank only those clusters.
+
+    Corpus-side cost drops to ~nprobe/n_centroids of brute force; the
+    cluster assignment is one broadcast join, reusable across query
+    batches (in a real deployment it would be precomputed + bucketed on
+    disk)."""
+    centroids = F.broadcast(
+        corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"), as_double(vec_col).alias("cent_v")
+        )
+    )
+
+    def nearest(df, vcol, out, topn):
+        scored = df.crossJoin(centroids).withColumn(
+            "_d", cosine(F.col(vcol), F.col("cent_v"))
+        )
+        w = Window.partitionBy(df.columns[0]).orderBy(
+            F.col("_d").desc(), F.col("cent_id")
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= topn)
+            .select(*df.columns, F.col("cent_id").alias(out))
+        )
+
+    c = corpus.select(F.col(id_col).alias("vec_id"), as_double(vec_col).alias("cv"))
+    assigned = nearest(c, "cv", "cluster", 1)
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    probed = nearest(q, "qv", "cluster", nprobe)
+
+    scored = (
+        assigned.join(F.broadcast(probed), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+    )

@@ -1,0 +1,110 @@
+"""CDC-surface queries: the reference's own dataflow as named queries.
+
+``cdc_route_keys`` runs the full synthesize→parse→route pipeline
+(SURVEY.md A13-A18) and is checked against an oracle that computes the
+expected routing *directly* from the orders table — i.e. the oracle never
+sees the JSON envelope, so a parse/route bug cannot cancel out.
+
+``cdc_latest_state`` is the upsert-compaction operator (SURVEY.md Part B,
+"latest-row materialization"): replay c/u/d traffic, keep the latest image
+per PK, drop deleted keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..config import TableRouting
+from ..envelope import MYSQL_ENVELOPE_SCHEMA
+from ..operators.route import route_mysql_cdc
+from ..sources.cdc_sim import synthesize_mysql_events
+from .registry import register
+
+ORDERS_ROUTING = TableRouting.parse(
+    '[{"db":"test_db","table":"orders","primary_key":"o_orderkey"}]'
+)
+
+
+@register(
+    "cdc_route_keys",
+    oracle="""
+    SELECT 'test_db' AS db,
+           'orders' AS tbl,
+           'test_db.orders.' || CAST(o_orderkey AS VARCHAR) AS partition_key,
+           'cdc_test_db' AS topic,
+           op
+    FROM (
+      SELECT o_orderkey, 'c' AS op FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'u' FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, 'd' FROM orders WHERE o_orderkey % 20 = 0
+    )
+    """,
+)
+def cdc_route_keys(spark, sf_dir):
+    events = synthesize_mysql_events(spark, sf_dir)
+    routed = route_mysql_cdc(events, ORDERS_ROUTING, topic_prefix="cdc_")
+    op = F.get_json_object("value", "$.op").alias("op")
+    return routed.select(
+        F.col("db"),
+        F.col("table").alias("tbl"),
+        "partition_key",
+        "topic",
+        op,
+    )
+
+
+@register(
+    "cdc_latest_state",
+    oracle="""
+    WITH changes AS (
+        SELECT o_orderkey, o_custkey, 'c' AS op,
+               1700000000000 + o_orderkey AS ts_ms
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'u', 1700001000000 + o_orderkey
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey, NULL, 'd', 1700002000000 + o_orderkey
+        FROM orders WHERE o_orderkey % 20 = 0
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_orderkey ORDER BY ts_ms DESC) AS rn
+      FROM changes
+    )
+    SELECT o_orderkey, o_custkey, op, ts_ms
+    FROM ranked WHERE rn = 1 AND op <> 'd'
+    """,
+)
+def cdc_latest_state(spark, sf_dir):
+    """Upsert compaction: latest envelope per PK by ts_ms; deletes remove
+    the key. Shuffles once on the PK (the natural key for the downstream
+    table); at scale this is the standard CDC-merge pattern run inside
+    foreachBatch against an ACID table (exact-typed columns only — payload
+    fidelity through the JSON round-trip is part of the check)."""
+    events = synthesize_mysql_events(spark, sf_dir)
+    env = F.from_json("value", MYSQL_ENVELOPE_SCHEMA).alias("env")
+    parsed = events.select(env).select(
+        F.try_element_at("env.after", F.lit("o_orderkey"))
+        .cast("bigint")
+        .alias("after_key"),
+        F.try_element_at("env.before", F.lit("o_orderkey"))
+        .cast("bigint")
+        .alias("before_key"),
+        F.try_element_at("env.after", F.lit("o_custkey"))
+        .cast("bigint")
+        .alias("o_custkey"),
+        F.col("env.op").alias("op"),
+        F.col("env.ts_ms").alias("ts_ms"),
+    )
+    keyed = parsed.withColumn(
+        "o_orderkey", F.coalesce("after_key", "before_key")
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("ts_ms").desc())
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "d"))
+        .select("o_orderkey", "o_custkey", "op", "ts_ms")
+    )

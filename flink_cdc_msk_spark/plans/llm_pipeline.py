@@ -1,0 +1,343 @@
+"""LLM-training-data-pipeline queries over ``documents`` / ``embeddings``
+(SURVEY.md Part B north-star row): dedup families, similarity search,
+text analysis.
+
+The sf documents table contains no exact duplicates, so dedup queries plant
+them deterministically inside the query (docs with doc_id % 5 == 0 get a
+clone at doc_id + 1_000_000) — reproduced identically in the oracle SQL, so
+the collapse behavior is actually exercised.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..sources.tables import load_tables
+from .registry import register
+
+CLONE_OFFSET = 1_000_000
+
+DOCS_WITH_DUPS_SQL = f"""
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {CLONE_OFFSET}, text FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def _docs(spark, sf_dir):
+    return load_tables(spark, sf_dir)["documents"]
+
+
+def _docs_with_dups(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    clones = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + CLONE_OFFSET).alias("doc_id"), "text"
+    )
+    return d.unionByName(clones)
+
+
+def _emb(spark, sf_dir):
+    return load_tables(spark, sf_dir)["embeddings"]
+
+
+# ------------------------------------------------------------------ dedup
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT text, min(doc_id) AS keep_id, count(*) AS dup_count
+    FROM ({DOCS_WITH_DUPS_SQL})
+    GROUP BY text
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    return D.exact_dedup(_docs_with_dups(spark, sf_dir))
+
+
+@register(
+    "dedup_exact_fingerprint",
+    oracle=f"""
+    SELECT md5(text) AS fp,
+           {T.rolling_fingerprint_sql('text')} AS roll_fp,
+           min(doc_id) AS keep_id,
+           count(*) AS dup_count
+    FROM ({DOCS_WITH_DUPS_SQL})
+    GROUP BY text
+    """,
+)
+def dedup_exact_fingerprint(spark, sf_dir):
+    """Fingerprint-based exact dedup: md5 + polynomial rolling hash —
+    grouping on a fixed-width key instead of the full text (what you do at
+    100 TB so the shuffle carries 16-byte keys, not documents)."""
+    d = _docs_with_dups(spark, sf_dir)
+    return (
+        d.withColumns(
+            {
+                "fp": F.md5(F.col("text").cast("binary")),
+                "roll_fp": T.rolling_fingerprint("text"),
+            }
+        )
+        .groupBy("fp", "roll_fp")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select("fp", "roll_fp", "keep_id", "dup_count")
+    )
+
+
+@register(
+    "dedup_token_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id AS id, t.tok AS token
+      FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
+      WHERE t.tok <> ''
+    ), sizes AS (
+      SELECT id, count(*) AS sz FROM toks GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+      FROM toks a JOIN toks b ON a.token = b.token AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id1, id2,
+           round(inter / (s1.sz + s2.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.id = id1
+    JOIN sizes s2 ON s2.id = id2
+    WHERE round(inter / (s1.sz + s2.sz - inter), 6) >= 0.62
+    """,
+)
+def dedup_token_jaccard(spark, sf_dir):
+    """Exact token-set Jaccard near-dup pairs via inverted-index self-join
+    — the oracle-checkable exact baseline for MinHash."""
+    return D.jaccard_pairs(_docs(spark, sf_dir), threshold=0.62)
+
+
+@register("dedup_minhash_lsh")  # engine-specific hashes → rows-only check
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(32) + 8-band LSH candidates, exact-Jaccard verified at 0.62
+    — must find the same high-similarity pairs as dedup_token_jaccard
+    (verified in pytest); candidate generation is linear in corpus size."""
+    return D.minhash_lsh_pairs(
+        _docs(spark, sf_dir), threshold=0.62, num_hashes=32, bands=8
+    )
+
+
+@register("dedup_simhash")  # engine-specific hashes → rows-only check
+def dedup_simhash(spark, sf_dir):
+    """SimHash-64 banded hamming pairs (distance <= 3) over docs + planted
+    clones (clones land at distance 0)."""
+    return D.simhash_pairs(_docs_with_dups(spark, sf_dir), max_hamming=3)
+
+
+# ------------------------------------------------------- similarity search
+
+
+@register(
+    "embedding_cosine_topk",
+    oracle="""
+    SELECT query_id, vec_id, cos, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 6) AS cos,
+             CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                               c.embedding::DOUBLE[]) DESC,
+                        c.vec_id) AS BIGINT) AS rank
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10)
+    WHERE rank <= 5
+    """,
+)
+def embedding_cosine_topk(spark, sf_dir):
+    """Exact cosine top-5 for 10 query vectors — brute-force baseline
+    (broadcast queries, corpus streams)."""
+    emb = _emb(spark, sf_dir)
+    return S.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5
+    )
+
+
+@register(
+    "embedding_near_dup",
+    oracle="""
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 6) >= 0.3
+    """,
+)
+def embedding_near_dup(spark, sf_dir):
+    """All pairs with cosine >= 0.3 (exact O(n²) baseline; LSH variant
+    below is the scale path)."""
+    return S.near_dup_pairs(_emb(spark, sf_dir), threshold=0.3)
+
+
+@register("embedding_near_dup_lsh")  # approximate → rows-only check
+def embedding_near_dup_lsh(spark, sf_dir):
+    """Random-hyperplane LSH-bucketed near-dup pairs (recall measured in
+    pytest against the exact query)."""
+    return S.lsh_near_dup_pairs(_emb(spark, sf_dir), threshold=0.3, n_planes=6)
+
+
+@register("embedding_ann_ivf")  # approximate → rows-only check
+def embedding_ann_ivf(spark, sf_dir):
+    """IVF-style ANN top-k (nprobe=4 of 16 clusters; recall vs exact
+    measured in pytest)."""
+    emb = _emb(spark, sf_dir)
+    return S.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, nprobe=4
+    )
+
+
+# ------------------------------------------------------------ text analysis
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+                                t -> t <> '')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(list_filter(string_split(lower(text), ' '),
+                                t -> t <> ''))) AS BIGINT) AS n_distinct,
+           CAST(length(text) AS BIGINT) AS n_chars_computed,
+           n_chars
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    toks = T.tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.length("text").cast("bigint").alias("n_chars_computed"),
+        "n_chars",
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                 / length(text), 6) AS punct_ratio,
+           round(len(list_filter(toks, x -> list_contains(
+                 ['the','a','and','of','to','in','is'], x)))
+                 / len(toks), 6) AS stopword_ratio,
+           round(list_sum(list_transform(toks, x -> length(x)))
+                 / len(toks), 4) AS avg_token_len,
+           CASE WHEN len(toks) BETWEEN 10 AND 1000
+                 AND len(list_distinct(toks)) / len(toks) > 0.3
+                THEN 1 ELSE 0 END AS quality_pass
+    FROM t
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Heuristic quality scoring: punctuation ratio, stopword ratio, mean
+    token length, and a pass/fail gate (length band + lexical diversity) —
+    the standard pre-training corpus filters, all as codegen'd array
+    expressions."""
+    d = _docs(spark, sf_dir)
+    toks = T.tokens("text")
+    diversity = F.size(F.array_distinct(toks)) / F.size(toks)
+    return d.select(
+        "doc_id",
+        T.punct_ratio("text").alias("punct_ratio"),
+        F.round(
+            T.stopword_hits("text", T.STOPWORDS["en"]) / F.size(toks), 6
+        ).alias("stopword_ratio"),
+        T.avg_token_len("text").alias("avg_token_len"),
+        F.when(
+            F.size(toks).between(10, 1000) & (diversity > 0.3), 1
+        ).otherwise(0).alias("quality_pass"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+        CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is'], x))) AS BIGINT) AS s_en,
+        CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','von'], x))) AS BIGINT) AS s_de,
+        CAST(len(list_filter(toks, x -> list_contains(['le','la','les','et','est','de'], x))) AS BIGINT) AS s_fr,
+        CAST(len(list_filter(toks, x -> list_contains(['el','la','los','y','es','de'], x))) AS BIGINT) AS s_es
+      FROM t
+    )
+    SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
+           CASE
+             WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+             WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+             WHEN s_fr >= s_es THEN 'fr'
+             ELSE 'es'
+           END AS guessed
+    FROM scored
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    """Stopword-profile language guesser (n-gram-heuristic family).
+    Deterministic argmax with fixed precedence en>de>fr>es on ties."""
+    d = _docs(spark, sf_dir)
+    scores = {
+        lang: T.stopword_hits("text", words)
+        for lang, words in T.STOPWORDS.items()
+    }
+    s_en, s_de, s_fr, s_es = (
+        scores["en"], scores["de"], scores["fr"], scores["es"],
+    )
+    guessed = (
+        F.when((s_en >= s_de) & (s_en >= s_fr) & (s_en >= s_es), "en")
+        .when((s_de >= s_fr) & (s_de >= s_es), "de")
+        .when(s_fr >= s_es, "fr")
+        .otherwise("es")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        s_en.alias("s_en"),
+        s_de.alias("s_de"),
+        s_fr.alias("s_fr"),
+        s_es.alias("s_es"),
+        guessed.alias("guessed"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           {T.rolling_fingerprint_sql('text')} AS fingerprint,
+           {T.rolling_fingerprint_sql("substring(text, 1, 64)")} AS prefix_fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprinting via polynomial rolling hash (whole doc +
+    64-char prefix) — exact-match dedup keys cheap enough to compute
+    everywhere."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        T.rolling_fingerprint("text").alias("fingerprint"),
+        T.rolling_fingerprint(F.substring("text", 1, 64)).alias("prefix_fp"),
+    )

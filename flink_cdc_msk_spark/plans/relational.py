@@ -1,0 +1,1056 @@
+"""Relational operator surface (SURVEY.md §2 Part B) as named queries.
+
+Each query exists twice: Spark DataFrame code (what the engine runs) and an
+ANSI-SQL oracle for DuckDB. Column names/aliases are identical on both
+sides; float aggregates are rounded on both sides; integer sums in the
+oracle are cast back to BIGINT (DuckDB widens to HUGEINT); timestamps in
+outputs are formatted to strings.
+
+Scale notes are inline per query: which joins broadcast, where the one
+shuffle is, why the plan survives 100×.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_tables
+from .registry import register
+
+
+def _t(spark, sf_dir, *names):
+    tabs = load_tables(spark, sf_dir)
+    return [tabs[n] for n in names]
+
+
+# ---------------------------------------------------------------- TPC-H style
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_extendedprice), 4)                              AS avg_price,
+           round(avg(l_discount), 6)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1. One map-side-combinable shuffle on a 4-value key; the
+    filter and 7-column projection push into the parquet scan."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape. customer is tiny → broadcast into orders; the only
+    real shuffle is lineitem↔orders on orderkey. Top-10 via sorted limit
+    (per-partition top-k then merge — no global sort materialization)."""
+    cu, o, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = F.lit("1998-03-15").cast("timestamp_ntz")
+    return (
+        cu.filter(F.col("c_mktsegment") == "BUILDING")
+        .hint("broadcast")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape. region/nation/customer/supplier all broadcast; the
+    only shuffle joins are orders↔lineitem. Final agg on 25 keys."""
+    r, n, cu, o, li, s = _t(
+        spark, sf_dir, "region", "nation", "customer", "orders", "lineitem",
+        "supplier",
+    )
+    return (
+        F.broadcast(r.join(n, F.col("n_regionkey") == F.col("r_regionkey")))
+        .join(cu, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: pure scan-filter-agg; every predicate pushes to parquet."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(c_acctbal, 2) AS acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    cu, o, li, n = _t(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return (
+        cu.join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            li.filter(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q18_large_volume_customer",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey,
+           round(o_totalprice, 2) AS totalprice,
+           round(qty, 2) AS total_qty
+    FROM (
+      SELECT l_orderkey, sum(l_quantity) AS qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 270
+    ) big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q18_large_volume_customer(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING-filtered agg then join; the big→orders join
+    keys on orderkey (same partitioning as the agg → no extra shuffle under
+    AQE); customer broadcasts."""
+    cu, o, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 270)
+    )
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cu), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("qty", 2).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "q12_priority_shipping",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_priority_shipping(spark, sf_dir):
+    """Conditional aggregation (TPC-H Q12 shape)."""
+    o, li = _t(spark, sf_dir, "orders", "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(
+            li.filter(
+                (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+                & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ------------------------------------------------------------------- joins
+
+
+@register(
+    "join_inner",
+    oracle="""
+    SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def join_inner(spark, sf_dir):
+    o, cu = _t(spark, sf_dir, "orders", "customer")
+    return (
+        o.filter(F.col("o_orderstatus") == "F")
+        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_name", "c_mktsegment", "o_totalprice")
+    )
+
+
+@register(
+    "join_left_outer_agg",
+    oracle="""
+    SELECT c_custkey,
+           count(o_orderkey) AS order_cnt,
+           round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left_outer_agg(spark, sf_dir):
+    """Left join preserving customers with zero orders."""
+    o, cu = _t(spark, sf_dir, "orders", "customer")
+    return (
+        cu.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("order_cnt"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT coalesce(c.nk, s.nk) AS nationkey, cust_cnt, supp_cnt
+    FROM (SELECT c_nationkey AS nk, count(*) AS cust_cnt
+          FROM customer GROUP BY c_nationkey) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nk, count(*) AS supp_cnt
+          FROM supplier WHERE s_acctbal > 0 GROUP BY s_nationkey) s
+    USING (nk)
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    cu, s = _t(spark, sf_dir, "customer", "supplier")
+    cagg = cu.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("cust_cnt")
+    )
+    sagg = (
+        s.filter(F.col("s_acctbal") > 0)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("supp_cnt"))
+    )
+    return cagg.join(sagg, "nk", "full_outer").select(
+        F.col("nk").alias("nationkey"), "cust_cnt", "supp_cnt"
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+def join_semi(spark, sf_dir):
+    o, cu = _t(spark, sf_dir, "orders", "customer")
+    return cu.join(
+        o.filter(F.col("o_totalprice") > 400000),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_semi",
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark, sf_dir):
+    o, cu = _t(spark, sf_dir, "orders", "customer")
+    return cu.join(
+        o, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT r_name, n_name, count(*) AS customers,
+           round(avg(c_acctbal), 4) AS avg_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_broadcast_dims(spark, sf_dir):
+    """Star-schema dim joins: both dims broadcast — zero shuffle until the
+    25-key aggregation."""
+    cu, n, r = _t(spark, sf_dir, "customer", "nation", "region")
+    return (
+        cu.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+@register(
+    "join_range_bands",
+    oracle="""
+    SELECT band, count(*) AS orders_in_band,
+           round(sum(o_totalprice), 2) AS band_revenue
+    FROM orders
+    JOIN (VALUES ('low', 0.0, 100000.0),
+                 ('mid', 100000.0, 300000.0),
+                 ('high', 300000.0, 1e9)) AS bands(band, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+)
+def join_range_bands(spark, sf_dir):
+    """Non-equi (range/theta) join against a tiny banding dim — Spark picks
+    BroadcastNestedLoopJoin, which is exactly right: O(rows × 3 bands)."""
+    (o,) = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 100000.0), ("mid", 100000.0, 300000.0),
+         ("high", 300000.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("orders_in_band"),
+            F.round(F.sum("o_totalprice"), 2).alias("band_revenue"),
+        )
+    )
+
+
+@register(
+    "join_asof_events",
+    oracle="""
+    SELECT c.event_id,
+           c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_error_ts,
+           e.value AS last_error_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id AND e.ts <= c.ts
+    """,
+)
+def join_asof_events(spark, sf_dir):
+    """As-of join (each click → latest error at-or-before it, per user).
+
+    Spark lacks a native as-of join; the scalable pattern used here is
+    union-tag + window last(ignorenulls) over (user, ts): one shuffle on
+    user_id, no range cross-product, no per-key blowup — survives 100×
+    (vs. the naive t1.ts>=t2.ts join which is quadratic per user).
+    """
+    (ev,) = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    errors = ev.filter(F.col("event_type") == "error")
+    tagged = clicks.select(
+        "event_id", "user_id", "ts",
+        F.lit(None).cast("timestamp_ntz").alias("err_ts"),
+        F.lit(None).cast("double").alias("err_value"),
+        F.lit(1).alias("is_click"),
+    ).unionByName(
+        errors.select(
+            "event_id", "user_id", "ts",
+            F.col("ts").alias("err_ts"),
+            F.col("value").alias("err_value"),
+            F.lit(0).alias("is_click"),
+        )
+    )
+    # errors sort before clicks at identical ts (is_click ASC) so an error
+    # at exactly click-ts is visible to it (ASOF's `<=` semantics).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_click"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumns(
+            {
+                "last_error_ts_t": F.last("err_ts", ignorenulls=True).over(w),
+                "last_error_value": F.last("err_value", ignorenulls=True).over(w),
+            }
+        )
+        .filter(F.col("is_click") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+            F.date_format("last_error_ts_t", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "last_error_ts"
+            ),
+            "last_error_value",
+        )
+    )
+
+
+@register(
+    "join_cross_small",
+    oracle="""
+    SELECT r_name, sev FROM region
+    CROSS JOIN (VALUES ('low'), ('mid'), ('high')) AS s(sev)
+    """,
+)
+def join_cross_small(spark, sf_dir):
+    (r,) = _t(spark, sf_dir, "region")
+    sev = spark.createDataFrame([("low",), ("mid",), ("high",)], "sev string")
+    return r.crossJoin(F.broadcast(sev)).select("r_name", "sev")
+
+
+# ------------------------------------------------------------- aggregations
+
+
+@register(
+    "agg_stats_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS cnt,
+           count(DISTINCT o_custkey) AS customers,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price,
+           round(sum(o_totalprice), 2) AS sum_price,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_stats_by_status(spark, sf_dir):
+    (o,) = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("o_custkey").alias("customers"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+@register(
+    "agg_distinct_exact",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS parts,
+           count(DISTINCT l_suppkey) AS supps,
+           count(*) AS rows_cnt
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_exact(spark, sf_dir):
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("parts"),
+        F.countDistinct("l_suppkey").alias("supps"),
+        F.count(F.lit(1)).alias("rows_cnt"),
+    )
+
+
+@register("agg_approx_distinct")  # no SQL oracle: HLL sketches differ by engine
+def agg_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HLL++). Rows-only driver check; pytest bounds
+    the relative error against the exact count instead."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name, n_name, count(*) AS cnt,
+           round(sum(c_acctbal), 2) AS bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    cu, n, r = _t(spark, sf_dir, "customer", "nation", "region")
+    return (
+        cu.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("c_acctbal"), 2).alias("bal"),
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    (o,) = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+           count(*) AS cnt
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    (o,) = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+               count(*) AS cnt
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "agg_string_agg",
+    oracle="""
+    SELECT n_nationkey,
+           string_agg(c_name, ',' ORDER BY c_name) AS names,
+           count(*) AS cnt
+    FROM nation JOIN customer ON c_nationkey = n_nationkey
+    WHERE c_custkey < 100
+    GROUP BY n_nationkey
+    """,
+)
+def agg_string_agg(spark, sf_dir):
+    """collect_list is unordered across partitions → sort_array before
+    joining, making the result deterministic and oracle-comparable."""
+    cu, n = _t(spark, sf_dir, "customer", "nation")
+    return (
+        F.broadcast(n)
+        .join(cu.filter(F.col("c_custkey") < 100),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_nationkey")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("c_name"))).alias(
+                "names"
+            ),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------- window functions
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark, sf_dir):
+    """Per-key top-k via ranking window — single shuffle on the key; at
+    scale this beats global sort since each partition ranks locally."""
+    (o,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").alias("c_custkey"), "o_orderkey",
+            "o_totalprice", "rn",
+        )
+    )
+
+
+@register(
+    "window_ranks",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CAST(rank()       OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           round(percent_rank() OVER w, 6) AS prnk,
+           CAST(ntile(4) OVER (PARTITION BY c_nationkey
+                ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)
+    """,
+)
+def window_ranks(spark, sf_dir):
+    (cu,) = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    wt = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return cu.select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.ntile(4).over(wt).cast("bigint").alias("quartile"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER w, 2) AS delta_value,
+           lead(event_type) OVER w AS next_type,
+           first_value(event_type) OVER w AS first_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead(spark, sf_dir):
+    (ev,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta_value"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.first("event_type").over(w).alias("first_type"),
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS running_spend,
+           round(avg(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+           AS moving_avg3
+    FROM orders
+    """,
+)
+def window_running_sum(spark, sf_dir):
+    (o,) = _t(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = base.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(run), 2).alias("running_spend"),
+        F.round(F.avg("o_totalprice").over(mov), 4).alias("moving_avg3"),
+    )
+
+
+# ----------------------------------------------------------- sort / set ops
+
+
+@register(
+    "topk_global",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+    """,
+)
+def topk_global(spark, sf_dir):
+    """Global top-k: orderBy+limit compiles to TakeOrderedAndProject —
+    per-partition heaps + driver merge, no full sort shuffle."""
+    (o,) = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(15)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "set_union",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+    UNION
+    SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def set_union(spark, sf_dir):
+    (o,) = _t(spark, sf_dir, "orders")
+    a = o.filter(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz")
+    ).select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    return a.union(b).distinct()
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def set_intersect(spark, sf_dir):
+    (o,) = _t(spark, sf_dir, "orders")
+    a = o.filter(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz")
+    ).select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders
+    """,
+)
+def set_except(spark, sf_dir):
+    o, cu = _t(spark, sf_dir, "orders", "customer")
+    return cu.select(F.col("c_custkey")).exceptAll(
+        o.select(F.col("o_custkey").alias("c_custkey"))
+    ).distinct()
+
+
+# ------------------------------------------------------------ scalar funcs
+
+
+@register(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           substring(c_name, 10, 6) AS name_digits,
+           upper(c_mktsegment) AS seg_upper,
+           lower(c_name) AS name_lower,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           concat_ws('|', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS tagged,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+           replace(c_name, 'Customer', 'Cust') AS shortname,
+           string_split(c_name, '#')[1] AS name_prefix,
+           reverse(c_mktsegment) AS seg_rev
+    FROM customer WHERE c_custkey < 500
+    """,
+)
+def scalar_string_funcs(spark, sf_dir):
+    """String function coverage — every function the reference's routing
+    path uses (substring/concat_ws/lower/length/regexp_extract, SURVEY.md
+    §2 scalar row) plus common extras."""
+    (cu,) = _t(spark, sf_dir, "customer")
+    return cu.filter(F.col("c_custkey") < 500).select(
+        "c_custkey",
+        F.substring("c_name", 10, 6).alias("name_digits"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.lower("c_name").alias("name_lower"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.concat_ws("|", "c_mktsegment", F.col("c_custkey").cast("string")).alias(
+            "tagged"
+        ),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias(
+            "shortname"
+        ),
+        F.split("c_name", "#").getItem(0).alias("name_prefix"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+    )
+
+
+@register(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           CAST(day(o_orderdate) AS BIGINT) AS dy,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01') AS BIGINT)
+             AS days_to_y2k,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def scalar_date_funcs(spark, sf_dir):
+    (o,) = _t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") < 2000).select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("dy"),
+        F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.datediff(
+            F.lit("2000-01-01").cast("timestamp_ntz"), F.col("o_orderdate")
+        ).cast("bigint").alias("days_to_y2k"),
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"), "yyyy-MM-dd"
+        ).alias("due_date"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+    )
+
+
+@register(
+    "scalar_json_funcs",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+    FROM events WHERE event_id < 3000
+    """,
+)
+def scalar_json_funcs(spark, sf_dir):
+    """JSON access — the engine's bread and butter (envelope parsing uses
+    the same machinery: from_json/get_json_object)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") < 3000).select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_num"),
+    )
+
+
+@register(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           abs(o_totalprice - 200000) AS dist_from_200k,
+           round(o_totalprice, -3) AS price_k,
+           floor(o_totalprice / 1000) AS price_floor_k,
+           ceil(o_totalprice / 1000) AS price_ceil_k,
+           ((o_orderkey % 7) + 7) % 7 AS pmod7,
+           round(sqrt(o_totalprice), 6) AS price_sqrt,
+           round(ln(o_totalprice), 6) AS price_ln,
+           round(pow(o_orderkey % 10, 2), 1) AS sq
+    FROM orders WHERE o_orderkey < 2000 AND o_totalprice > 0
+    """,
+)
+def scalar_math_funcs(spark, sf_dir):
+    (o,) = _t(spark, sf_dir, "orders")
+    return o.filter((F.col("o_orderkey") < 2000) & (F.col("o_totalprice") > 0)).select(
+        "o_orderkey",
+        F.abs(F.col("o_totalprice") - 200000).alias("dist_from_200k"),
+        F.round(F.col("o_totalprice"), -3).alias("price_k"),
+        F.floor(F.col("o_totalprice") / 1000).alias("price_floor_k"),
+        F.ceil(F.col("o_totalprice") / 1000).alias("price_ceil_k"),
+        F.pmod(F.col("o_orderkey"), F.lit(7)).alias("pmod7"),
+        F.round(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
+        F.round(F.log("o_totalprice"), 6).alias("price_ln"),
+        F.round(F.pow(F.col("o_orderkey") % 10, 2), 1).alias("sq"),
+    )
+
+
+@register(
+    "scalar_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END AS size_class,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label,
+           least(o_totalprice, 250000.0) AS capped,
+           greatest(o_totalprice, 1000.0) AS floored
+    FROM orders WHERE o_orderkey < 3000
+    """,
+)
+def scalar_conditional(spark, sf_dir):
+    (o,) = _t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") < 3000).select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("size_class"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_label"
+        ),
+        F.least(F.col("o_totalprice"), F.lit(250000.0)).alias("capped"),
+        F.greatest(F.col("o_totalprice"), F.lit(1000.0)).alias("floored"),
+    )

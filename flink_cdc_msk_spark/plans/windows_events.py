@@ -1,0 +1,206 @@
+"""Event-stream analytics over the ``events`` table (SURVEY.md Part B:
+streaming stateful operators, verified here in their batch form — the
+streaming variants live in flink_cdc_msk_spark.streaming and are
+smoke-tested with availableNow triggers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_tables
+from .registry import register
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+def _ev(spark, sf_dir):
+    return load_tables(spark, sf_dir)["events"]
+
+
+@register(
+    "events_tumbling_hour",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling_hour(spark, sf_dir):
+    """Tumbling 1h window — uses Spark's window() operator (epoch-aligned,
+    identical to date_trunc for whole-hour tumbling)."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_window",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, value
+      FROM events
+    )
+    SELECT strftime(ws, '{TS_FMT_DUCK}') AS window_start,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM assigned GROUP BY ws
+    """,
+)
+def events_sliding_window(spark, sf_dir):
+    """Sliding window (1h length, 30min slide): each event lands in 2
+    windows. Oracle reproduces the assignment with two shifted 30-min
+    buckets."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT).alias("window_start"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_session_gaps",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *, CAST(sum(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
+           strftime(max(ts), '{TS_FMT_DUCK}') AS session_end,
+           round(sum(value), 2) AS session_value
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def events_session_gaps(spark, sf_dir):
+    """Sessionization with a 30-min inactivity gap (gaps-and-islands).
+
+    Batch equivalent of session_window(): flag session starts with lag(),
+    number sessions with a running sum — one shuffle on user_id, both
+    window passes reuse the same partitioning (no second exchange)."""
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap = F.col("ts") - F.lag(F.col("ts")).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > F.expr("INTERVAL 30 MINUTE")), 1).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_id", F.sum("new_session").over(wrun).cast("bigint")
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), TS_FMT).alias("session_start"),
+        F.date_format(F.max("ts"), TS_FMT).alias("session_end"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+@register(
+    "events_latest_state",
+    oracle="""
+    SELECT user_id, event_type, event_id, value FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def events_latest_state(spark, sf_dir):
+    """Latest event per (user, type) — the keyed-state compaction pattern
+    (streaming twin: dropDuplicates within watermark)."""
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "value")
+    )
+
+
+@register(
+    "events_type_pivot",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')    AS click,
+           count(*) FILTER (event_type = 'view')     AS view,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup')   AS signup,
+           count(*) FILTER (event_type = 'error')    AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def events_type_pivot(spark, sf_dir):
+    """Pivot on a known value set (explicit values → no extra distinct
+    pass, single shuffle)."""
+    ev = _ev(spark, sf_dir)
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = ev.groupBy("user_id").pivot("event_type", types).count()
+    # pivot leaves null for absent combos; the oracle's FILTER counts give 0
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types],
+    )
+
+
+@register(
+    "events_value_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 10) AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM events GROUP BY 1
+    """,
+)
+def events_value_histogram(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    return ev.groupBy(
+        F.floor(F.col("value") / 10).cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 2).alias("lo"),
+        F.round(F.max("value"), 2).alias("hi"),
+    )

@@ -1,0 +1,50 @@
+"""SparkSession builder tuned for this engine.
+
+Local testing runs on ``local[N]``; the conf below is chosen so the same
+logical plans scale to a multi-executor cluster: AQE handles runtime
+coalescing/skew, broadcast threshold keeps dimension joins shuffle-free,
+and shuffle partitions default to the local core count (on a real cluster
+AQE coalesces the initial number down, so a higher static value is safe).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "flink-cdc-msk-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # UTC/ntz everywhere: test parquet uses timestamp_ntz; keeps results
+        # independent of the cluster timezone (reference pins serverTimeZone,
+        # MySQLCDC2AWSMSK.scala:269 — same concern).
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime partition coalescing + skew-join splitting; at 100 TB
+        # this is what turns a static shuffle count into a sane one.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Arrow for every pandas-UDF exchange (the only Python hot paths).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Spark can't read parquet TIMESTAMP(NANOS) natively; read as long
+        # and convert in the loader (sources/tables.py) — same ns→us
+        # truncation DuckDB applies.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

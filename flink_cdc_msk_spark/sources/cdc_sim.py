@@ -1,0 +1,109 @@
+"""Deterministic CDC event synthesis from the relational test tables.
+
+Stands in for the MySQL binlog source (SURVEY.md A1): produces
+Debezium-envelope JSON strings (format per the sample documented at
+MySQLCDC2AWSMSK.scala:91) from parquet rows, entirely with JVM-side
+expressions (``to_json`` over a struct — no Python in the loop).
+
+Event mix: every row becomes an insert (``op=c``); rows where
+``key % 10 == 0`` additionally get an update (``op=u``) and rows where
+``key % 20 == 0`` a delete (``op=d``), with later ``ts_ms`` — giving the
+compaction/routing operators real c/u/d traffic. Deterministic: ts_ms is a
+function of the key alone, no wall clock.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BASE_TS_MS = 1_700_000_000_000
+
+
+def _envelope(payload_cols, before, after, op: str, ts_off: int, key_col: str):
+    src = F.struct(
+        F.lit("1.6.4.Final").alias("version"),
+        F.lit("mysql").alias("connector"),
+        F.lit("mysql_binlog_source").alias("name"),
+        (F.lit(BASE_TS_MS + ts_off) + F.col(key_col)).alias("ts_ms"),
+        F.lit("false").alias("snapshot"),
+        F.lit("test_db").alias("db"),
+        F.lit(None).cast("string").alias("sequence"),
+        F.lit("orders").alias("table"),
+        F.lit(57330068).cast("long").alias("server_id"),
+        F.lit(None).cast("string").alias("gtid"),
+        F.lit("mysql-bin-changelog.007670").alias("file"),
+        F.lit(804).cast("long").alias("pos"),
+        F.lit(0).alias("row"),
+        F.lit(None).cast("string").alias("thread"),
+        F.lit(None).cast("string").alias("query"),
+    )
+    env = F.struct(
+        before.alias("before"),
+        after.alias("after"),
+        src.alias("source"),
+        F.lit(op).alias("op"),
+        (F.lit(BASE_TS_MS + ts_off) + F.col(key_col)).alias("ts_ms"),
+        F.lit(None).cast("string").alias("transaction"),
+    )
+    # Null preservation parity with Gson serializeNulls (scala:38).
+    return F.to_json(env, {"ignoreNullFields": "false"})
+
+
+def synthesize_mysql_events(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "orders",
+    with_updates: bool = True,
+) -> DataFrame:
+    """→ DataFrame[value: string] of Debezium JSON lines for ``orders``.
+
+    Payload values follow the reference's Debezium type flattening
+    (SURVEY.md §1.3): decimals → strings, datetimes → formatted strings,
+    integers stay numeric.
+    """
+    if table != "orders":
+        raise ValueError("CDC simulation currently synthesizes from orders")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    def payload(price_col):
+        # map<string,string>-shaped struct; decimal.handling.mode=string ⇒
+        # price as string (scala:248); DATETIME → "yyyy-MM-dd HH:mm:ss"
+        # (DebeziumConverter.java:20,82-105).
+        return F.struct(
+            F.col("o_orderkey").alias("o_orderkey"),
+            F.col("o_custkey").alias("o_custkey"),
+            F.col("o_orderstatus").alias("o_orderstatus"),
+            price_col.cast("string").alias("o_totalprice"),
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+                "o_orderdate"
+            ),
+            F.col("o_orderpriority").alias("o_orderpriority"),
+        )
+
+    null_payload = F.lit(None).cast(
+        "struct<o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,"
+        "o_totalprice:string,o_orderdate:string,o_orderpriority:string>"
+    )
+    inserts = o.select(
+        _envelope(o.columns, null_payload, payload(F.col("o_totalprice")),
+                  "c", 0, "o_orderkey").alias("value")
+    )
+    if not with_updates:
+        return inserts
+
+    upd_rows = o.filter(F.col("o_orderkey") % 10 == 0)
+    updates = upd_rows.select(
+        _envelope(
+            o.columns,
+            payload(F.col("o_totalprice")),
+            payload(F.round(F.col("o_totalprice") * 1.1, 2)),
+            "u", 1_000_000, "o_orderkey",
+        ).alias("value")
+    )
+    del_rows = o.filter(F.col("o_orderkey") % 20 == 0)
+    deletes = del_rows.select(
+        _envelope(o.columns, payload(F.col("o_totalprice")), null_payload,
+                  "d", 2_000_000, "o_orderkey").alias("value")
+    )
+    return inserts.unionAll(updates).unionAll(deletes)

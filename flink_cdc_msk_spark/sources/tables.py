@@ -1,0 +1,49 @@
+"""Relational table loaders for the driver's test data (TESTDATA.md).
+
+Plain parquet scans — Catalyst handles column pruning / predicate pushdown,
+so every query should show PushedFilters/ReadSchema narrowing in explain().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    # Runtime-settable SQL conf: required to read the events table's
+    # TIMESTAMP(NANOS) column regardless of how the caller built the
+    # session (the driver creates its own un-tuned SparkSession).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out = {}
+    for t in TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        if t == "events" and isinstance(df.schema["ts"].dataType, LongType):
+            # TIMESTAMP(NANOS) read as long (legacy.parquet.nanosAsLong);
+            # truncate ns→us like every us-resolution engine does.
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
+        out[t] = df
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql() queries."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,267 @@
+"""Golden envelope routing tests (SURVEY.md §5 strategy; FIXTURES.md §B).
+
+Each fixture reproduces the reference map semantics at
+MySQLCDC2AWSMSK.scala:95-168 / MongoCDC2AWSMSK.scala:79-102; expected
+outputs are hand-computed from that code.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from flink_cdc_msk_spark.config import TableRouting
+from flink_cdc_msk_spark.functions.java_hash import (
+    java_partition,
+    java_partition_py,
+    java_string_hashcode,
+    java_string_hashcode_py,
+)
+from flink_cdc_msk_spark.operators.route import route_mongo_cdc, route_mysql_cdc
+
+ROUTING = TableRouting.parse(
+    json.dumps(
+        [
+            {"db": "test_db", "table": "product", "primary_key": "pid"},
+            {
+                "db": "test_db",
+                "table": "product_01",
+                "primary_key": "pid",
+                "column_max_length": "col1=10|col2=20",
+            },
+            {
+                "db": "tpcc",
+                "table": "order_line",
+                "primary_key": "ol_w_id,ol_d_id,ol_o_id,ol_number",
+            },
+            {"db": "test_db", "table": "prodx.*", "primary_key": "pid"},
+            {"db": "test_db", "table": "nopk_table", "primary_key": ""},
+        ]
+    )
+)
+
+
+def mysql_event(
+    db="test_db", table="product", op="c", before=None, after=None, ts=1678634463898
+):
+    return json.dumps(
+        {
+            "before": before,
+            "after": after,
+            "source": {
+                "version": "1.6.4.Final",
+                "connector": "mysql",
+                "name": "mysql_binlog_source",
+                "ts_ms": 1678634463000,
+                "snapshot": "false",
+                "db": db,
+                "sequence": None,
+                "table": table,
+                "server_id": 57330068,
+                "gtid": None,
+                "file": "mysql-bin-changelog.007670",
+                "pos": 804,
+                "row": 0,
+                "thread": None,
+                "query": None,
+            },
+            "op": op,
+            "ts_ms": ts,
+            "transaction": None,
+        }
+    )
+
+
+def route(spark, lines, routing=ROUTING, **kw):
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+    kw.setdefault("topic_prefix", "cdc_")
+    kw.setdefault("num_partitions", 12)
+    rows = route_mysql_cdc(df, routing, **kw).collect()
+    return rows
+
+
+def test_insert_basic_pk(spark):
+    row = mysql_event(after={"pid": 1, "pname": "prodcut-001", "pprice": "125.12"})
+    [r] = route(spark, [row])
+    assert r.partition_key == "test_db.product.1"
+    assert r.topic == "cdc_test_db"
+    assert r.db == "test_db" and r.table == "product"
+    # value forwarded unchanged (no truncation for this table)
+    assert json.loads(r.value) == json.loads(row)
+    assert r.partition == java_partition_py("test_db.product.1", 12)
+
+
+def test_delete_reads_pk_from_before(spark):
+    row = mysql_event(op="d", before={"pid": 7, "pname": "x"}, after=None)
+    [r] = route(spark, [row])
+    assert r.partition_key == "test_db.product.7"
+
+
+def test_update_reads_pk_from_after(spark):
+    row = mysql_event(
+        op="u", before={"pid": 7, "pname": "old"}, after={"pid": 7, "pname": "new"}
+    )
+    [r] = route(spark, [row])
+    assert r.partition_key == "test_db.product.7"
+
+
+def test_composite_pk_joined_with_dots(spark):
+    row = mysql_event(
+        db="tpcc",
+        table="order_line",
+        after={"ol_w_id": 1, "ol_d_id": 2, "ol_o_id": 3, "ol_number": 4, "x": "y"},
+    )
+    [r] = route(spark, [row])
+    assert r.partition_key == "tpcc.order_line.1.2.3.4"
+    assert r.topic == "cdc_tpcc"
+
+
+def test_unconfigured_table_no_pk_fallback(spark):
+    row = mysql_event(table="unknown_table", after={"a": 1})
+    [r] = route(spark, [row])
+    assert r.partition_key == "test_db.unknown_table.no_pk"
+
+
+def test_configured_empty_pk_no_pk_fallback(spark):
+    row = mysql_event(table="nopk_table", after={"a": 1})
+    [r] = route(spark, [row])
+    assert r.partition_key == "test_db.nopk_table.no_pk"
+
+
+def test_regex_key_unanchored_match(spark):
+    # rule key "test_db=prodx.*" matches table prodx_42 via findFirstIn
+    row = mysql_event(table="prodx_42", after={"pid": 9})
+    [r] = route(spark, [row])
+    assert r.partition_key == "test_db.prodx_42.9"
+
+
+def test_longest_key_first_precedence(spark):
+    # "test_db=product_01" (len 18) wins over "test_db=product" (len 15)
+    # even though both regexes match "test_db=product_01".
+    row = mysql_event(table="product_01", after={"pid": 3, "col1": "short"})
+    [r] = route(spark, [row])
+    assert r.partition_key == "test_db.product_01.3"
+
+
+def test_truncation_ge_boundary(spark):
+    # column_max_length col1=10: length >= 10 triggers (scala:135) —
+    # exactly-10 stays itself, 11 truncates to 10, 9 untouched.
+    rows = [
+        mysql_event(table="product_01", after={"pid": 1, "col1": "a" * 9}),
+        mysql_event(table="product_01", after={"pid": 2, "col1": "b" * 10}),
+        mysql_event(table="product_01", after={"pid": 3, "col1": "c" * 11}),
+    ]
+    out = {r.partition_key: json.loads(r.value) for r in route(spark, rows)}
+    assert out["test_db.product_01.1"]["after"]["col1"] == "a" * 9
+    assert out["test_db.product_01.2"]["after"]["col1"] == "b" * 10
+    assert out["test_db.product_01.3"]["after"]["col1"] == "c" * 10
+
+
+def test_truncation_on_delete_uses_before(spark):
+    row = mysql_event(
+        table="product_01", op="d", before={"pid": 4, "col2": "z" * 25}, after=None
+    )
+    [r] = route(spark, [row])
+    v = json.loads(r.value)
+    assert v["before"]["col2"] == "z" * 20
+    assert v["after"] is None  # nulls preserved (serializeNulls parity)
+
+
+def test_truncation_preserves_null_fields_and_types(spark):
+    row = mysql_event(table="product_01", after={"pid": 5, "col1": "x" * 12, "n": 3})
+    [r] = route(spark, [row])
+    v = json.loads(r.value)
+    assert v["before"] is None
+    assert v["after"]["n"] == 3  # number type survives re-serialization
+    assert v["source"]["gtid"] is None
+
+
+def test_fixed_topic_when_no_prefix(spark):
+    row = mysql_event(after={"pid": 1})
+    [r] = route(spark, [row], topic_prefix="", topic="fixed_topic")
+    assert r.topic == "fixed_topic"
+
+
+def test_reserialize_always_canonicalizes(spark):
+    line = mysql_event(after={"pid": 1, "s": "x"})
+    spaced = line.replace(", ", ",  ")
+    [r] = route(spark, [spaced], reserialize="always")
+    assert r.value == json.dumps(json.loads(line), separators=(",", ":"))
+
+
+# ---- Mongo path (MongoCDC2AWSMSK.scala:79-102) ----
+
+
+def mongo_event(db="test_db", coll="product", doc_key='{"_id": 1.0}', op="insert"):
+    return json.dumps(
+        {
+            "_id": doc_key,
+            "operationType": op,
+            "fullDocument": '{"price": 2.243}',
+            "source": {"ts_ms": 0, "snapshot": "true"},
+            "ts_ms": 1684928179757,
+            "ns": {"db": db, "coll": coll},
+            "to": None,
+            "documentKey": doc_key,
+            "updateDescription": None,
+            "clusterTime": None,
+            "txnNumber": None,
+            "lsid": None,
+        }
+    )
+
+
+def test_mongo_scalar_id(spark):
+    df = spark.createDataFrame([(mongo_event(),)], "value string")
+    [r] = route_mongo_cdc(df, topic_prefix="m_").collect()
+    assert r.partition_key == "test_db.product.1.0"
+    assert r.topic == "m_test_db"
+    # raw line forwarded untouched (scala:97,100)
+    assert r.value == mongo_event()
+
+
+def test_mongo_nested_object_id_spaces_stripped(spark):
+    dk = '{"_id": {"user": "u1", "id": 1.0}}'
+    df = spark.createDataFrame([(mongo_event(doc_key=dk),)], "value string")
+    [r] = route_mongo_cdc(df, topic="t").collect()
+    assert r.partition_key == 'test_db.product.{"user":"u1","id":1.0}'
+
+
+def test_mongo_missing_id_no_pk(spark):
+    df = spark.createDataFrame(
+        [(mongo_event(doc_key='{"other": 5}'),)], "value string"
+    )
+    [r] = route_mongo_cdc(df, topic="t").collect()
+    assert r.partition_key == "test_db.product.no_pk"
+
+
+# ---- java hashCode parity ----
+
+
+def test_java_hashcode_matches_python_reference(spark):
+    samples = [
+        "",
+        "a",
+        "test_db.product.1",
+        "tpcc.order_line.1.2.3.4",
+        "test_db.orders.no_pk",
+        "Ab",  # collides with "BC" in Java — good wraparound probe
+        "polygenelubricants",  # famous negative hashCode
+        "x" * 50,
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {
+        r.s: (r.h, r.p)
+        for r in df.select(
+            "s",
+            java_string_hashcode(F.col("s")).alias("h"),
+            java_partition(F.col("s"), 12).alias("p"),
+        ).collect()
+    }
+    for s in samples:
+        assert got[s][0] == java_string_hashcode_py(s), s
+        assert got[s][1] == java_partition_py(s, 12), s
+    # known Java values
+    assert java_string_hashcode_py("polygenelubricants") == -2147483648
+    assert got["polygenelubricants"][1] == 4  # pmod(-2^31, 12), bug-fixed edge
