@@ -28,6 +28,24 @@ def tokens(col: Column | str) -> Column:
     return F.filter(F.split(F.lower(col), " "), lambda t: t != F.lit(""))
 
 
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Positional word n-gram shingles (space-joined), the standard dedup
+    unit: far more selective than unigrams, so inverted-index joins and
+    MinHash buckets stay small even when documents share a vocabulary."""
+    toks = tokens(col)
+    k = F.size(toks) - (n - 1)
+    make = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+        ),
+    )
+    # sequence(1, k) with k < 1 would count DOWN — guard to empty array
+    return F.when(k >= 1, make).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def token_count(col: Column | str) -> Column:
     return F.size(tokens(col)).cast("bigint")
 

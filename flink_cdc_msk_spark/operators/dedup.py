@@ -19,15 +19,27 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens
+from ..functions.text import shingles, tokens
+
+
+def _units(text_col: str, ngram: int) -> "F.Column":
+    """Comparison units: unigram tokens or positional word n-gram shingles."""
+    return tokens(text_col) if ngram == 1 else shingles(text_col, ngram)
 
 
 def distinct_tokens(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    ngram: int = 1,
 ) -> DataFrame:
-    """→ (id, token) distinct pairs — the inverted-index building block."""
+    """→ (id, token) distinct pairs — the inverted-index building block.
+
+    ``ngram > 1`` uses word shingles: on corpora with a shared vocabulary
+    (worst case for unigrams — every token maps to every doc and the
+    inverted join degenerates to O(n²)) shingles keep posting lists short,
+    which is what makes this strategy survive 100 TB."""
     return df.select(
-        F.col(id_col).alias("id"), F.explode(F.array_distinct(tokens(text_col))).alias("token")
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(_units(text_col, ngram))).alias("token"),
     )
 
 
@@ -47,6 +59,7 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_token_freq: int | None = None,
+    ngram: int = 1,
 ) -> DataFrame:
     """All (i<j) pairs with token-set Jaccard >= threshold, via
     inverted-index self-join (explode tokens → join on token → count
@@ -57,7 +70,7 @@ def jaccard_pairs(
     join group; dropping tokens with df > cutoff bounds each group, at the
     cost of slightly under-counting intersections — leave None for exact).
     """
-    toks = distinct_tokens(df, text_col, id_col)
+    toks = distinct_tokens(df, text_col, id_col, ngram)
     if max_token_freq is not None:
         freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
         toks = (
@@ -97,6 +110,7 @@ def minhash_signatures(
     num_hashes: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ngram: int = 1,
 ) -> DataFrame:
     """→ (id, h0..h{k-1}) MinHash signature per doc.
 
@@ -104,7 +118,7 @@ def minhash_signatures(
     no Python. One shuffle (groupBy id); partial min aggregation keeps the
     map side cheap.
     """
-    toks = distinct_tokens(df, text_col, id_col)
+    toks = distinct_tokens(df, text_col, id_col, ngram)
     aggs = [
         F.min(F.xxhash64(F.col("token"), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -119,6 +133,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ngram: int = 1,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact-Jaccard verification.
 
@@ -129,7 +144,7 @@ def minhash_lsh_pairs(
     candidate generation vs O(corpus²) brute force.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, num_hashes, text_col, id_col)
+    sigs = minhash_signatures(df, num_hashes, text_col, id_col, ngram)
     band_entries = []
     for b in range(bands):
         cols = [F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
@@ -156,7 +171,7 @@ def minhash_lsh_pairs(
     # verify candidates with exact token-set Jaccard via array ops
     sets = df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(tokens(text_col)).alias("toks"),
+        F.array_distinct(_units(text_col, ngram)).alias("toks"),
     )
     return (
         candidates.join(

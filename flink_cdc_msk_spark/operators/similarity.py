@@ -82,9 +82,62 @@ def near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All (i<j) pairs with cosine >= threshold. Exact O(n²) — correct
-    baseline for the oracle; the LSH-bucketed variant below is the scale
-    path."""
+    """All (i<j) pairs with cosine >= threshold — exact, vectorized.
+
+    The O(n²) dot products run as BLAS matrix multiplication inside an
+    Arrow-batched ``mapInPandas``: each corpus partition multiplies its
+    block of unit vectors against the broadcast unit matrix of the whole
+    corpus (~n·d·8 bytes: 64-dim × 10M vectors ≈ 5 GB — broadcastable
+    well past this workload's scale; beyond that, switch to
+    :func:`lsh_near_dup_pairs`, which needs no full-matrix broadcast).
+    Map-only plan: no shuffle at all — each partition emits its pairs
+    directly."""
+    import numpy as np
+
+    rows = corpus.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sc = corpus.sparkSession.sparkContext
+    b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            block = np.array(list(pdf[vec_col]), dtype=np.float64)
+            block /= np.linalg.norm(block, axis=1, keepdims=True)
+            sims = block @ b_mat.value.T
+            block_ids = pdf[id_col].to_numpy()
+            all_ids = b_ids.value
+            for k in range(len(block_ids)):
+                rounded = np.round(sims[k], 6)
+                mask = (all_ids > block_ids[k]) & (rounded >= threshold)
+                js = np.nonzero(mask)[0]
+                if len(js):
+                    yield pd.DataFrame(
+                        {
+                            "id1": np.full(len(js), block_ids[k]),
+                            "id2": all_ids[js],
+                            "cos": rounded[js],
+                        }
+                    )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        gen, "id1 long, id2 long, cos double"
+    )
+
+
+def near_dup_pairs_catalyst(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pure-Catalyst exact pair scan (zip_with/aggregate) — no Python, no
+    driver collect; reference implementation for semantics tests."""
     a = corpus.select(F.col(id_col).alias("id1"), as_double(vec_col).alias("v1"))
     b = corpus.select(F.col(id_col).alias("id2"), as_double(vec_col).alias("v2"))
     return (

@@ -19,11 +19,22 @@ from ..sources.tables import load_tables
 from .registry import register
 
 CLONE_OFFSET = 1_000_000
+NEAR_OFFSET = 2_000_000
+NEAR_SUFFIX = " zz yy xx ww vv"
 
 DOCS_WITH_DUPS_SQL = f"""
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + {CLONE_OFFSET}, text FROM documents WHERE doc_id % 5 = 0
+"""
+
+# exact clones (%5) plus near-duplicates (%7: suffix appended → high-but-
+# below-1 shingle jaccard) — both reproduced in oracle SQL
+DOCS_WITH_NEAR_DUPS_SQL = f"""
+      {DOCS_WITH_DUPS_SQL}
+      UNION ALL
+      SELECT doc_id + {NEAR_OFFSET}, text || '{NEAR_SUFFIX}'
+      FROM documents WHERE doc_id % 7 = 0
 """
 
 
@@ -37,6 +48,15 @@ def _docs_with_dups(spark, sf_dir):
         (F.col("doc_id") + CLONE_OFFSET).alias("doc_id"), "text"
     )
     return d.unionByName(clones)
+
+
+def _docs_with_near_dups(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    near = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + NEAR_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(NEAR_SUFFIX)).alias("text"),
+    )
+    return _docs_with_dups(spark, sf_dir).unionByName(near)
 
 
 def _emb(spark, sf_dir):
@@ -92,16 +112,23 @@ def dedup_exact_fingerprint(spark, sf_dir):
 
 @register(
     "dedup_token_jaccard",
-    oracle="""
-    WITH toks AS (
-      SELECT DISTINCT doc_id AS id, t.tok AS token
-      FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
-      WHERE t.tok <> ''
+    oracle=f"""
+    WITH docs AS (
+      {DOCS_WITH_NEAR_DUPS_SQL}
+    ), arrs AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '') AS a
+      FROM docs
+    ), sh AS (
+      SELECT doc_id AS id, s.sh AS token
+      FROM arrs, unnest(list_distinct(list_transform(
+        generate_series(1, len(a) - 2),
+        i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2]))) AS s(sh)
     ), sizes AS (
-      SELECT id, count(*) AS sz FROM toks GROUP BY id
+      SELECT id, count(*) AS sz FROM sh GROUP BY id
     ), inter AS (
       SELECT a.id AS id1, b.id AS id2, count(*) AS inter
-      FROM toks a JOIN toks b ON a.token = b.token AND a.id < b.id
+      FROM sh a JOIN sh b ON a.token = b.token AND a.id < b.id
       GROUP BY a.id, b.id
     )
     SELECT id1, id2,
@@ -109,22 +136,30 @@ def dedup_exact_fingerprint(spark, sf_dir):
     FROM inter
     JOIN sizes s1 ON s1.id = id1
     JOIN sizes s2 ON s2.id = id2
-    WHERE round(inter / (s1.sz + s2.sz - inter), 6) >= 0.62
+    WHERE round(inter / (s1.sz + s2.sz - inter), 6) >= 0.8
     """,
 )
 def dedup_token_jaccard(spark, sf_dir):
-    """Exact token-set Jaccard near-dup pairs via inverted-index self-join
-    — the oracle-checkable exact baseline for MinHash."""
-    return D.jaccard_pairs(_docs(spark, sf_dir), threshold=0.62)
+    """Exact shingle-set (word 3-gram) Jaccard near-dup pairs via
+    inverted-index self-join — the oracle-checkable exact baseline for
+    MinHash. Shingles (not unigrams) keep posting lists short on
+    shared-vocabulary corpora, so the join stays near-linear."""
+    return D.jaccard_pairs(
+        _docs_with_near_dups(spark, sf_dir), threshold=0.8, ngram=3
+    )
 
 
 @register("dedup_minhash_lsh")  # engine-specific hashes → rows-only check
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash(32) + 8-band LSH candidates, exact-Jaccard verified at 0.62
-    — must find the same high-similarity pairs as dedup_token_jaccard
-    (verified in pytest); candidate generation is linear in corpus size."""
+    """MinHash(32) + 8-band LSH candidates over 3-gram shingles, exact-
+    Jaccard verified at 0.8 — recall vs dedup_token_jaccard measured in
+    pytest; candidate generation is linear in corpus size."""
     return D.minhash_lsh_pairs(
-        _docs(spark, sf_dir), threshold=0.62, num_hashes=32, bands=8
+        _docs_with_near_dups(spark, sf_dir),
+        threshold=0.8,
+        num_hashes=32,
+        bands=8,
+        ngram=3,
     )
 
 

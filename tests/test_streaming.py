@@ -1,0 +1,227 @@
+"""Streaming smoke tests (SURVEY.md §5.4): file-source CDC stream through
+the same route pipeline, watermarked windows, streaming dedup, foreachBatch
+compaction, checkpoint restart, restart supervisor.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cdc_msk_spark.config import TableRouting
+from flink_cdc_msk_spark.sources.cdc_sim import synthesize_mysql_events
+from flink_cdc_msk_spark.streaming import (
+    RestartSupervisor,
+    route_stream_from_directory,
+    snapshot_then_stream_paths,
+    sessionized,
+    streaming_dedup,
+    tumbling_counts,
+)
+from flink_cdc_msk_spark.streaming.compaction import (
+    ParquetUpsertSink,
+    start_compaction_stream,
+)
+from tests.conftest import SF_SMALL
+
+ROUTING = TableRouting.parse(
+    '[{"db":"test_db","table":"orders","primary_key":"o_orderkey"}]'
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="cdc_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_available_now(stream_df, tmpdir, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{tmpdir}/ckpt_{name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_route_matches_batch(spark, tmpdir):
+    """File-stream route == batch route on identical input (exactly the
+    same operator expressions run in both modes)."""
+    events = synthesize_mysql_events(spark, SF_SMALL, with_updates=False)
+    src = f"{tmpdir}/src"
+    snapshot_then_stream_paths(events, src)
+
+    routed = route_stream_from_directory(
+        spark, src, ROUTING, topic_prefix="cdc_", num_partitions=12
+    )
+    _run_available_now(routed, tmpdir, "routed_stream")
+    got = spark.sql(
+        "SELECT partition_key, partition FROM routed_stream ORDER BY partition_key"
+    ).collect()
+
+    from flink_cdc_msk_spark.operators.route import route_mysql_cdc
+
+    want = (
+        route_mysql_cdc(events, ROUTING, topic_prefix="cdc_", num_partitions=12)
+        .select("partition_key", "partition")
+        .orderBy("partition_key")
+        .collect()
+    )
+    assert got == want
+    assert len(got) == 1500
+
+
+def test_streaming_tumbling_window_drops_late_data(spark, tmpdir):
+    lines = [
+        # window 10:00, on time
+        ("e1", "2024-01-01 10:05:00"),
+        ("e2", "2024-01-01 10:55:00"),
+        # advances watermark far past 10:00+2h
+        ("e3", "2024-01-01 15:00:00"),
+        # late beyond watermark → dropped
+        ("e4", "2024-01-01 10:10:00"),
+    ]
+    src = f"{tmpdir}/ev"
+    import os
+
+    os.makedirs(src)
+    # two files → two micro-batches: watermark advances between them
+    with open(f"{src}/a.json", "w") as f:
+        for i, (eid, ts) in enumerate(lines[:3]):
+            f.write(json.dumps({"event_id": i, "ts": ts, "event_type": "click",
+                                "value": 1.0}) + "\n")
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    agg = tumbling_counts(stream, "1 hour", "2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_tw")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode emits only finalized windows (watermark passed) — the
+    # 10:00 window (2 events) is final once the 15:00 event advanced the
+    # watermark to 13:00.
+    rows = spark.sql("SELECT * FROM tumbling").collect()
+    finals = {str(r.window_start): r.n for r in rows}
+    assert finals.get("2024-01-01 10:00:00") == 2
+
+
+def test_streaming_dedup(spark, tmpdir):
+    import os
+
+    src = f"{tmpdir}/dups"
+    os.makedirs(src)
+    with open(f"{src}/a.json", "w") as f:
+        for eid, ts in [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:00:01"),
+                        (2, "2024-01-01 10:00:02"), (1, "2024-01-01 10:00:03")]:
+            f.write(json.dumps({"event_id": eid, "ts": ts}) + "\n")
+    stream = spark.readStream.schema("event_id long, ts timestamp").json(src)
+    deduped = streaming_dedup(stream, ["event_id"], watermark="1 hour")
+    _run_available_now(deduped, tmpdir, "deduped")
+    rows = spark.sql("SELECT event_id FROM deduped").collect()
+    assert sorted(r.event_id for r in rows) == [1, 2]
+
+
+def test_session_window_stream(spark, tmpdir):
+    import os
+
+    src = f"{tmpdir}/sess"
+    os.makedirs(src)
+    with open(f"{src}/a.json", "w") as f:
+        # user 1: two sessions separated by > 30 min; closer watermark-advancer
+        for eid, ts, uid in [
+            (1, "2024-01-01 10:00:00", 1),
+            (2, "2024-01-01 10:10:00", 1),
+            (3, "2024-01-01 12:00:00", 1),
+            (4, "2024-01-01 23:00:00", 2),  # far future: finalizes sessions
+        ]:
+            f.write(json.dumps({"event_id": eid, "ts": ts, "user_id": uid,
+                                "value": 2.0}) + "\n")
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, value double"
+    ).json(src)
+    sess = sessionized(stream, gap="30 minutes", watermark="1 hour")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_sess")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT user_id, n_events FROM sessions WHERE user_id = 1"
+    ).collect()
+    # both user-1 sessions finalized: (2 events) + (1 event)
+    assert sorted(r.n_events for r in rows) == [1, 2]
+
+
+def test_foreach_batch_compaction(spark, tmpdir):
+    """Streamed c/u/d envelopes compact to the same latest-state table the
+    batch query produces."""
+    events = synthesize_mysql_events(spark, SF_SMALL, with_updates=True)
+    src = f"{tmpdir}/cdc"
+    snapshot_then_stream_paths(events, src)
+    stream = (
+        spark.readStream.format("text").load(src)
+    )
+    sink = ParquetUpsertSink(f"{tmpdir}/state", ["o_orderkey"])
+    q = start_compaction_stream(
+        stream, sink, f"{tmpdir}/ckpt_compact", available_now=True
+    )
+    q.awaitTermination(180)
+
+    state = spark.read.parquet(f"{tmpdir}/state")
+    # orders: 1500 keys, every 20th deleted → 1425 live keys
+    assert state.count() == 1500 - 75
+    # updated keys carry the op=u image
+    ups = state.filter(F.col("op") == "u").count()
+    assert ups == 150 - 75  # %10==0 updated, half of those (%20==0) deleted
+
+
+def test_restart_supervisor_retries(spark, tmpdir):
+    calls = {"n": 0}
+
+    class FakeQuery:
+        def __init__(self, fail):
+            self.fail = fail
+
+        def awaitTermination(self):
+            if self.fail:
+                raise RuntimeError("boom")
+
+    def start():
+        calls["n"] += 1
+        return FakeQuery(fail=calls["n"] < 3)
+
+    sup = RestartSupervisor(max_attempts=3, delay_s=0.01)
+    sup.run(start)  # two failures then success
+    assert calls["n"] == 3
+
+    calls["n"] = 0
+
+    def always_fail():
+        calls["n"] += 1
+        return FakeQuery(fail=True)
+
+    sup2 = RestartSupervisor(max_attempts=2, delay_s=0.01)
+    with pytest.raises(RuntimeError):
+        sup2.run(always_fail)
+    assert calls["n"] == 2
