@@ -1,0 +1,132 @@
+"""Multimodal column plumbing (SURVEY.md Part B / north-star row).
+
+Images/audio/video are carried as opaque ``binary`` columns plus a typed
+metadata struct; decode / feature-extraction / resize / frame-sample run as
+Arrow-batched ``mapInPandas`` stages. The container has no image/audio
+libraries, so the actual codec step is STUBBED (clearly marked): a real
+deployment drops PIL/ffmpeg into ``_decode_real``; everything around it —
+schema, batch shape, partitioning, UDF signatures — is real and tested.
+
+Design for 100 TB: binary payloads never shuffle (all stages are map-only);
+feature extraction emits small fixed-width rows so downstream aggs shuffle
+features, not media bytes. Partition sizing is the reader's job
+(``spark.sql.files.maxPartitionBytes``) since one row can be megabytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video | text
+        StructField("format", StringType()),  # png/jpeg/wav/mp4/...
+        StructField("width", IntegerType()),  # -1 when n/a
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),  # -1 when n/a
+        StructField("payload", BinaryType()),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, byte_len long, sha1 string, "
+    "mean_byte double, feature_dim int"
+)
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Deterministic media table from the documents table: payload =
+    utf-8 bytes of the text, metadata derived from doc fields. Stands in
+    for a real media lake scan (parquet/webdataset with binary columns)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.lit("bin").alias("format"),
+        (F.col("doc_id") % 640).cast("int").alias("width"),
+        (F.col("doc_id") % 480).cast("int").alias("height"),
+        (F.length("text") * 10).cast("long").alias("duration_ms"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+
+
+def _decode_real(payload: bytes, fmt: str):
+    """Real codec hook — requires PIL/soundfile/ffmpeg, absent here."""
+    raise NotImplementedError(
+        "media codecs not available in this container; "
+        "install PIL/soundfile and replace this hook"
+    )
+
+
+def extract_features(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
+    """Map-only feature extraction over binary payloads.
+
+    STUB features (deterministic, codec-free): byte length, sha1, mean
+    byte value — shaped exactly like a real embed/decode stage (fixed-width
+    row per asset, Arrow batches in, no shuffle)."""
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"])
+                if use_real_codec:
+                    _decode_real(payload, r["format"])  # raises: stub
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "kind": r["kind"],
+                        "byte_len": len(payload),
+                        "sha1": hashlib.sha1(payload).hexdigest(),
+                        "mean_byte": round(
+                            sum(payload) / len(payload), 6
+                        ) if payload else 0.0,
+                        "feature_dim": 3,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(gen, FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 256, frame_len: int = 16) -> DataFrame:
+    """'Frame sampling' plumbing: slice fixed-length windows out of each
+    payload every N bytes (stand-in for video frame extraction). Pure
+    Catalyst (substring on binary via sequence/transform) — one output row
+    per frame, exploded map-side."""
+    n_frames = F.greatest(
+        (F.length("payload") / every_n_bytes).cast("int"), F.lit(1)
+    )
+    frames = F.transform(
+        F.sequence(F.lit(0), n_frames - 1),
+        lambda i: F.struct(
+            i.alias("frame_no"),
+            F.substring(
+                F.col("payload").cast("string"),
+                (i * every_n_bytes + 1).cast("int"),
+                frame_len,
+            ).alias("frame"),
+        ),
+    )
+    return media.select(
+        "media_id", "kind", F.explode(frames).alias("f")
+    ).select("media_id", "kind", F.col("f.frame_no").alias("frame_no"),
+             F.col("f.frame").alias("frame"))

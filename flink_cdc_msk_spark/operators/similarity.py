@@ -151,70 +151,102 @@ def near_dup_pairs_catalyst(
 def random_hyperplane_buckets(
     df: DataFrame,
     n_planes: int = 8,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """Signed-random-projection LSH bucket per vector (cosine LSH).
+    """Signed-random-projection LSH (cosine LSH) with OR-amplification:
+    ``n_tables`` independent hash tables of ``n_planes`` sign bits each —
+    a pair is a candidate if it collides in ANY table. Per-table collision
+    probability for a pair at cosine c is (1 - arccos(c)/π)^n_planes;
+    overall recall 1-(1-p)^n_tables. Output: one (id, table, bucket) row
+    per table (explodes n_tables×, all map-side).
 
-    Hyperplanes are derived deterministically from (seed, plane, dim) via
-    a hash → no driver-side randomness, identical across runs/executors.
-    Bucket = n_planes sign bits packed into a long.
+    Hyperplanes are derived deterministically from (seed, table, plane,
+    dim) via a hash → no driver-side randomness, identical across
+    runs/executors.
     """
     dims = F.size(F.col(vec_col))
-    planes = []
-    for p in range(n_planes):
+
+    def signed(t: int, p: int):
         # pseudo-random ±1 weights per dimension: parity of xxhash64
-        proj = F.aggregate(
-            F.zip_with(
-                as_double(vec_col),
-                F.sequence(F.lit(0), dims - 1),
-                lambda x, i: F.when(
-                    F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(2)) == 0,
-                    x,
-                ).otherwise(-x),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        planes.append(
-            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
-                F.lit(0).cast("long")
+        def fn(x, i):
+            return F.when(
+                F.pmod(F.xxhash64(F.lit(seed), F.lit(t), F.lit(p), i), F.lit(2))
+                == 0,
+                x,
+            ).otherwise(-x)
+
+        return fn
+
+    entries = []
+    for t in range(n_tables):
+        planes = []
+        for p in range(n_planes):
+            proj = F.aggregate(
+                F.zip_with(
+                    as_double(vec_col),
+                    F.sequence(F.lit(0), dims - 1),
+                    signed(t, p),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
             )
+            planes.append(
+                F.when(
+                    proj > 0, F.shiftleft(F.lit(1).cast("long"), p)
+                ).otherwise(F.lit(0).cast("long"))
+            )
+        bucket = planes[0]
+        for b in planes[1:]:
+            bucket = bucket.bitwiseOR(b)
+        entries.append(
+            F.struct(F.lit(t).alias("table"), bucket.alias("bucket"))
         )
-    bucket = planes[0]
-    for b in planes[1:]:
-        bucket = bucket.bitwiseOR(b)
-    return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*entries)).alias("tb")
+    ).select("id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
 
 
 def lsh_near_dup_pairs(
     corpus: DataFrame,
     threshold: float,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Near-dup pairs restricted to same-LSH-bucket candidates — the
-    approximate scale path (recall < 1.0; probability a pair at cosine c
-    collides is (1 - arccos(c)/π)^n_planes)."""
-    buckets = random_hyperplane_buckets(corpus, n_planes, id_col, vec_col)
-    vecs = corpus.select(
-        F.col(id_col).alias("id"), as_double(vec_col).alias("v")
-    ).join(buckets, "id")
-    a = vecs.alias("a")
-    b = vecs.alias("b")
-    return (
+    """Near-dup pairs restricted to LSH-candidate pairs — the scale path:
+    candidate generation shuffles on (table, bucket) keys only (linear in
+    corpus × n_tables), then candidates are verified with the exact
+    cosine. No full-matrix broadcast, no O(n²) scan."""
+    buckets = random_hyperplane_buckets(
+        corpus, n_planes, n_tables, id_col, vec_col
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    candidates = (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .withColumn("cos", F.round(cosine(F.col("a.v"), F.col("b.v")), 6))
-        .filter(F.col("cos") >= threshold)
-        .select(
-            F.col("a.id").alias("id1"), F.col("b.id").alias("id2"), "cos"
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("v")
+    )
+    return (
+        candidates.join(
+            vecs.withColumnsRenamed({"id": "id1", "v": "v1"}), "id1"
         )
+        .join(vecs.withColumnsRenamed({"id": "id2", "v": "v2"}), "id2")
+        .withColumn("cos", F.round(cosine(F.col("v1"), F.col("v2")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id1", "id2", "cos")
     )
 
 

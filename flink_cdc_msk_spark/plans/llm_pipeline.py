@@ -218,9 +218,11 @@ def embedding_near_dup(spark, sf_dir):
 
 @register("embedding_near_dup_lsh")  # approximate → rows-only check
 def embedding_near_dup_lsh(spark, sf_dir):
-    """Random-hyperplane LSH-bucketed near-dup pairs (recall measured in
-    pytest against the exact query)."""
-    return S.lsh_near_dup_pairs(_emb(spark, sf_dir), threshold=0.3, n_planes=6)
+    """Random-hyperplane LSH near-dup pairs, 8 OR-amplified tables of 4
+    planes (recall measured in pytest against the exact query)."""
+    return S.lsh_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.3, n_planes=4, n_tables=8
+    )
 
 
 @register("embedding_ann_ivf")  # approximate → rows-only check
@@ -354,6 +356,34 @@ def text_lang_id(spark, sf_dir):
         s_fr.alias("s_fr"),
         s_es.alias("s_es"),
         guessed.alias("guessed"),
+    )
+
+
+@register(
+    "multimodal_binary_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text) AS payload_md5,
+           CASE CAST(doc_id % 3 AS INTEGER)
+                WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+           END AS kind
+    FROM documents
+    """,
+)
+def multimodal_binary_stats(spark, sf_dir):
+    """Binary-column plumbing check: synthesize a media table (payload =
+    utf-8 bytes), compute stats on the binary column JVM-side. The codec
+    stage itself is stubbed (operators/multimodal.py) — this verifies the
+    schema/bytes path end-to-end."""
+    from ..operators.multimodal import synthesize_media
+
+    media = synthesize_media(_docs(spark, sf_dir))
+    return media.select(
+        "media_id",
+        F.length("payload").cast("bigint").alias("byte_len"),
+        F.md5("payload").alias("payload_md5"),
+        "kind",
     )
 
 
