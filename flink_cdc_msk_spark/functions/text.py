@@ -28,22 +28,35 @@ def tokens(col: Column | str) -> Column:
     return F.filter(F.split(F.lower(col), " "), lambda t: t != F.lit(""))
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Positional word n-gram shingles (space-joined), the standard dedup
-    unit: far more selective than unigrams, so inverted-index joins and
-    MinHash buckets stay small even when documents share a vocabulary."""
-    toks = tokens(col)
-    k = F.size(toks) - (n - 1)
+def shingles_from_tokens(tok_col: Column, n: int = 3) -> Column:
+    """Positional word n-gram shingles (space-joined) from a PRE-MATERIALIZED
+    token-array column — the standard dedup unit: far more selective than
+    unigrams, so inverted-index joins and MinHash buckets stay small even
+    when documents share a vocabulary.
+
+    ``tok_col`` must be a plain attribute reference (a column produced by an
+    earlier ``select``), not an inline ``tokens(...)`` expression: lambdas in
+    higher-order functions are interpreted (no whole-stage codegen), so an
+    inlined tokenizer would be re-evaluated for every ``element_at`` of every
+    shingle — O(doc_len²) per row, measured ~14× slower at sf0.1."""
+    k = F.size(tok_col) - (n - 1)
     make = F.transform(
         F.sequence(F.lit(1), k),
         lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+            " ", *[F.element_at(tok_col, i + F.lit(j)) for j in range(n)]
         ),
     )
     # sequence(1, k) with k < 1 would count DOWN — guard to empty array
     return F.when(k >= 1, make).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Inline-tokenizing shingles — convenience form. In hot paths prefer
+    materializing ``tokens(col)`` into its own projection and calling
+    :func:`shingles_from_tokens` (see its performance note)."""
+    return shingles_from_tokens(tokens(col), n)
 
 
 def token_count(col: Column | str) -> Column:

@@ -19,12 +19,25 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles, tokens
+from ..functions.text import shingles_from_tokens, tokens
 
 
-def _units(text_col: str, ngram: int) -> "F.Column":
-    """Comparison units: unigram tokens or positional word n-gram shingles."""
-    return tokens(text_col) if ngram == 1 else shingles(text_col, ngram)
+def _unit_sets(
+    df: DataFrame, text_col: str, id_col: str, ngram: int
+) -> DataFrame:
+    """→ (id, toks: array<string>) distinct comparison units per doc —
+    unigram tokens or positional word n-gram shingles.
+
+    Tokenization is materialized in its own projection BEFORE the shingle
+    transform: higher-order lambdas are interpreted, so an inlined tokenizer
+    would re-run per element access (O(doc_len²)/row, ~14× slower at sf0.1;
+    see shingles_from_tokens). CollapseProject keeps the boundary because
+    the token array is referenced ``3×n`` times above it."""
+    base = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_t"))
+    units = (
+        F.col("_t") if ngram == 1 else shingles_from_tokens(F.col("_t"), ngram)
+    )
+    return base.select("id", F.array_distinct(units).alias("toks"))
 
 
 def distinct_tokens(
@@ -36,10 +49,18 @@ def distinct_tokens(
     ``ngram > 1`` uses word shingles: on corpora with a shared vocabulary
     (worst case for unigrams — every token maps to every doc and the
     inverted join degenerates to O(n²)) shingles keep posting lists short,
-    which is what makes this strategy survive 100 TB."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(_units(text_col, ngram))).alias("token"),
+    which is what makes this strategy survive 100 TB.
+
+    ``explode_outer`` + null-filter instead of ``explode``: plain explode
+    triggers InferFiltersFromGenerate, which pushes an inferred
+    ``size(toks) > 0`` Filter BELOW the projection — re-inlining the whole
+    interpreted shingle pipeline into the filter (measured 10×+ slowdown).
+    explode_outer infers nothing; empty docs yield one null row, dropped by
+    the cheap attribute filter."""
+    return (
+        _unit_sets(df, text_col, id_col, ngram)
+        .select("id", F.explode_outer("toks").alias("token"))
+        .filter(F.col("token").isNotNull())
     )
 
 
@@ -152,7 +173,9 @@ def minhash_lsh_pairs(
             F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket"))
         )
     banded = sigs.select(
-        "id", F.explode(F.array(*band_entries)).alias("bb")
+        # explode_outer: avoids an inferred size()>0 filter duplicating the
+        # band-hash expressions (array literal is never empty)
+        "id", F.explode_outer(F.array(*band_entries)).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     x = banded.alias("x")
@@ -169,10 +192,7 @@ def minhash_lsh_pairs(
     )
 
     # verify candidates with exact token-set Jaccard via array ops
-    sets = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(_units(text_col, ngram)).alias("toks"),
-    )
+    sets = _unit_sets(df, text_col, id_col, ngram)
     return (
         candidates.join(
             sets.withColumnsRenamed({"id": "id1", "toks": "toks1"}), "id1"
@@ -235,7 +255,7 @@ def simhash_pairs(
     bands = fps.select(
         "id",
         "simhash",
-        F.explode(
+        F.explode_outer(  # outer: skip inferred-filter duplication
             F.array(
                 *[
                     F.struct(

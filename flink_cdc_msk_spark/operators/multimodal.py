@@ -126,7 +126,9 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 256, frame_len: int = 16
             ).alias("frame"),
         ),
     )
+    # explode_outer: plain explode would infer a size(frames)>0 filter that
+    # re-slices the whole payload; n_frames >= 1 so the array is never empty
     return media.select(
-        "media_id", "kind", F.explode(frames).alias("f")
+        "media_id", "kind", F.explode_outer(frames).alias("f")
     ).select("media_id", "kind", F.col("f.frame_no").alias("frame_no"),
              F.col("f.frame").alias("frame"))

@@ -205,7 +205,10 @@ def random_hyperplane_buckets(
             F.struct(F.lit(t).alias("table"), bucket.alias("bucket"))
         )
     return df.select(
-        F.col(id_col).alias("id"), F.explode(F.array(*entries)).alias("tb")
+        # explode_outer: plain explode makes InferFiltersFromGenerate push a
+        # size()>0 filter that re-evaluates every heavy proj aggregate; the
+        # array literal is never empty so outer semantics are identical
+        F.col(id_col).alias("id"), F.explode_outer(F.array(*entries)).alias("tb")
     ).select("id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
 
 
