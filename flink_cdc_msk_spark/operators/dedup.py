@@ -32,8 +32,16 @@ def _unit_sets(
     transform: higher-order lambdas are interpreted, so an inlined tokenizer
     would re-run per element access (O(doc_len²)/row, ~14× slower at sf0.1;
     see shingles_from_tokens). CollapseProject keeps the boundary because
-    the token array is referenced ``3×n`` times above it."""
-    base = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_t"))
+    the token array is referenced ``3×n`` times above it.
+
+    Docs with fewer than ``ngram`` tokens (zero units) are dropped. The
+    filter is on the TOKEN array, not the shingle array: a predicate on the
+    shingle alias would be pushed below the projection with the whole
+    transform() inlined (the quadratic trap again); ``size(_t)`` inlines
+    only the linear tokenizer."""
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("_t")
+    ).filter(F.size("_t") >= ngram)
     units = (
         F.col("_t") if ngram == 1 else shingles_from_tokens(F.col("_t"), ngram)
     )
@@ -98,6 +106,11 @@ def jaccard_pairs(
             toks.join(freq.filter(F.col("df") <= max_token_freq), "token")
             .select("id", "token")
         )
+    # sizes from the exploded tokens, not a separate map-side size(): the
+    # self-join below already shuffles `toks` on token, and Spark reuses
+    # that exchange — deriving sizes from it avoids a second corpus
+    # scan + re-shingling (measured faster at sf0.1, and at scale the
+    # rescan costs more than the extra small shuffle)
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = toks.alias("a")
     b = toks.alias("b")
@@ -136,15 +149,25 @@ def minhash_signatures(
     """→ (id, h0..h{k-1}) MinHash signature per doc.
 
     Hash family: ``xxhash64(token, seed=i)`` — deterministic, JVM-side,
-    no Python. One shuffle (groupBy id); partial min aggregation keeps the
-    map side cheap.
+    no Python. Entirely MAP-SIDE: signature i is
+    ``array_min(transform(toks, t -> xxhash64(t, i)))`` over the per-doc
+    distinct unit array — no explode, no shuffle (12× faster than the
+    explode+groupBy formulation at sf0.1; at cluster scale it avoids an
+    O(total tokens) shuffle entirely).
     """
-    toks = distinct_tokens(df, text_col, id_col, ngram)
-    aggs = [
-        F.min(F.xxhash64(F.col("token"), F.lit(i))).alias(f"h{i}")
+    us = _unit_sets(df, text_col, id_col, ngram)
+
+    def hash_fn(i: int):
+        # NB: must be a 1-arg lambda — a second param (even a default like
+        # ``i=i``) makes PySpark bind it as the (element, index) form and
+        # the seed silently becomes the array index
+        return lambda t: F.xxhash64(t, F.lit(i))
+
+    sig_cols = [
+        F.array_min(F.transform("toks", hash_fn(i))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    return toks.groupBy("id").agg(*aggs)
+    return us.select("id", *sig_cols)
 
 
 def minhash_lsh_pairs(
@@ -217,19 +240,29 @@ def simhash64(
     """→ (id, simhash) 64-bit SimHash per doc.
 
     Per token: xxhash64; per bit: +1 if set else -1, summed over tokens;
-    fingerprint bit i = sign of sum. 64 conditional sums — wide but flat
-    aggregation, single shuffle on id, all codegen."""
-    toks = distinct_tokens(df, text_col, id_col).withColumn(
-        "th", F.xxhash64("token")
+    fingerprint bit i = sign of sum. Entirely MAP-SIDE: the token-hash
+    array is materialized once per row (its own projection — referenced 64
+    times, so CollapseProject keeps the boundary), then 64 ``aggregate``
+    passes fold it. No explode, no shuffle (~2× faster than explode +
+    groupBy at sf0.1; avoids an O(total tokens) shuffle at cluster scale)."""
+    us = _unit_sets(df, text_col, id_col, 1)
+    hashed = us.select(
+        "id", F.transform("toks", lambda t: F.xxhash64(t)).alias("th")
     )
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(64)
-    ]
-    agg = toks.groupBy("id").agg(*bit_sums)
+
+    def bit_sum(i: int) -> Column:
+        return F.aggregate(
+            "th",
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1),
+        )
+
+    agg = hashed.select(
+        "id", *[bit_sum(i).alias(f"b{i}") for i in range(64)]
+    )
     fp = None
     for i in range(64):
         bit = F.when(

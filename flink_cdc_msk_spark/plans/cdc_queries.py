@@ -13,7 +13,6 @@ per PK, drop deleted keys.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..config import TableRouting
 from ..envelope import MYSQL_ENVELOPE_SCHEMA
@@ -83,7 +82,11 @@ def cdc_latest_state(spark, sf_dir):
     the key. Shuffles once on the PK (the natural key for the downstream
     table); at scale this is the standard CDC-merge pattern run inside
     foreachBatch against an ACID table (exact-typed columns only — payload
-    fidelity through the JSON round-trip is part of the check)."""
+    fidelity through the JSON round-trip is part of the check).
+
+    ``max_by`` aggregation, not a row_number window: the agg gets map-side
+    partial combine and skips the per-key sort — at 100 TB the hot keys of
+    a skewed CDC feed partial-aggregate down before the shuffle."""
     events = synthesize_mysql_events(spark, sf_dir)
     env = F.from_json("value", MYSQL_ENVELOPE_SCHEMA).alias("env")
     parsed = events.select(env).select(
@@ -102,9 +105,14 @@ def cdc_latest_state(spark, sf_dir):
     keyed = parsed.withColumn(
         "o_orderkey", F.coalesce("after_key", "before_key")
     )
-    w = Window.partitionBy("o_orderkey").orderBy(F.col("ts_ms").desc())
     return (
-        keyed.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("op") != "d"))
-        .select("o_orderkey", "o_custkey", "op", "ts_ms")
+        keyed.groupBy("o_orderkey")
+        .agg(F.max_by(F.struct("o_custkey", "op", "ts_ms"), "ts_ms").alias("s"))
+        .filter(F.col("s.op") != "d")
+        .select(
+            "o_orderkey",
+            F.col("s.o_custkey").alias("o_custkey"),
+            F.col("s.op").alias("op"),
+            F.col("s.ts_ms").alias("ts_ms"),
+        )
     )

@@ -57,6 +57,39 @@ def test_simhash_finds_planted_clones(spark, docs):
     assert hams == {0}
 
 
+def test_minhash_recall_vs_exact_jaccard(spark, docs):
+    """Regression gate for the signature pipeline: near-dups (not identical
+    clones — those collide under ANY broken hash family) must be recalled
+    at the analytic rate. With 32 hashes / 8 bands at j≈0.9 per planted
+    pair, P(candidate) ≈ 1-(1-0.9⁴)⁸ ≈ 0.9998 → recall ≥ 0.9 is loose."""
+    d = docs.select("doc_id", "text")
+    near = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat("text", F.lit(" zz yy xx")).alias("text"),
+    )
+    corpus = d.unionByName(near)
+    exact = {
+        (r.id1, r.id2)
+        for r in D.jaccard_pairs(corpus, 0.8, ngram=3).collect()
+    }
+    approx = {
+        (r.id1, r.id2)
+        for r in D.minhash_lsh_pairs(
+            corpus, threshold=0.8, num_hashes=32, bands=8, ngram=3
+        ).collect()
+    }
+    assert approx <= exact  # candidates verified with exact jaccard
+    assert exact, "planted near-dups must clear the 0.8 threshold"
+    assert len(approx & exact) / len(exact) >= 0.9
+
+
+def test_minhash_signature_seeds_differ(spark, docs):
+    """h_i must come from DIFFERENT hash functions — guards the PySpark
+    lambda-arity trap where the seed silently becomes the array index."""
+    row = D.minhash_signatures(docs, num_hashes=4, ngram=3).first()
+    assert len({row.h0, row.h1, row.h2, row.h3}) > 1
+
+
 def test_minhash_finds_planted_clones(spark, docs):
     pairs = D.minhash_lsh_pairs(
         _with_clones(docs), threshold=0.99, ngram=3
