@@ -116,3 +116,49 @@ def cdc_latest_state(spark, sf_dir):
             F.col("s.ts_ms").alias("ts_ms"),
         )
     )
+
+
+@register(
+    "cdc_type_normalize",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS d_date,
+           lpad(CAST(((o_orderkey * 7919) % 86400) // 3600 AS VARCHAR), 2, '0')
+             || ':' ||
+           lpad(CAST((((o_orderkey * 7919) % 86400) % 3600) // 60 AS VARCHAR), 2, '0')
+             || ':' ||
+           lpad(CAST(((o_orderkey * 7919) % 86400) % 60 AS VARCHAR), 2, '0')
+             AS d_time,
+           strftime(o_orderdate + INTERVAL 8 HOUR, '%Y-%m-%d %H:%M:%S')
+             AS d_datetime,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS d_timestamp,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS d_decimal,
+           CAST(o_orderkey AS BIGINT) AS d_unsigned
+    FROM orders
+    """,
+)
+def cdc_type_normalize(spark, sf_dir):
+    """Debezium type flattening (SURVEY.md A35 / §1.3) applied to the
+    orders table: DATE/TIME/DATETIME/TIMESTAMP renderers (GMT+8 datetime
+    shift per DebeziumConverter.java:91-95), decimal→string,
+    unsigned-bigint→long. TIME input is synthesized nanos-of-day
+    (deterministic from the key) since the TPC-H schema has no TIME col.
+    All pure Catalyst — this is the envelope-normalization stage of the
+    CDC hot path."""
+    from ..functions import type_norm as T
+    from ..sources.tables import load_tables
+
+    o = load_tables(spark, sf_dir)["orders"]
+    nanos = (
+        F.pmod(F.col("o_orderkey") * 7919, F.lit(86400))
+        * F.lit(1_000_000_000)
+    ).cast("long")
+    return o.select(
+        "o_orderkey",
+        T.debezium_date("o_orderdate").alias("d_date"),
+        T.debezium_time(nanos).alias("d_time"),
+        T.debezium_datetime("o_orderdate").alias("d_datetime"),
+        T.debezium_timestamp("o_orderdate").alias("d_timestamp"),
+        T.debezium_decimal("o_totalprice", 18, 2).alias("d_decimal"),
+        T.debezium_unsigned_bigint("o_orderkey").alias("d_unsigned"),
+    )
