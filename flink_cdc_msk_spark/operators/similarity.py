@@ -109,21 +109,23 @@ def near_dup_pairs(
                 continue
             block = np.array(list(pdf[vec_col]), dtype=np.float64)
             block /= np.linalg.norm(block, axis=1, keepdims=True)
-            sims = block @ b_mat.value.T
+            sims = np.round(block @ b_mat.value.T, 6)
             block_ids = pdf[id_col].to_numpy()
             all_ids = b_ids.value
-            for k in range(len(block_ids)):
-                rounded = np.round(sims[k], 6)
-                mask = (all_ids > block_ids[k]) & (rounded >= threshold)
-                js = np.nonzero(mask)[0]
-                if len(js):
-                    yield pd.DataFrame(
-                        {
-                            "id1": np.full(len(js), block_ids[k]),
-                            "id2": all_ids[js],
-                            "cos": rounded[js],
-                        }
-                    )
+            # fully vectorized pair extraction: one frame per Arrow batch,
+            # not one per row (the per-row version was allocation-bound)
+            mask = (all_ids[None, :] > block_ids[:, None]) & (
+                sims >= threshold
+            )
+            ki, js = np.nonzero(mask)
+            if len(ki):
+                yield pd.DataFrame(
+                    {
+                        "id1": block_ids[ki],
+                        "id2": all_ids[js],
+                        "cos": sims[ki, js],
+                    }
+                )
 
     return corpus.select(id_col, vec_col).mapInPandas(
         gen, "id1 long, id2 long, cos double"

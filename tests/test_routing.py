@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import json
 
+import pytest
 from pyspark.sql import functions as F
 
 from flink_cdc_msk_spark.config import TableRouting
@@ -265,3 +266,48 @@ def test_java_hashcode_matches_python_reference(spark):
     # known Java values
     assert java_string_hashcode_py("polygenelubricants") == -2147483648
     assert got["polygenelubricants"][1] == 4  # pmod(-2^31, 12), bug-fixed edge
+
+
+# ------------------------- config / params (no Spark session needed)
+
+
+def test_startup_position_mapping():
+    from flink_cdc_msk_spark.config import parse_kafka_startup_position as p
+
+    assert p("initial") == {"startingOffsets": "earliest"}  # A2
+    assert p("latest") == {"startingOffsets": "latest"}  # A3
+    assert p("timestamp:1700000000000") == {  # A6
+        "startingTimestamp": "1700000000000"
+    }
+    # A4/A5: binlog file/GTID are MySQL-wire concepts — documented unsupported
+    for pos in ("mysql-bin.000003:4", "gtid:3E11FA47-71CA-11E1-9E33:1-5"):
+        with pytest.raises(ValueError):
+            p(pos)
+
+
+def test_kafka_properties_passthrough():
+    from flink_cdc_msk_spark.config import CDCParams
+
+    params = CDCParams(
+        kafka_properties="max.request.size=1073741824, acks=-1"
+    )
+    assert params.kafka_options() == {
+        "kafka.max.request.size": "1073741824",
+        "kafka.acks": "-1",
+    }
+    assert CDCParams().kafka_options() == {}
+
+
+def test_routing_duplicate_key_last_wins_and_backslash_strip():
+    from flink_cdc_msk_spark.config import TableRouting
+
+    r = TableRouting.parse(
+        '[{"db":"d","table":"t","primary_key":"a"},'
+        '{"db":"d","table":"t","primary_key":"b"}]'
+    )
+    assert len(r.rules) == 1 and r.rules[0].primary_key == ("b",)
+    # scala:71 strips backslashes (KDA property escaping)
+    r2 = TableRouting.parse(
+        '[{"db":"d\\\\d","table":"t","primary_key":"x"}]'
+    )
+    assert r2.rules[0].key == "dd=t"

@@ -138,6 +138,34 @@ def test_streaming_dedup(spark, tmpdir):
     assert sorted(r.event_id for r in rows) == [1, 2]
 
 
+def test_streaming_dedup_rocksdb_state(spark, tmpdir):
+    """Same dedup on the RocksDB state store provider (parity with the
+    reference's RocksDB backend, emr/MySQLCDC2AWSMSK.scala:59 — spill-aware
+    state for 100 TB keyed dedup). providerClass is a runtime SQLConf."""
+    import os
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        src = f"{tmpdir}/dups_rocks"
+        os.makedirs(src)
+        with open(f"{src}/a.json", "w") as f:
+            for eid, ts in [(1, "2024-01-01 10:00:00"),
+                            (1, "2024-01-01 10:00:01"),
+                            (2, "2024-01-01 10:00:02")]:
+                f.write(json.dumps({"event_id": eid, "ts": ts}) + "\n")
+        stream = spark.readStream.schema("event_id long, ts timestamp").json(src)
+        deduped = streaming_dedup(stream, ["event_id"], watermark="1 hour")
+        _run_available_now(deduped, tmpdir, "deduped_rocks")
+        rows = spark.sql("SELECT event_id FROM deduped_rocks").collect()
+        assert sorted(r.event_id for r in rows) == [1, 2]
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_session_window_stream(spark, tmpdir):
     import os
 
