@@ -57,6 +57,9 @@ def main() -> None:
 
     for df in load_tables(spark, sf_dir).values():
         df.limit(1).count()
+    # spin up the Python worker pool once (reused across queries) so the
+    # first pandas-UDF query isn't charged for process startup
+    spark.range(2).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -80,29 +80,31 @@ def extract_features(media: DataFrame, use_real_codec: bool = False) -> DataFram
     row per asset, Arrow batches in, no shuffle)."""
 
     def gen(batches):
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"])
-                if use_real_codec:
-                    _decode_real(payload, r["format"])  # raises: stub
-                rows.append(
-                    {
-                        "media_id": r["media_id"],
-                        "kind": r["kind"],
-                        "byte_len": len(payload),
-                        "sha1": hashlib.sha1(payload).hexdigest(),
-                        "mean_byte": round(
-                            sum(payload) / len(payload), 6
-                        ) if payload else 0.0,
-                        "feature_dim": 3,
-                    }
-                )
-            yield pd.DataFrame(rows)
+            payloads = [bytes(p) for p in pdf["payload"]]
+            if use_real_codec:
+                for p, f in zip(payloads, pdf["format"]):
+                    _decode_real(p, f)  # raises: stub
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "byte_len": [len(p) for p in payloads],
+                    "sha1": [hashlib.sha1(p).hexdigest() for p in payloads],
+                    "mean_byte": [
+                        round(float(np.frombuffer(p, np.uint8).mean()), 6)
+                        if p
+                        else 0.0
+                        for p in payloads
+                    ],
+                    "feature_dim": 3,
+                }
+            )
 
     return media.mapInPandas(gen, FEATURE_SCHEMA)
 

@@ -162,3 +162,61 @@ def cdc_type_normalize(spark, sf_dir):
         T.debezium_decimal("o_totalprice", 18, 2).alias("d_decimal"),
         T.debezium_unsigned_bigint("o_orderkey").alias("d_unsigned"),
     )
+
+
+@register(
+    "streaming_route_keys",
+    oracle="""
+    SELECT 'test_db' AS db,
+           'orders' AS tbl,
+           'test_db.orders.' || CAST(o_orderkey AS VARCHAR) AS partition_key,
+           'cdc_test_db' AS topic,
+           op
+    FROM (
+      SELECT o_orderkey, 'c' AS op FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'u' FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, 'd' FROM orders WHERE o_orderkey % 20 = 0
+    )
+    """,
+)
+def streaming_route_keys(spark, sf_dir):
+    """The SAME route pipeline as cdc_route_keys executed through
+    Structured Streaming (file source → availableNow trigger → memory
+    sink) and checked against the SAME relational oracle — proving the
+    engine's streaming and batch paths are one set of expressions
+    (SURVEY.md §3.4). Temp source dir + unique sink name per invocation."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.pipeline import (
+        route_stream_from_directory,
+        snapshot_then_stream_paths,
+    )
+
+    events = synthesize_mysql_events(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="stream_route_q_")
+    try:
+        snapshot_then_stream_paths(events, f"{d}/src")
+        routed = route_stream_from_directory(
+            spark, f"{d}/src", ORDERS_ROUTING, topic_prefix="cdc_"
+        )
+        name = f"stream_route_{uuid.uuid4().hex[:8]}"
+        q = (
+            routed.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        op = F.get_json_object("value", "$.op").alias("op")
+        # materialize before the temp dir is removed
+        out = spark.table(name).select(
+            "db", F.col("table").alias("tbl"), "partition_key", "topic", op
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

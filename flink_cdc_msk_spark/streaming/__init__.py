@@ -3,6 +3,7 @@ from .pipeline import (
     snapshot_then_stream_paths,
     stream_lines_from_directory,
 )
+from .stateful import running_totals
 from .supervisor import RestartSupervisor
 from .windows import (
     sessionized,
@@ -17,5 +18,6 @@ __all__ = [
     "tumbling_counts",
     "sessionized",
     "streaming_dedup",
+    "running_totals",
     "RestartSupervisor",
 ]
