@@ -1054,3 +1054,59 @@ def scalar_conditional(spark, sf_dir):
         F.least(F.col("o_totalprice"), F.lit(250000.0)).alias("capped"),
         F.greatest(F.col("o_totalprice"), F.lit(1000.0)).alias("floored"),
     )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark, sf_dir):
+    """Exact continuous percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``: both linear-interpolate between order statistics).
+    Exact percentile is a full-sort-per-group aggregate; at 100 TB switch
+    to ``approx_percentile`` (t-digest, map-side combinable) — kept exact
+    here because the oracle gate needs bit-stable values."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(
+                F.percentile("l_extendedprice", F.lit(q)), 4
+            ).alias(f"p{int(q * 100):02d}")
+            for q in (0.25, 0.50, 0.75, 0.99)
+        ]
+    )
+
+
+@register(
+    "agg_corr_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+           round(stddev_samp(l_discount), 6) AS discount_sd,
+           round(var_samp(l_tax), 6) AS tax_var
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_corr_stats(spark, sf_dir):
+    """Second-moment statistics (corr/covar/stddev/variance) — all
+    map-side-combinable aggregates (Welford-style merge), one shuffle on
+    the group key."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.stddev_samp("l_discount"), 6).alias("discount_sd"),
+        F.round(F.var_samp("l_tax"), 6).alias("tax_var"),
+    )
