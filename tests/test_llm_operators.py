@@ -57,6 +57,35 @@ def test_simhash_finds_planted_clones(spark, docs):
     assert hams == {0}
 
 
+def test_minhash_signatures_plan_is_shuffle_free(spark, docs):
+    """Scale-regression gate: signature computation must stay map-side —
+    any Exchange in the physical plan means an O(total tokens) shuffle
+    crept back in."""
+    plan = (
+        D.minhash_signatures(docs, num_hashes=8, ngram=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_no_tokenizer_reinlined_into_filters(spark, docs):
+    """Perf-regression gate for the InferFiltersFromGenerate trap: no
+    Filter in the optimized plan may contain the shingle transform()
+    (which would re-evaluate the interpreted tokenizer per row — the
+    10×+ slowdown fixed by explode_outer + attribute filters)."""
+    plan = (
+        D.distinct_tokens(docs, ngram=3)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "Filter" in line:
+            assert "transform(" not in line, line[:200]
+
+
 def test_minhash_recall_vs_exact_jaccard(spark, docs):
     """Regression gate for the signature pipeline: near-dups (not identical
     clones — those collide under ANY broken hash family) must be recalled
