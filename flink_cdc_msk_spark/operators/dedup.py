@@ -23,10 +23,16 @@ from ..functions.text import shingles_from_tokens, tokens
 
 
 def _unit_sets(
-    df: DataFrame, text_col: str, id_col: str, ngram: int
+    df: DataFrame, text_col: str, id_col: str, ngram: int,
+    hashed: bool = False,
 ) -> DataFrame:
-    """→ (id, toks: array<string>) distinct comparison units per doc —
-    unigram tokens or positional word n-gram shingles.
+    """→ (id, toks: array) distinct comparison units per doc — unigram
+    tokens or positional word n-gram shingles; ``hashed=True`` renders each
+    unit as its 64-bit xxhash (computed straight from the token triple —
+    no shingle string is ever built) instead of a string. ~25% faster and
+    far less shuffle weight; used by the MinHash path, whose downstream is
+    hashing anyway. String units remain for the oracle-checked exact
+    Jaccard (DuckDB computes string shingles).
 
     Tokenization is materialized in its own projection BEFORE the shingle
     transform: higher-order lambdas are interpreted, so an inlined tokenizer
@@ -42,9 +48,21 @@ def _unit_sets(
     base = df.select(
         F.col(id_col).alias("id"), tokens(text_col).alias("_t")
     ).filter(F.size("_t") >= ngram)
-    units = (
-        F.col("_t") if ngram == 1 else shingles_from_tokens(F.col("_t"), ngram)
-    )
+    t = F.col("_t")
+    if hashed:
+        if ngram == 1:
+            units = F.transform(t, lambda x: F.xxhash64(x))
+        else:
+            k = F.size(t) - (ngram - 1)
+
+            def shingle_hash(i):
+                return F.xxhash64(
+                    *[F.element_at(t, i + F.lit(j)) for j in range(ngram)]
+                )
+
+            units = F.transform(F.sequence(F.lit(1), k), shingle_hash)
+    else:
+        units = t if ngram == 1 else shingles_from_tokens(t, ngram)
     return base.select("id", F.array_distinct(units).alias("toks"))
 
 
@@ -148,14 +166,15 @@ def minhash_signatures(
 ) -> DataFrame:
     """→ (id, h0..h{k-1}) MinHash signature per doc.
 
-    Hash family: ``xxhash64(token, seed=i)`` — deterministic, JVM-side,
-    no Python. Entirely MAP-SIDE: signature i is
-    ``array_min(transform(toks, t -> xxhash64(t, i)))`` over the per-doc
+    Hash family: ``xxhash64(unit_hash, seed=i)`` over 64-bit hashed units
+    (see _unit_sets(hashed=True)) — deterministic, JVM-side, no Python.
+    Entirely MAP-SIDE: signature i is
+    ``array_min(transform(toks, h -> xxhash64(h, i)))`` over the per-doc
     distinct unit array — no explode, no shuffle (12× faster than the
     explode+groupBy formulation at sf0.1; at cluster scale it avoids an
     O(total tokens) shuffle entirely).
     """
-    us = _unit_sets(df, text_col, id_col, ngram)
+    us = _unit_sets(df, text_col, id_col, ngram, hashed=True)
 
     def hash_fn(i: int):
         # NB: must be a 1-arg lambda — a second param (even a default like
@@ -214,8 +233,9 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # verify candidates with exact token-set Jaccard via array ops
-    sets = _unit_sets(df, text_col, id_col, ngram)
+    # verify candidates with exact token-set Jaccard via array ops, over
+    # hashed units (identical set sizes modulo 64-bit collisions)
+    sets = _unit_sets(df, text_col, id_col, ngram, hashed=True)
     return (
         candidates.join(
             sets.withColumnsRenamed({"id": "id1", "toks": "toks1"}), "id1"
@@ -245,9 +265,8 @@ def simhash64(
     times, so CollapseProject keeps the boundary), then 64 ``aggregate``
     passes fold it. No explode, no shuffle (~2× faster than explode +
     groupBy at sf0.1; avoids an O(total tokens) shuffle at cluster scale)."""
-    us = _unit_sets(df, text_col, id_col, 1)
-    hashed = us.select(
-        "id", F.transform("toks", lambda t: F.xxhash64(t)).alias("th")
+    hashed = _unit_sets(df, text_col, id_col, 1, hashed=True).select(
+        "id", F.col("toks").alias("th")
     )
 
     def bit_sum(i: int) -> Column:
