@@ -255,6 +255,59 @@ def lsh_near_dup_pairs(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd k-means in pure DataFrame ops → (cent_id, cent_v).
+
+    Deterministic init (the ``n_centroids`` lowest-id vectors — no RNG, so
+    results are stable across runs/executors); each iteration assigns
+    every vector to its max-cosine centroid (broadcast cross join — the
+    centroid set is tiny) and recomputes element-wise means via
+    ``posexplode`` + groupBy (cluster, dim). Iteration count is a fixed
+    small constant: each round is one corpus scan + one (cluster, dim)
+    shuffle of ``n·d`` rows, so cost scales linearly — no driver-side
+    loops over data, only over ``iters``."""
+    cents = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), as_double(vec_col).alias("cent_v")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("_vid"), as_double(vec_col).alias("cv")
+    )
+    for _ in range(iters):
+        scored = c.crossJoin(F.broadcast(cents)).withColumn(
+            "_d", cosine(F.col("cv"), F.col("cent_v"))
+        )
+        w = Window.partitionBy("_vid").orderBy(
+            F.col("_d").desc(), F.col("cent_id")
+        )
+        assigned = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("cent_id", "cv")
+        )
+        cents = (
+            assigned.select("cent_id", F.posexplode("cv").alias("pos", "x"))
+            .groupBy("cent_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cent_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "cent_id",
+                F.transform("pm", lambda s: s.getField("m")).alias("cent_v"),
+            )
+        )
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -263,21 +316,29 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iters: int = 0,
 ) -> DataFrame:
-    """IVF-style ANN: centroids = first ``n_centroids`` corpus vectors
-    (deterministic stand-in for k-means — the partition/probe plumbing is
-    what matters); assign every vector to its nearest centroid; per query
-    probe the ``nprobe`` nearest centroids and rank only those clusters.
+    """IVF-style ANN: centroids are either the first ``n_centroids``
+    corpus vectors (``kmeans_iters=0`` — cheapest, plumbing-equivalent) or
+    ``kmeans_iters`` Lloyd rounds (:func:`kmeans_centroids`); assign every
+    vector to its nearest centroid; per query probe the ``nprobe`` nearest
+    centroids and rank only those clusters.
 
     Corpus-side cost drops to ~nprobe/n_centroids of brute force; the
     cluster assignment is one broadcast join, reusable across query
     batches (in a real deployment it would be precomputed + bucketed on
     disk)."""
-    centroids = F.broadcast(
-        corpus.filter(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("cent_id"), as_double(vec_col).alias("cent_v")
+    if kmeans_iters > 0:
+        centroids = F.broadcast(
+            kmeans_centroids(corpus, n_centroids, kmeans_iters, id_col, vec_col)
         )
-    )
+    else:
+        centroids = F.broadcast(
+            corpus.filter(F.col(id_col) < n_centroids).select(
+                F.col(id_col).alias("cent_id"),
+                as_double(vec_col).alias("cent_v"),
+            )
+        )
 
     def nearest(df, vcol, out, topn):
         scored = df.crossJoin(centroids).withColumn(

@@ -220,3 +220,39 @@ def streaming_route_keys(spark, sf_dir):
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "cdc_mongo_route_keys",
+    oracle="""
+    SELECT 'test_db' AS db,
+           'orders' AS coll,
+           'test_db.orders.' || pk AS partition_key,
+           'm_test_db' AS topic,
+           op
+    FROM (
+      -- scalar _id → bare value captured by [\d.]+
+      SELECT CAST(o_orderkey AS VARCHAR) AS pk, 'insert' AS op FROM orders
+      UNION ALL
+      -- nested-object _id → whole object captured by {[^}]+}, spaces stripped
+      SELECT '{"$numberLong":"' || CAST(o_orderkey AS VARCHAR) || '"}',
+             'delete' FROM orders WHERE o_orderkey % 10 = 0
+    )
+    """,
+)
+def cdc_mongo_route_keys(spark, sf_dir):
+    """Mongo change-stream routing (SURVEY.md A11/A19): synthesized
+    change-stream envelopes → ns.db/ns.coll/operationType extraction +
+    ``_id`` regex (scalar AND nested-object documentKeys — deletes use the
+    object form ``{"$numberLong": "N"}``, whose extracted id is the
+    space-stripped object, matching the reference regex's first capture).
+    Oracle computes expected keys directly from orders."""
+    from ..operators.route import route_mongo_cdc
+    from ..sources.cdc_sim import synthesize_mongo_events
+
+    events = synthesize_mongo_events(spark, sf_dir)
+    routed = route_mongo_cdc(events, topic_prefix="m_")
+    op = F.get_json_object("value", "$.operationType").alias("op")
+    return routed.select(
+        "db", F.col("table").alias("coll"), "partition_key", "topic", op
+    )

@@ -107,3 +107,63 @@ def synthesize_mysql_events(
                   "d", 2_000_000, "o_orderkey").alias("value")
     )
     return inserts.unionAll(updates).unionAll(deletes)
+
+
+def synthesize_mongo_events(
+    spark: SparkSession, sf_dir: str, table: str = "orders"
+) -> DataFrame:
+    """→ DataFrame[value: string] of Mongo change-stream JSON lines
+    (envelope per the sample documented at MongoCDC2AWSMSK.scala:95-96)
+    from parquet rows. Insert per row; rows with ``key % 10 == 0`` also get
+    a ``delete`` whose documentKey is the nested-object form — exercising
+    both arms of the reference's ``_id`` regex (scalar ``[\\d.]+`` and
+    object ``\\{[^}]+\\}``, scala:86)."""
+    if table != "orders":
+        raise ValueError("Mongo CDC simulation currently synthesizes from orders")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    def env(op: str, doc_key, full_doc, ts_off: int):
+        return F.to_json(
+            F.struct(
+                doc_key.alias("_id"),
+                F.lit(op).alias("operationType"),
+                full_doc.alias("fullDocument"),
+                F.struct(
+                    (F.lit(BASE_TS_MS + ts_off) + F.col("o_orderkey")).alias(
+                        "ts_ms"
+                    ),
+                    F.lit("false").alias("snapshot"),
+                ).alias("source"),
+                (F.lit(BASE_TS_MS + ts_off) + F.col("o_orderkey")).alias(
+                    "ts_ms"
+                ),
+                F.struct(
+                    F.lit("test_db").alias("db"),
+                    F.lit(table).alias("coll"),
+                ).alias("ns"),
+                F.lit(None).cast("string").alias("to"),
+                doc_key.alias("documentKey"),
+                F.lit(None).cast("string").alias("updateDescription"),
+                F.lit(None).cast("string").alias("clusterTime"),
+                F.lit(None).cast("string").alias("txnNumber"),
+                F.lit(None).cast("string").alias("lsid"),
+            ),
+            {"ignoreNullFields": "false"},
+        )
+
+    scalar_key = F.concat(
+        F.lit('{"_id": '), F.col("o_orderkey").cast("string"), F.lit("}")
+    )
+    object_key = F.concat(
+        F.lit('{"_id": {"$numberLong": "'),
+        F.col("o_orderkey").cast("string"),
+        F.lit('"}}'),
+    )
+    doc = F.to_json(F.struct("o_orderkey", "o_custkey", "o_totalprice"))
+    inserts = o.select(env("insert", scalar_key, doc, 0).alias("value"))
+    deletes = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        env("delete", object_key, F.lit(None).cast("string"), 1_000_000).alias(
+            "value"
+        )
+    )
+    return inserts.unionAll(deletes)

@@ -183,6 +183,58 @@ def test_ivf_recall_vs_brute_force(spark, emb):
     assert recall >= 0.3  # nprobe=4/16 of a degenerate "IVF" — plumbing check
 
 
+def test_kmeans_recovers_separated_clusters(spark):
+    """Lloyd iterations (pure DataFrame) must recover three well-separated
+    clusters: every point's nearest learned centroid is in its own
+    cluster, i.e. the learned centroids partition the data correctly."""
+    import itertools
+
+    pts = []
+    base = {0: [10.0, 0.0, 0.0], 1: [0.0, 10.0, 0.0], 2: [0.0, 0.0, 10.0]}
+    vid = 0
+    for c, (dx, dy, dz) in itertools.product(
+        range(3), [(0.1, 0, 0), (0, 0.1, 0), (0, 0, 0.1), (0.2, 0.1, 0)]
+    ):
+        b = base[c]
+        pts.append((vid, [b[0] + dx, b[1] + dy, b[2] + dz], c))
+        vid += 1
+    df = spark.createDataFrame(
+        pts, "vec_id long, embedding array<double>, true_cluster int"
+    )
+    cents = S.kmeans_centroids(df, n_centroids=3, iters=3)
+    # assign each point to its argmax-cosine centroid
+    assigned = (
+        df.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "d", S.cosine(S.as_double("embedding"), F.col("cent_v"))
+        )
+        .groupBy("vec_id", "true_cluster")
+        .agg(F.max_by("cent_id", "d").alias("got"))
+        .collect()
+    )
+    mapping = {}
+    for r in assigned:
+        mapping.setdefault(r.true_cluster, set()).add(r.got)
+    # each true cluster maps to exactly one learned centroid, all distinct
+    assert all(len(v) == 1 for v in mapping.values())
+    assert len({next(iter(v)) for v in mapping.values()}) == 3
+
+
+def test_ivf_kmeans_variant_recall(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in S.ivf_topk(
+            emb, queries, k=5, n_centroids=16, nprobe=4, kmeans_iters=2
+        ).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.3
+
+
 def test_approx_distinct_error_bound(spark):
     li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
     row = li.agg(
