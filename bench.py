@@ -37,13 +37,19 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    # sf0.1 shuffles are a few MB — high partition counts just buy task-
+    # scheduling overhead (measured ~15% total win at 8 vs 32 on 32 cores).
+    # At cluster scale the session's AQE coalescing owns this knob.
+    shuffle = int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE", max(8, cpus // 4))
+    )
 
     from flink_cdc_msk_spark.session import get_spark
 
     spark = get_spark(
         app_name="bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=cpus,
+        shuffle_partitions=shuffle,
     )
     spark.sparkContext.setLogLevel("ERROR")
 

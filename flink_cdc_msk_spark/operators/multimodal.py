@@ -109,6 +109,53 @@ def extract_features(media: DataFrame, use_real_codec: bool = False) -> DataFram
     return media.mapInPandas(gen, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, kind string, width int, height int, payload binary"
+)
+
+
+def resize_media(
+    media: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    use_real_codec: bool = False,
+) -> DataFrame:
+    """Map-only 'resize' over binary payloads (the thumbnail/downsample
+    stage of a multimodal training pipeline).
+
+    STUB transform (deterministic, codec-free): output payload is the
+    input bytes striped down to exactly ``width*height`` bytes (repeat-pad
+    short inputs) — shaped exactly like a real resize (fixed-size output
+    per asset, Arrow batches, no shuffle); a real deployment decodes via
+    ``_decode_real`` and re-encodes with PIL/ffmpeg."""
+
+    def gen(batches):
+        import pandas as pd
+
+        n = width * height
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for p, fmt in zip(pdf["payload"], pdf["format"]):
+                b = bytes(p)
+                if use_real_codec:
+                    _decode_real(b, fmt)  # raises: stub
+                reps = (n // max(len(b), 1)) + 1
+                out.append((b * reps)[:n])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "width": width,
+                    "height": height,
+                    "payload": out,
+                }
+            )
+
+    return media.mapInPandas(gen, RESIZED_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 256, frame_len: int = 16) -> DataFrame:
     """'Frame sampling' plumbing: slice fixed-length windows out of each
     payload every N bytes (stand-in for video frame extraction). Pure

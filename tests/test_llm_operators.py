@@ -335,3 +335,45 @@ def test_routing_longest_match_first(rules):
         for r in routing.rules:
             if len(r.key) > len(hit.key):
                 assert not re.search(r.key, "db1=t12")
+
+
+def test_multimodal_resize_stub(spark, docs):
+    from flink_cdc_msk_spark.operators.multimodal import (
+        resize_media,
+        synthesize_media,
+    )
+
+    media = synthesize_media(docs.limit(20))
+    out = resize_media(media, width=8, height=4).collect()
+    assert len(out) == 20
+    assert all(len(r.payload) == 32 for r in out)
+    assert all(r.width == 8 and r.height == 4 for r in out)
+    # deterministic: same input -> same bytes
+    out2 = resize_media(synthesize_media(docs.limit(20)), 8, 4).collect()
+    assert sorted((r.media_id, bytes(r.payload)) for r in out) == sorted(
+        (r.media_id, bytes(r.payload)) for r in out2
+    )
+
+
+def test_multimodal_real_codec_is_explicit_stub(spark, docs):
+    from flink_cdc_msk_spark.operators.multimodal import resize_media, synthesize_media
+
+    media = synthesize_media(docs.limit(2))
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        resize_media(media, use_real_codec=True).collect()
+
+
+def test_kafka_source_option_assembly():
+    from flink_cdc_msk_spark.config import CDCParams
+    from flink_cdc_msk_spark.sources.kafka import kafka_source_options
+
+    p = CDCParams(broker_list="b1:9092,b2:9092", position="latest", parallel=6)
+    opts = kafka_source_options(p, "cdc_topic")
+    assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert opts["subscribe"] == "cdc_topic"
+    assert opts["minPartitions"] == "6"
+    assert opts["startingOffsets"] == "latest"
+    ts = kafka_source_options(
+        CDCParams(position="timestamp:1700000000000"), "t"
+    )
+    assert ts["startingTimestamp"] == "1700000000000"
