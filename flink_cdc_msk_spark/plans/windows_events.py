@@ -148,15 +148,25 @@ def events_session_gaps(spark, sf_dir):
 )
 def events_latest_state(spark, sf_dir):
     """Latest event per (user, type) — the keyed-state compaction pattern
-    (streaming twin: dropDuplicates within watermark)."""
+    (streaming twin: dropDuplicates within watermark).
+
+    ``max_by`` with a (ts, event_id) ordering struct instead of a
+    row_number window: partial aggregation combines map-side and there is
+    no per-key sort — the skew-robust argmax shape for hot keys at scale."""
     ev = _ev(spark, sf_dir)
-    w = Window.partitionBy("user_id", "event_type").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_type", "event_id", "value")
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.max_by(
+                F.struct("event_id", "value"), F.struct("ts", "event_id")
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("s.event_id").alias("event_id"),
+            F.col("s.value").alias("value"),
+        )
     )
 
 
