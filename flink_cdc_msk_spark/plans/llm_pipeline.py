@@ -406,3 +406,60 @@ def text_fingerprint(spark, sf_dir):
         T.rolling_fingerprint("text").alias("fingerprint"),
         T.rolling_fingerprint(F.substring("text", 1, 64)).alias("prefix_fp"),
     )
+
+
+@register(
+    "llm_prep_pipeline",
+    oracle=f"""
+    WITH corpus AS (
+      {DOCS_WITH_DUPS_SQL}
+    ), t AS (
+      SELECT doc_id, text,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM corpus
+    ), q AS (
+      SELECT doc_id, text, len(toks) AS token_count
+      FROM t
+      WHERE len(toks) BETWEEN 10 AND 1000
+        AND len(list_distinct(toks)) / len(toks) > 0.3
+    ), d AS (
+      SELECT text, min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM q GROUP BY text
+    )
+    SELECT d.keep_id AS doc_id,
+           q.token_count,
+           d.n_copies,
+           round((length(q.text) - length(regexp_replace(q.text,
+                 '[.,!?;:]', '', 'g'))) / length(q.text), 6) AS punct_ratio
+    FROM d JOIN q ON q.doc_id = d.keep_id
+    """,
+)
+def llm_prep_pipeline(spark, sf_dir):
+    """End-to-end training-data prep as ONE composed plan: corpus (with
+    planted clones) → quality gate (length band + lexical diversity) →
+    exact dedup keeping the lowest doc_id → per-kept-doc stats. The whole
+    pipeline is two shuffles (dedup groupBy + the keep-id join); every
+    filter runs before the first shuffle, so at 100 TB the expensive
+    stages see only surviving documents."""
+    corpus = _docs_with_dups(spark, sf_dir)
+    toks = T.tokens("text")
+    q = corpus.select(
+        "doc_id", "text", F.size(toks).alias("token_count")
+    ).filter(
+        F.size(toks).between(10, 1000)
+        & (F.size(F.array_distinct(toks)) / F.size(toks) > 0.3)
+    )
+    d = q.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return (
+        d.alias("d")
+        .join(q.alias("q"), F.col("d.keep_id") == F.col("q.doc_id"))
+        .select(
+            F.col("d.keep_id").alias("doc_id"),
+            F.col("q.token_count").alias("token_count"),
+            F.col("d.n_copies").alias("n_copies"),
+            T.punct_ratio(F.col("q.text")).alias("punct_ratio"),
+        )
+    )

@@ -311,3 +311,25 @@ def test_routing_duplicate_key_last_wins_and_backslash_strip():
         '[{"db":"d\\\\d","table":"t","primary_key":"x"}]'
     )
     assert r2.rules[0].key == "dd=t"
+
+
+def test_truncation_idempotent_property(spark):
+    """Routing an already-routed value is a no-op (SURVEY §5.3): the
+    truncation + canonical re-serialization is idempotent, for lengths
+    around the >= boundary and multibyte text."""
+    rows = [
+        mysql_event(
+            table="product_01",
+            after={"pid": i, "col1": "x" * n, "col2": "é" * m},
+        )
+        for i, (n, m) in enumerate(
+            [(0, 0), (9, 19), (10, 20), (11, 21), (40, 40)]
+        )
+    ]
+    once = route(spark, rows)
+    again_in = [r.value for r in once]
+    twice = route(spark, again_in)
+    assert sorted(r.value for r in once) == sorted(r.value for r in twice)
+    assert sorted(r.partition_key for r in once) == sorted(
+        r.partition_key for r in twice
+    )
