@@ -214,3 +214,58 @@ def events_value_histogram(spark, sf_dir):
         F.round(F.min("value"), 2).alias("lo"),
         F.round(F.max("value"), 2).alias("hi"),
     )
+
+
+@register(
+    "streaming_running_totals",
+    oracle="""
+    SELECT event_type AS key,
+           count(*) AS n,
+           round(sum(value), 2) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_running_totals(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState) run
+    end-to-end and checked against a relational oracle: stream the events
+    table through per-key running (count, sum) state, then take each
+    key's final emitted row — which must equal the batch groupBy. Proves
+    arbitrary-state streaming produces exactly the batch semantics."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.stateful import running_totals
+
+    ev = _ev(spark, sf_dir).select("event_type", "value")
+    d = tempfile.mkdtemp(prefix="stream_totals_q_")
+    try:
+        ev.write.mode("overwrite").json(f"{d}/src")
+        stream = spark.readStream.schema("event_type string, value double").json(
+            f"{d}/src"
+        )
+        out = running_totals(stream, key="event_type", value_col="value")
+        name = f"running_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # final row per key = the one with the max running count
+        final = (
+            spark.table(name)
+            .groupBy("key")
+            .agg(F.max_by(F.struct("n", "total"), "n").alias("s"))
+            .select(
+                "key",
+                F.col("s.n").alias("n"),
+                F.round(F.col("s.total"), 2).alias("total"),
+            )
+        )
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
