@@ -463,3 +463,45 @@ def llm_prep_pipeline(spark, sf_dir):
             T.punct_ratio(F.col("q.text")).alias("punct_ratio"),
         )
     )
+
+
+@register(
+    "scalar_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE))), 4) AS vec_sum,
+           round(list_max(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE))), 4) AS vec_max,
+           round(CAST(embedding[1] AS DOUBLE), 4) AS first_dim,
+           round(list_sum(list_transform(embedding[1:8],
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4)
+             AS head_energy
+    FROM embeddings
+    """,
+)
+def scalar_array_funcs(spark, sf_dir):
+    """Array/vector scalar-function coverage over the embeddings table:
+    size, element-wise aggregate (sum/max via higher-order functions),
+    indexing, slice + map-reduce. All codegen-eligible JVM expressions —
+    the building blocks the similarity operators compose."""
+    from ..operators.similarity import as_double
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    v = as_double("embedding")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("vec_sum"),
+        F.round(F.array_max(v), 4).alias("vec_max"),
+        F.round(F.element_at(v, 1), 4).alias("first_dim"),
+        F.round(
+            F.aggregate(
+                F.slice(v, 1, 8), F.lit(0.0), lambda a, x: a + x * x
+            ),
+            4,
+        ).alias("head_energy"),
+    )
