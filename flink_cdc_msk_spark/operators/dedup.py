@@ -123,35 +123,46 @@ def jaccard_pairs(
     ``max_token_freq`` prunes ultra-common tokens before the join — the
     standard skew guard at scale (a token in every doc creates an O(n²)
     join group; dropping tokens with df > cutoff bounds each group, at the
-    cost of slightly under-counting intersections — leave None for exact).
+    cost of under-counting intersections only — set sizes stay exact, so
+    the pruned jaccard is a strict underestimate; leave None for exact).
+
+    Plan shape: the per-doc set size is carried THROUGH the explode as a
+    sibling column (``size(toks)`` on the materialized array is free), so
+    the whole query is one corpus scan per join side + exactly two
+    shuffles (token self-join + pair groupBy) — no separate sizes
+    aggregation, no post-join with it (the former 6-exchange shape; this
+    one has 2, which is what matters at 100 TB).
     """
-    toks = distinct_tokens(df, text_col, id_col, ngram, hashed)
+    us = _unit_sets(df, text_col, id_col, ngram, hashed)
+    toks = (
+        us.select(
+            "id",
+            F.size("toks").cast("long").alias("sz"),
+            F.explode_outer("toks").alias("token"),
+        )
+        .filter(F.col("token").isNotNull())
+    )
     if max_token_freq is not None:
         freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-        toks = (
-            toks.join(freq.filter(F.col("df") <= max_token_freq), "token")
-            .select("id", "token")
+        toks = toks.join(
+            freq.filter(F.col("df") <= max_token_freq).select("token"),
+            "token",
         )
-    # sizes from the exploded tokens, not a separate map-side size(): the
-    # self-join below already shuffles `toks` on token, and Spark reuses
-    # that exchange — deriving sizes from it avoids a second corpus
-    # scan + re-shingling (measured faster at sf0.1, and at scale the
-    # rescan costs more than the extra small shuffle)
-    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = toks.alias("a")
     b = toks.alias("b")
-    inter = (
+    return (
         a.join(
             b,
             (F.col("a.token") == F.col("b.token"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .groupBy(
+            F.col("a.id").alias("id1"),
+            F.col("a.sz").alias("sz1"),
+            F.col("b.id").alias("id2"),
+            F.col("b.sz").alias("sz2"),
+        )
         .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    return (
-        inter.join(sizes.withColumnsRenamed({"id": "id1", "sz": "sz1"}), "id1")
-        .join(sizes.withColumnsRenamed({"id": "id2", "sz": "sz2"}), "id2")
         .withColumn(
             "jaccard",
             F.round(
