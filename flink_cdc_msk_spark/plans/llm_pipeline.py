@@ -505,3 +505,33 @@ def scalar_array_funcs(spark, sf_dir):
             4,
         ).alias("head_energy"),
     )
+
+
+@register(
+    "text_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT t.tok FROM documents,
+        unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+        AS t(tok)
+    )
+    SELECT tok, count(*) AS n
+    FROM toks GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+)
+def text_top_terms(spark, sf_dir):
+    """Corpus vocabulary head: explode tokens → count → global top-20
+    (deterministic tie-break on the token). The orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition top-k then a single-driver merge
+    of k·partitions rows, never a full global sort."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.explode_outer(T.tokens("text")).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(20)
+    )

@@ -1110,3 +1110,64 @@ def agg_corr_stats(spark, sf_dir):
         F.round(F.stddev_samp("l_discount"), 6).alias("discount_sd"),
         F.round(F.var_samp("l_tax"), 6).alias("tax_var"),
     )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(count(*) OVER w AS BIGINT) AS orders_30d,
+           round(sum(o_totalprice) OVER w, 2) AS revenue_30d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY CAST(epoch(o_orderdate) / 86400 AS BIGINT)
+                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """RANGE frame (value-based, not row-based): per customer, rolling
+    30-day order count + revenue. Range frames need a numeric/temporal
+    order key — epoch days here; one shuffle on the partition key, frame
+    evaluation is a per-partition sliding scan (no re-sort per row)."""
+    (o,) = _t(spark, sf_dir, "orders")
+    days = (F.unix_timestamp("o_orderdate") / 86400).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w).alias("orders_30d"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("revenue_30d"),
+    )
+
+
+@register(
+    "subquery_above_avg",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+    FROM orders o
+    WHERE o_totalprice > 1.5 * (
+      SELECT avg(o_totalprice) FROM orders i
+      WHERE i.o_custkey = o.o_custkey
+    )
+    """,
+)
+def subquery_above_avg(spark, sf_dir):
+    """Correlated-scalar-subquery semantics (orders 50% above their
+    customer's average) — planned as a window average over the customer
+    partition + filter: ONE shuffle instead of the naive
+    aggregate-then-rejoin (two)."""
+    (o,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+    )
