@@ -6,6 +6,7 @@ smoke-tested with availableNow triggers).
 
 from __future__ import annotations
 
+import pandas as pd  # module scope: pandas-UDF type hints must resolve here
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -269,3 +270,58 @@ def streaming_running_totals(spark, sf_dir):
         return spark.createDataFrame(final.collect(), final.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "pandas_grouped_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(median(value), 6) AS median_value,
+           round(mad(value), 6) AS mad_value,
+           round(exp(avg(ln(1 + value))) - 1, 6) AS geo_mean
+    FROM events GROUP BY event_type
+    """,
+)
+def pandas_grouped_stats(spark, sf_dir):
+    """The grouped-map + UDAF corner of the UDF surface (SURVEY.md Part B):
+    per-type robust statistics via ``applyInPandas`` (median + median
+    absolute deviation — order statistics Spark has no combinable
+    aggregate for) and a pandas-UDF UDAF (log-space geometric mean) in a
+    regular ``agg``. Arrow-batched both ways; groups are the 5 event
+    types, so the grouped-map shuffle is tiny — at scale the same shape
+    holds as long as group cardinality × group size fits one task (use
+    approx_percentile otherwise)."""
+    from pyspark.sql.functions import pandas_udf
+
+    ev = _ev(spark, sf_dir).select("event_type", "value")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        med = v.median()
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": [len(v)],
+                "median_value": [round(med, 6)],
+                "mad_value": [round((v - med).abs().median(), 6)],
+            }
+        )
+
+    grouped = ev.groupBy("event_type").applyInPandas(
+        stats,
+        "event_type string, n bigint, median_value double, mad_value double",
+    )
+
+    @pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.expm1(np.log1p(v).mean()))
+
+    udaf = ev.groupBy("event_type").agg(
+        F.round(geo_mean("value"), 6).alias("geo_mean")
+    )
+    return grouped.join(udaf, "event_type").select(
+        "event_type", "n", "median_value", "mad_value", "geo_mean"
+    )
