@@ -1171,3 +1171,67 @@ def subquery_above_avg(spark, sf_dir):
             F.round("o_totalprice", 2).alias("price"),
         )
     )
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+    """,
+)
+def set_intersect_all(spark, sf_dir):
+    """Multiset intersection (duplicates preserved up to the min of the
+    two multiplicities — the bag-semantics variant of set_intersect)."""
+    (o,) = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    b = o.filter(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz")
+    ).select("o_custkey")
+    return a.intersectAll(b)
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+    """,
+)
+def set_except_all(spark, sf_dir):
+    """Multiset difference (each right occurrence cancels one left
+    occurrence)."""
+    (o,) = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    b = o.filter(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz")
+    ).select("o_custkey")
+    return a.exceptAll(b)
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT l.l_orderkey, l.l_partkey, o.o_custkey
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 200000
+    """,
+)
+def join_salted_skew(spark, sf_dir):
+    """The salted-join operator under the oracle gate: same result set as
+    the plain equi-join (operators/skew.py guarantees inner-join
+    equivalence), with the fact side's hot keys spread over 8 deterministic
+    salt buckets. AQE's skew splitting handles moderate skew on its own —
+    salting is the explicit tool for pathological keys."""
+    from ..operators.skew import salted_join
+
+    li, o = _t(spark, sf_dir, "lineitem", "orders")
+    dim = o.filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+    )
+    return salted_join(
+        li.select("l_orderkey", "l_partkey"), dim, ["l_orderkey"], "inner",
+        salts=8,
+    )
