@@ -1003,8 +1003,8 @@ def scalar_json_funcs(spark, sf_dir):
     SELECT o_orderkey,
            abs(o_totalprice - 200000) AS dist_from_200k,
            round(o_totalprice, -3) AS price_k,
-           floor(o_totalprice / 1000) AS price_floor_k,
-           ceil(o_totalprice / 1000) AS price_ceil_k,
+           CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_floor_k,
+           CAST(ceil(o_totalprice / 1000) AS BIGINT) AS price_ceil_k,
            ((o_orderkey % 7) + 7) % 7 AS pmod7,
            round(sqrt(o_totalprice), 6) AS price_sqrt,
            round(ln(o_totalprice), 6) AS price_ln,

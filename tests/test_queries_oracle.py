@@ -67,6 +67,24 @@ def test_query_matches_oracle(spark, duck, name):
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column names differ: {spark_cols} vs {duck_cols}"
     )
+
+    def kinds(rows, cols):
+        """Per-column type kind (int/float/str/...) from the first
+        non-null value — mirrors the driver's schema comparison, which
+        the %.6g value normalization would otherwise mask (e.g. Spark
+        floor() returns BIGINT where DuckDB's returns DOUBLE)."""
+        out = {}
+        for i, c in enumerate(cols):
+            for row in rows:
+                if row[i] is not None:
+                    k = type(row[i]).__name__
+                    out[c] = {"int": "int", "float": "float"}.get(k, "other")
+                    break
+        return out
+
+    sk, dk = kinds(spark_rows, spark_cols), kinds(duck_rows, duck_cols)
+    diff = {c: (sk.get(c), dk.get(c)) for c in sk if c in dk and sk[c] != dk[c]}
+    assert not diff, f"{name}: column type kinds differ: {diff}"
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs oracle {len(duck_rows)}"
     )
