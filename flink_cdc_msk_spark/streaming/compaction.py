@@ -52,17 +52,40 @@ def latest_per_key(df: DataFrame, pk_cols: list[str]) -> DataFrame:
 
 
 class ParquetUpsertSink:
-    """foreachBatch target: maintains a latest-state parquet table."""
+    """foreachBatch target: maintains a latest-state parquet table.
 
-    def __init__(self, path: str, pk_cols: list[str]):
+    ``num_buckets=N`` partitions the state table by ``pmod(xxhash64(pk),
+    N)`` and each batch rewrites ONLY the buckets containing changed keys
+    (dynamic partition overwrite + partition-pruned read of the current
+    state). With B buckets and a batch touching k of them, merge I/O drops
+    from O(table) to O(table·k/B) — the property that keeps continuous
+    compaction affordable when the table is 1000× the batch. ``None``
+    keeps the simple full-rewrite (fine for small state)."""
+
+    def __init__(
+        self, path: str, pk_cols: list[str], num_buckets: int | None = None
+    ):
         self.path = path
         self.pk_cols = pk_cols
+        self.num_buckets = num_buckets
+
+    def _bucket(self) -> F.Column:
+        return F.pmod(
+            F.xxhash64(*[F.col(c) for c in self.pk_cols]),
+            F.lit(self.num_buckets),
+        ).cast("int")
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         changes = latest_per_key(
             parse_change_events(batch, self.pk_cols), self.pk_cols
         )
+        if self.num_buckets is None:
+            self._merge_full(spark, changes)
+        else:
+            self._merge_bucketed(spark, changes)
+
+    def _merge_full(self, spark, changes: DataFrame) -> None:
         try:
             current = spark.read.parquet(self.path)
             merged = latest_per_key(
@@ -76,6 +99,43 @@ class ParquetUpsertSink:
         live.count()
         live.write.mode("overwrite").parquet(self.path)
         live.unpersist()
+
+    def _merge_bucketed(self, spark, changes: DataFrame) -> None:
+        changes = changes.withColumn("bucket", self._bucket()).cache()
+        touched = [r.bucket for r in changes.select("bucket").distinct().collect()]
+        try:
+            current = spark.read.parquet(self.path).filter(
+                F.col("bucket").isin(touched)  # partition-pruned read
+            )
+            merged = latest_per_key(
+                current.unionByName(changes), self.pk_cols
+            )
+        except Exception:  # first batch: no table yet
+            merged = changes
+        live = merged.filter(F.col("op") != "d")
+        live.cache()
+        live.count()
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            # dynamic mode replaces ONLY the bucket= dirs present in `live`
+            live.write.mode("overwrite").partitionBy("bucket").parquet(
+                self.path
+            )
+            # a touched bucket whose keys were ALL deleted has no rows in
+            # `live` → dynamic overwrite skips it and stale rows would
+            # survive; explicitly empty those dirs
+            live_buckets = {
+                r.bucket for r in live.select("bucket").distinct().collect()
+            }
+            for b in set(touched) - live_buckets:
+                live.filter(F.lit(False)).drop("bucket").write.mode(
+                    "overwrite"
+                ).parquet(f"{self.path}/bucket={b}")
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            live.unpersist()
+            changes.unpersist()
 
 
 def start_compaction_stream(

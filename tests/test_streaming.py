@@ -267,6 +267,65 @@ def test_foreach_batch_compaction(spark, tmpdir):
     assert ups == 150 - 75  # %10==0 updated, half of those (%20==0) deleted
 
 
+def test_bucketed_compaction_matches_full(spark, tmpdir):
+    """Partition-aware upsert (rewrite only touched pk-hash buckets) must
+    produce exactly the same live state as the full-rewrite sink."""
+    events = synthesize_mysql_events(spark, SF_SMALL, with_updates=True)
+    src = f"{tmpdir}/cdc_b"
+    snapshot_then_stream_paths(events, src)
+    stream = spark.readStream.format("text").load(src)
+    sink = ParquetUpsertSink(f"{tmpdir}/state_b", ["o_orderkey"], num_buckets=8)
+    q = start_compaction_stream(
+        stream, sink, f"{tmpdir}/ckpt_compact_b", available_now=True
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(f"{tmpdir}/state_b")
+    assert got.count() == 1500 - 75
+    assert got.filter(F.col("op") == "u").count() == 150 - 75
+    # bucket layout exists and covers the keyspace
+    import os
+
+    assert any(d.startswith("bucket=") for d in os.listdir(f"{tmpdir}/state_b"))
+
+
+def test_bucketed_compaction_empties_fully_deleted_bucket(spark, tmpdir):
+    """A batch that deletes EVERY key of one bucket must empty that bucket
+    dir (dynamic partition overwrite alone would skip it)."""
+    import json as _json
+
+    def env(op, key, ts):
+        return _json.dumps(
+            {
+                "before": {"o_orderkey": key} if op == "d" else None,
+                "after": {"o_orderkey": key} if op != "d" else None,
+                "source": {"db": "test_db", "table": "orders"},
+                "op": op,
+                "ts_ms": ts,
+            }
+        )
+
+    sink = ParquetUpsertSink(f"{tmpdir}/state_e", ["o_orderkey"], num_buckets=2)
+    b1 = spark.createDataFrame(
+        [(env("c", k, 1),) for k in range(20)], "value string"
+    )
+    sink(b1, 0)
+    state1 = spark.read.parquet(f"{tmpdir}/state_e")
+    buckets = {
+        r.bucket: [x.o_orderkey for x in
+                   state1.filter(F.col("bucket") == r.bucket).collect()]
+        for r in state1.select("bucket").distinct().collect()
+    }
+    victim, keys = next(iter(buckets.items()))
+    b2 = spark.createDataFrame(
+        [(env("d", k, 2),) for k in keys], "value string"
+    )
+    sink(b2, 1)
+    state2 = spark.read.parquet(f"{tmpdir}/state_e")
+    assert state2.filter(F.col("bucket") == victim).count() == 0
+    assert state2.count() == 20 - len(keys)
+
+
 def test_restart_supervisor_retries(spark, tmpdir):
     calls = {"n": 0}
 
