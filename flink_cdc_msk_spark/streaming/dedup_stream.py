@@ -1,0 +1,181 @@
+"""Cross-batch streaming near-duplicate filtering (LLM-pipeline × CDC).
+
+``dropDuplicatesWithinWatermark`` handles EXACT keys inside a watermark
+horizon. A training-data ingest needs more: NEAR-duplicate suppression
+against everything already admitted, unbounded lookback. This module
+implements it as a foreachBatch stage over a persistent MinHash signature
+store:
+
+  per micro-batch:
+    1. signature the incoming docs (map-side MinHash, operators/dedup.py)
+    2. band-join them against the stored signature table → candidates
+    3. verify candidates with exact hashed-unit Jaccard
+    4. batch-internal dedup the survivors the same way
+    5. append admitted docs' signatures to the store; emit admitted docs
+
+At scale the store is the natural bottleneck — it is read via its band
+columns only (narrow projection) and grows by admitted docs only. The
+band join is linear in batch×store collision count, never batch×store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import _unit_sets, minhash_signatures
+
+
+def _banded(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    rows = num_hashes // bands
+    entries = []
+    for b in range(bands):
+        cols = [F.col(f"h{i}") for i in range(b * rows, (b + 1) * rows)]
+        entries.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket"))
+        )
+    return sigs.select(
+        "id", F.explode_outer(F.array(*entries)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+class StreamingNearDupFilter:
+    """foreachBatch target: admit only docs that are not near-dups of any
+    previously admitted doc (or of an earlier doc in the same batch).
+
+    ``store_path`` holds (id, band, bucket) rows of admitted docs —
+    the only state; ``out_path`` accumulates admitted (id, text) rows.
+    """
+
+    def __init__(
+        self,
+        store_path: str,
+        out_path: str,
+        threshold: float = 0.8,
+        num_hashes: int = 32,
+        bands: int = 8,
+        ngram: int = 3,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ):
+        self.store_path = store_path
+        self.out_path = out_path
+        self.threshold = threshold
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.ngram = ngram
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def _jaccard_ok(self, pairs: DataFrame, sets1: DataFrame, sets2: DataFrame) -> DataFrame:
+        """pairs(id1,id2) → those with jaccard >= threshold (near-dups)."""
+        return (
+            pairs.join(
+                sets1.withColumnsRenamed({"id": "id1", "toks": "toks1"}), "id1"
+            )
+            .join(sets2.withColumnsRenamed({"id": "id2", "toks": "toks2"}), "id2")
+            .filter(
+                F.size(F.array_intersect("toks1", "toks2"))
+                / F.size(F.array_union("toks1", "toks2"))
+                >= self.threshold
+            )
+            .select("id1", "id2")
+        )
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.select(self.id_col, self.text_col).cache()
+        sigs = minhash_signatures(
+            batch, self.num_hashes, self.text_col, self.id_col, self.ngram
+        )
+        banded = _banded(sigs, self.num_hashes, self.bands).cache()
+        sets = _unit_sets(
+            batch, self.text_col, self.id_col, self.ngram, hashed=True
+        ).cache()
+
+        # --- cross-batch: candidates vs the persistent store
+        dup_vs_store = None
+        try:
+            store = spark.read.parquet(self.store_path)
+            cand = (
+                banded.alias("n")
+                .join(
+                    store.alias("s"),
+                    (F.col("n.band") == F.col("s.band"))
+                    & (F.col("n.bucket") == F.col("s.bucket")),
+                )
+                .select(F.col("n.id").alias("id1"), F.col("s.id").alias("id2"))
+                .distinct()
+            )
+            stored_sets = _unit_sets(
+                spark.read.parquet(self.out_path),
+                self.text_col,
+                self.id_col,
+                self.ngram,
+                hashed=True,
+            )
+            dup_vs_store = self._jaccard_ok(cand, sets, stored_sets).select(
+                F.col("id1").alias("id")
+            )
+        except Exception:  # first batch: no store yet
+            pass
+
+        survivors = (
+            batch.join(
+                dup_vs_store,
+                F.col(self.id_col) == dup_vs_store["id"],
+                "left_anti",
+            )
+            if dup_vs_store is not None
+            else batch
+        )
+
+        # --- batch-internal: keep the lowest id of each near-dup group
+        sb = banded.join(
+            survivors.select(F.col(self.id_col).alias("id")), "id"
+        )
+        internal = (
+            sb.alias("x")
+            .join(
+                sb.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.id") < F.col("y.id")),
+            )
+            .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
+            .distinct()
+        )
+        internal_dups = self._jaccard_ok(internal, sets, sets).select(
+            F.col("id2").alias("id")  # the higher id of each pair drops
+        ).distinct()
+        admitted = survivors.join(
+            internal_dups,
+            F.col(self.id_col) == internal_dups["id"],
+            "left_anti",
+        ).cache()
+
+        # --- persist: admitted docs + their band rows (reuse the already-
+        # computed banded signatures — no third signature pass)
+        admitted.write.mode("append").parquet(self.out_path)
+        banded.join(
+            admitted.select(F.col(self.id_col).alias("id")), "id"
+        ).write.mode("append").parquet(self.store_path)
+
+        for df in (admitted, sets, banded, batch):
+            df.unpersist()
+
+
+def start_near_dup_stream(
+    doc_stream: DataFrame,
+    filt: StreamingNearDupFilter,
+    checkpoint: str,
+    available_now: bool = False,
+):
+    writer = (
+        doc_stream.writeStream.foreachBatch(filt)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -355,3 +355,58 @@ def test_restart_supervisor_retries(spark, tmpdir):
     with pytest.raises(RuntimeError):
         sup2.run(always_fail)
     assert calls["n"] == 2
+
+
+def test_streaming_near_dup_filter_across_batches(spark, tmpdir):
+    """Cross-batch near-dup suppression: batch 2's near-copy of a batch-1
+    doc must be rejected; its genuinely-new doc admitted; batch-1-internal
+    near-dups keep only the lowest id. Unbounded lookback via the
+    signature store — beyond dropDuplicatesWithinWatermark."""
+    import os
+
+    from flink_cdc_msk_spark.streaming.dedup_stream import (
+        StreamingNearDupFilter,
+        start_near_dup_stream,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the cat watches from the warm stone wall near the gate"
+    )
+    other = (
+        "completely different content about spark structured streaming "
+        "state stores and watermark semantics for large scale pipelines"
+    )
+    third = (
+        "yet another unique document discussing minhash banding theory "
+        "and the probability of candidate collisions at given thresholds"
+    )
+    src = f"{tmpdir}/neardup_src"
+    os.makedirs(src)
+    # batch A: doc 1, its near-dup 2 (suffix), unique 3
+    with open(f"{src}/a.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": base}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": base + " zz yy"}) + "\n")
+        f.write(json.dumps({"doc_id": 3, "text": other}) + "\n")
+    # batch B: near-dup of doc 1 again, plus unique 5
+    with open(f"{src}/b.json", "w") as f:
+        f.write(json.dumps({"doc_id": 4, "text": base + " ww vv"}) + "\n")
+        f.write(json.dumps({"doc_id": 5, "text": third}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    filt = StreamingNearDupFilter(
+        f"{tmpdir}/nd_store", f"{tmpdir}/nd_out", threshold=0.7
+    )
+    q = start_near_dup_stream(
+        stream, filt, f"{tmpdir}/ckpt_nd", available_now=True
+    )
+    q.awaitTermination(180)
+
+    admitted = sorted(
+        r.doc_id for r in spark.read.parquet(f"{tmpdir}/nd_out").collect()
+    )
+    assert admitted == [1, 3, 5]
