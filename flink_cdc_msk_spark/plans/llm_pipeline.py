@@ -535,3 +535,90 @@ def text_top_terms(spark, sf_dir):
         .orderBy(F.desc("n"), "tok")
         .limit(20)
     )
+
+
+@register(
+    "embedding_quantize",
+    oracle="""
+    SELECT vec_id,
+           round(list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))), 6) AS scale_max,
+           list_transform(embedding, x -> CAST(round(
+                 CAST(x AS DOUBLE) * 127 / nullif(list_max(list_transform(
+                     embedding, y -> abs(CAST(y AS DOUBLE)))), 0)
+           ) AS BIGINT)) AS q8
+    FROM embeddings
+    """,
+)
+def embedding_quantize(spark, sf_dir):
+    """Symmetric int8 quantization (per-vector absmax scaling) — the
+    storage/bandwidth stage of an embedding pipeline. Map-only; the scale
+    rides along so dequantization is lossless up to rounding. The absmax
+    is materialized in its own projection (HOF-inlining trap otherwise)."""
+    from ..operators.similarity import as_double
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    base = emb.select(
+        "vec_id",
+        as_double("embedding").alias("_v"),
+    ).select(
+        "vec_id",
+        "_v",
+        F.array_max(F.transform("_v", lambda x: F.abs(x))).alias("_m"),
+    )
+    return base.select(
+        "vec_id",
+        F.round(F.col("_m"), 6).alias("scale_max"),
+        F.transform(
+            "_v",
+            lambda x: F.round(x * 127 / F.nullif(F.col("_m"), F.lit(0.0)))
+            .cast("bigint"),
+        ).alias("q8"),
+    )
+
+
+@register(
+    "text_chunking",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(s.i AS BIGINT) AS chunk_no,
+           array_to_string(toks[(s.i * 64 + 1):(s.i * 64 + 96)], ' ') AS chunk,
+           CAST(len(toks[(s.i * 64 + 1):(s.i * 64 + 96)]) AS BIGINT)
+             AS chunk_tokens
+    FROM t, (SELECT unnest(generate_series(0, 100)) AS i) s
+    WHERE s.i * 64 < len(toks)
+    """,
+)
+def text_chunking(spark, sf_dir):
+    """Sliding-window document chunking (96-token chunks, 64-token
+    stride — 32-token overlap), the context-window prep stage. One corpus
+    scan, chunks exploded map-side; the token array is materialized once
+    per doc (HOF-inlining trap otherwise)."""
+    d = _docs(spark, sf_dir)
+    base = d.select("doc_id", T.tokens("text").alias("_t"))
+    n_chunks = F.ceil(F.size("_t") / 64).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("bigint").alias("chunk_no"),
+            F.concat_ws(" ", F.slice("_t", i * 64 + 1, 96)).alias("chunk"),
+            F.size(F.slice("_t", i * 64 + 1, 96)).cast("bigint").alias(
+                "chunk_tokens"
+            ),
+        ),
+    )
+    return (
+        base.filter(F.size("_t") >= 1)
+        .select("doc_id", F.explode_outer(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_no").alias("chunk_no"),
+            F.col("c.chunk").alias("chunk"),
+            F.col("c.chunk_tokens").alias("chunk_tokens"),
+        )
+    )
