@@ -1235,3 +1235,32 @@ def join_salted_skew(spark, sf_dir):
         li.select("l_orderkey", "l_partkey"), dim, ["l_orderkey"], "inner",
         salts=8,
     )
+
+
+@register("agg_hll_sketch")  # sketch estimates are engine-specific → rows-only
+def agg_hll_sketch(spark, sf_dir):
+    """Mergeable HLL sketches (Datasketches): per-status sketch of
+    distinct customers, unioned across statuses — the at-scale distinct
+    pattern: sketches are tiny, partial-aggregate map-side, and REUSABLE
+    (store per-partition sketches once, merge for any rollup later,
+    instead of rescanning for every approx_count_distinct). Error bound
+    vs exact asserted in pytest."""
+    (o,) = _t(spark, sf_dir, "orders")
+    per_status = o.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count(F.lit(1)).alias("rows_cnt"),
+    )
+    return per_status.select(
+        "o_orderstatus",
+        "rows_cnt",
+        F.hll_sketch_estimate("sk").alias("distinct_customers_est"),
+    ).unionByName(
+        per_status.agg(
+            F.hll_union_agg("sk").alias("u"),
+            F.sum("rows_cnt").alias("rows_cnt"),
+        ).select(
+            F.lit("ALL").alias("o_orderstatus"),
+            "rows_cnt",
+            F.hll_sketch_estimate("u").alias("distinct_customers_est"),
+        )
+    )

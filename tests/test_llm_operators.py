@@ -377,3 +377,22 @@ def test_kafka_source_option_assembly():
         CDCParams(position="timestamp:1700000000000"), "t"
     )
     assert ts["startingTimestamp"] == "1700000000000"
+
+
+def test_hll_sketch_estimates_within_error(spark):
+    import __spark_entry__ as E
+
+    rows = {
+        r.o_orderstatus: r.distinct_customers_est
+        for r in E.queries()["agg_hll_sketch"](spark, SF_SMALL).collect()
+    }
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    exact_all = o.select("o_custkey").distinct().count()
+    # HLL default lgConfigK=12 → ~1.6% relative standard error; allow 5%
+    assert abs(rows["ALL"] - exact_all) / exact_all < 0.05
+    for st in set(rows) - {"ALL"}:
+        exact = (
+            o.filter(F.col("o_orderstatus") == st)
+            .select("o_custkey").distinct().count()
+        )
+        assert abs(rows[st] - exact) / max(exact, 1) < 0.05
