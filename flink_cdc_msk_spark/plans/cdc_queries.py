@@ -201,7 +201,11 @@ def streaming_route_keys(spark, sf_dir):
     try:
         snapshot_then_stream_paths(events, f"{d}/src")
         routed = route_stream_from_directory(
-            spark, f"{d}/src", ORDERS_ROUTING, topic_prefix="cdc_"
+            spark,
+            f"{d}/src",
+            ORDERS_ROUTING,
+            max_files_per_trigger=None,  # bulk replay: one micro-batch
+            topic_prefix="cdc_",
         )
         name = f"stream_route_{uuid.uuid4().hex[:8]}"
         q = (

@@ -28,26 +28,30 @@ from ..config import TableRouting
 from ..operators.route import route_mysql_cdc
 
 
-def stream_lines_from_directory(spark: SparkSession, path: str) -> DataFrame:
+def stream_lines_from_directory(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
     """Text-file stream → DataFrame[value: string] (one JSON line per
-    record), mirroring the reference's DataStreamSource[String]."""
-    return (
-        spark.readStream.format("text")
-        .option("maxFilesPerTrigger", "1")  # one file = one micro-batch
-        .load(path)
-        .withColumnRenamed("value", "value")
-    )
+    record), mirroring the reference's DataStreamSource[String].
+    ``max_files_per_trigger=1`` (default) makes each file a micro-batch
+    (good for tests that need watermark/state progression); ``None``
+    ingests everything available per trigger (bulk replay)."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path).withColumnRenamed("value", "value")
 
 
 def route_stream_from_directory(
     spark: SparkSession,
     path: str,
     routing: TableRouting,
+    max_files_per_trigger: int | None = 1,
     **route_kwargs,
 ) -> DataFrame:
     """File-stream of Debezium JSON lines → routed CDC records (streaming
     DataFrame, ready for writeStream to kafka/memory/parquet)."""
-    lines = stream_lines_from_directory(spark, path)
+    lines = stream_lines_from_directory(spark, path, max_files_per_trigger)
     return route_mysql_cdc(lines, routing, **route_kwargs)
 
 
