@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..config import TableRouting
-from ..envelope import MONGO_ENVELOPE_SCHEMA, MYSQL_ENVELOPE_SCHEMA
+from ..envelope import MONGO_ENVELOPE_SCHEMA, MYSQL_ENVELOPE_ROUTE_SCHEMA
 from ..functions.java_hash import java_partition
 
 # Reference regex for Mongo `_id` (scalar or nested object), scala:86.
@@ -125,7 +125,9 @@ def route_mysql_cdc(
         # A12: `source.rebalance` (scala:95) — round-robin skew breaker.
         df = df.repartition(rebalance)
 
-    env = F.from_json(F.col(value_col), MYSQL_ENVELOPE_SCHEMA)
+    # pruned schema: parses only the fields routing consumes (envelope.py
+    # note — Catalyst doesn't auto-prune nested from_json here)
+    env = F.from_json(F.col(value_col), MYSQL_ENVELOPE_ROUTE_SCHEMA)
     df = df.withColumn("_env", env).withColumns(
         {
             "db": F.col("_env.source.db"),

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..config import TableRouting
-from ..envelope import MYSQL_ENVELOPE_SCHEMA
+from ..envelope import MYSQL_ENVELOPE_COMPACT_SCHEMA
 from ..operators.route import route_mysql_cdc
 from ..sources.cdc_sim import synthesize_mysql_events
 from .registry import register
@@ -88,7 +88,7 @@ def cdc_latest_state(spark, sf_dir):
     partial combine and skips the per-key sort — at 100 TB the hot keys of
     a skewed CDC feed partial-aggregate down before the shuffle."""
     events = synthesize_mysql_events(spark, sf_dir)
-    env = F.from_json("value", MYSQL_ENVELOPE_SCHEMA).alias("env")
+    env = F.from_json("value", MYSQL_ENVELOPE_COMPACT_SCHEMA).alias("env")
     parsed = events.select(env).select(
         F.try_element_at("env.after", F.lit("o_orderkey"))
         .cast("bigint")

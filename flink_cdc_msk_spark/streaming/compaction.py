@@ -19,13 +19,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..envelope import MYSQL_ENVELOPE_SCHEMA
+from ..envelope import MYSQL_ENVELOPE_COMPACT_SCHEMA
 
 
 def parse_change_events(batch: DataFrame, pk_cols: list[str]) -> DataFrame:
     """Envelope JSON lines → (pk..., op, ts_ms, payload map) — delete-aware
     key extraction (before for d, after otherwise; scala:113-121)."""
-    env = F.from_json("value", MYSQL_ENVELOPE_SCHEMA).alias("env")
+    env = F.from_json("value", MYSQL_ENVELOPE_COMPACT_SCHEMA).alias("env")
     side = F.when(F.col("env.op") == "d", F.col("env.before")).otherwise(
         F.col("env.after")
     )
