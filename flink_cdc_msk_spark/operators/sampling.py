@@ -1,0 +1,58 @@
+"""Deterministic sampling / mixture weighting (LLM-pipeline surface).
+
+Training-data pipelines need REPRODUCIBLE sampling: the same corpus +
+config must select the same rows on any cluster, any partitioning, any
+retry — which rules out RNG-based ``df.sample``/``sampleBy`` (seed is
+per-partition, so results change with partitioning). Instead: a pure
+arithmetic hash of the row id decides membership — map-side, no shuffle,
+no RNG, and expressible identically in any engine (the DuckDB oracle runs
+the same formula).
+
+Hash: Knuth multiplicative — ``(id * 2654435761) mod 2^32`` — then a
+percentile bucket ``mod 100``. Adequate spreading for sampling decisions;
+NOT a cryptographic guarantee.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+KNUTH = 2654435761  # 2^32 / golden ratio, Knuth multiplicative hashing
+
+
+def hash_bucket(id_col: Column | str, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets) from an integer id."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(
+        F.pmod(c * F.lit(KNUTH), F.lit(2**32)), F.lit(buckets)
+    ).cast("int")
+
+
+def hash_bucket_sql(expr: str, buckets: int = 100) -> str:
+    """The identical formula for a DuckDB oracle."""
+    return f"CAST((({expr} * {KNUTH}) % 4294967296) % {buckets} AS INTEGER)"
+
+
+def hash_sample(
+    df: DataFrame, pct: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep a deterministic ``pct``% of rows (by id bucket)."""
+    return df.filter(hash_bucket(id_col) < pct)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, int],
+    default_pct: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the mixture-weighting stage of
+    corpus assembly (e.g. upweight rare languages, downsample crawl data).
+    ``fractions`` maps stratum value → percent kept (0-100). Map-side
+    only: one filter expression, no shuffle, reproducible everywhere."""
+    pct: Column = F.lit(default_pct)
+    for value, p in sorted(fractions.items()):
+        pct = F.when(F.col(stratum_col) == value, F.lit(p)).otherwise(pct)
+    return df.filter(hash_bucket(id_col) < pct)

@@ -622,3 +622,32 @@ def text_chunking(spark, sf_dir):
             F.col("c.chunk_tokens").alias("chunk_tokens"),
         )
     )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(((doc_id * 2654435761) % 4294967296) % 100 AS INTEGER)
+             AS bucket
+    FROM documents
+    WHERE CAST(((doc_id * 2654435761) % 4294967296) % 100 AS INTEGER)
+          < CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 100
+                      WHEN 'de' THEN 75 ELSE 10 END
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic mixture weighting (corpus assembly): keep 30% of en,
+    100% of zh, 75% of de, 10% of everything else — decided by a pure
+    arithmetic id hash, identical on any engine/partitioning/retry (the
+    oracle runs the SAME formula; RNG sampling can't be cross-checked).
+    Map-side only: one filter, no shuffle."""
+    from ..operators.sampling import hash_bucket, stratified_sample
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    out = stratified_sample(
+        d, "lang", {"en": 30, "zh": 100, "de": 75}, default_pct=10
+    )
+    return out.select(
+        "doc_id", "lang", hash_bucket("doc_id").alias("bucket")
+    )

@@ -396,3 +396,73 @@ def test_hll_sketch_estimates_within_error(spark):
             .select("o_custkey").distinct().count()
         )
         assert abs(rows[st] - exact) / max(exact, 1) < 0.05
+
+
+def test_stratified_sample_proportions_and_determinism(spark, docs):
+    from flink_cdc_msk_spark.operators.sampling import (
+        hash_sample,
+        stratified_sample,
+    )
+
+    d = docs.select("doc_id", "lang")
+    s1 = stratified_sample(d, "lang", {"en": 30, "zh": 100}, default_pct=0)
+    s2 = stratified_sample(
+        d.repartition(7), "lang", {"en": 30, "zh": 100}, default_pct=0
+    )
+    # identical under different partitioning (RNG sampling would differ)
+    assert sorted(r.doc_id for r in s1.collect()) == sorted(
+        r.doc_id for r in s2.collect()
+    )
+    kept = {r.lang: r.cnt for r in
+            s1.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    total = {r.lang: r.cnt for r in
+             d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert kept.get("zh") == total["zh"]  # 100%
+    assert set(kept) <= {"en", "zh"}  # default 0% drops the rest
+    frac = kept.get("en", 0) / total["en"]
+    assert 0.15 < frac < 0.45  # ~30% with small-sample slack
+    # plain hash_sample: ~pct% overall
+    n = hash_sample(d, 50).count()
+    assert 0.35 < n / d.count() < 0.65
+
+
+def test_sharded_export_roundtrip_and_manifest(spark, docs):
+    import shutil
+    import tempfile
+
+    from flink_cdc_msk_spark.operators.export import write_training_shards
+
+    d = tempfile.mkdtemp(prefix="shards_")
+    try:
+        inp = docs.select("doc_id", "text")
+        write_training_shards(inp, d, n_shards=4)
+        back = spark.read.parquet(d)
+        # content round-trips exactly
+        assert sorted(r.doc_id for r in back.collect()) == sorted(
+            r.doc_id for r in inp.collect()
+        )
+        # manifest counts match the actual shard dirs
+        manifest = {
+            r.shard: r.rows
+            for r in spark.read.parquet(f"{d}/_manifest").collect()
+        }
+        actual = {
+            r.shard: r.cnt
+            for r in back.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        assert manifest == actual
+        assert sum(manifest.values()) == inp.count()
+        # deterministic shard assignment (retry-safe)
+        d2 = tempfile.mkdtemp(prefix="shards2_")
+        try:
+            write_training_shards(inp.repartition(5), d2, n_shards=4)
+            back2 = spark.read.parquet(d2)
+            a = sorted((r.doc_id, r.shard) for r in back.collect())
+            b = sorted((r.doc_id, r.shard) for r in back2.collect())
+            assert a == b
+        finally:
+            shutil.rmtree(d2, ignore_errors=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
