@@ -11,6 +11,7 @@ the collapse behavior is actually exercised.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import text as T
 from ..operators import dedup as D
@@ -650,4 +651,51 @@ def sample_stratified(spark, sf_dir):
     )
     return out.select(
         "doc_id", "lang", hash_bucket("doc_id").alias("bucket")
+    )
+
+
+@register(
+    "text_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT) AS cum_before
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(coalesce(cum_before, 0) // 2048 AS BIGINT) AS seq_id,
+           CAST(coalesce(cum_before, 0) % 2048 AS BIGINT) AS seq_offset
+    FROM c
+    """,
+)
+def text_pack_sequences(spark, sf_dir):
+    """Sequence packing (context-window assembly): assign docs, in stable
+    doc_id order, to 2048-token budget bins by cumulative token count —
+    seq_id/seq_offset tell the loader where each doc starts. Contiguous
+    packing (docs may straddle a boundary; the offset makes the split
+    explicit). Single global-ordered window — at scale, run per
+    partition-key (e.g. per shard from write_training_shards) so the
+    cumsum never needs a global sort."""
+    d = _docs(spark, sf_dir)
+    base = d.select("doc_id", T.token_count("text").alias("n_tokens"))
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / 2048)
+        .cast("bigint")
+        .alias("seq_id"),
+        F.pmod(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)), F.lit(2048))
+        .cast("bigint")
+        .alias("seq_offset"),
     )
