@@ -72,7 +72,8 @@ def brute_force_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+        .select("query_id", "vec_id",
+                (F.round("cos", 6) + F.lit(0.0)).alias("cos"), "rank")
     )
 
 
@@ -367,5 +368,6 @@ def ivf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+        .select("query_id", "vec_id",
+                (F.round("cos", 6) + F.lit(0.0)).alias("cos"), "rank")
     )

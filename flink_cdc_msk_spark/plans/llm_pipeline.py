@@ -180,7 +180,8 @@ def dedup_simhash(spark, sf_dir):
     SELECT query_id, vec_id, cos, rank FROM (
       SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
              round(list_cosine_similarity(q.embedding::DOUBLE[],
-                                          c.embedding::DOUBLE[]), 6) AS cos,
+                                          c.embedding::DOUBLE[]), 6) + 0
+               AS cos,
              CAST(row_number() OVER (
                PARTITION BY q.vec_id
                ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
@@ -469,15 +470,18 @@ def llm_prep_pipeline(spark, sf_dir):
 @register(
     "scalar_array_funcs",
     oracle="""
+    -- `+ 0` after every round: normalizes IEEE negative zero (DuckDB's
+    -- round yields -0.0 where Spark yields 0.0 — numerically equal,
+    -- hash/repr-different)
     SELECT vec_id,
            len(embedding) AS dim,
            round(list_sum(list_transform(embedding,
-                 x -> CAST(x AS DOUBLE))), 4) AS vec_sum,
+                 x -> CAST(x AS DOUBLE))), 4) + 0 AS vec_sum,
            round(list_max(list_transform(embedding,
-                 x -> CAST(x AS DOUBLE))), 4) AS vec_max,
-           round(CAST(embedding[1] AS DOUBLE), 4) AS first_dim,
+                 x -> CAST(x AS DOUBLE))), 4) + 0 AS vec_max,
+           round(CAST(embedding[1] AS DOUBLE), 4) + 0 AS first_dim,
            round(list_sum(list_transform(embedding[1:8],
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4)
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) + 0
              AS head_energy
     FROM embeddings
     """,
@@ -491,19 +495,22 @@ def scalar_array_funcs(spark, sf_dir):
 
     emb = load_tables(spark, sf_dir)["embeddings"]
     v = as_double("embedding")
+    z = F.lit(0.0)  # + 0.0 normalizes -0.0 (see oracle note)
     return emb.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.round(
-            F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 4
-        ).alias("vec_sum"),
-        F.round(F.array_max(v), 4).alias("vec_max"),
-        F.round(F.element_at(v, 1), 4).alias("first_dim"),
-        F.round(
-            F.aggregate(
-                F.slice(v, 1, 8), F.lit(0.0), lambda a, x: a + x * x
-            ),
-            4,
+        (F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 4) + z)
+        .alias("vec_sum"),
+        (F.round(F.array_max(v), 4) + z).alias("vec_max"),
+        (F.round(F.element_at(v, 1), 4) + z).alias("first_dim"),
+        (
+            F.round(
+                F.aggregate(
+                    F.slice(v, 1, 8), F.lit(0.0), lambda a, x: a + x * x
+                ),
+                4,
+            )
+            + z
         ).alias("head_energy"),
     )
 

@@ -1088,7 +1088,7 @@ def agg_percentiles(spark, sf_dir):
     "agg_corr_stats",
     oracle="""
     SELECT l_returnflag,
-           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(corr(l_quantity, l_extendedprice), 6) + 0 AS qty_price_corr,
            round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
            round(stddev_samp(l_discount), 6) AS discount_sd,
            round(var_samp(l_tax), 6) AS tax_var
@@ -1101,9 +1101,8 @@ def agg_corr_stats(spark, sf_dir):
     the group key."""
     (li,) = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
-            "qty_price_corr"
-        ),
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 6) + F.lit(0.0))
+        .alias("qty_price_corr"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
             "qty_price_covar"
         ),
