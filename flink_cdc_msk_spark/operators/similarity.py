@@ -82,53 +82,70 @@ def near_dup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 32,
 ) -> DataFrame:
-    """All (i<j) pairs with cosine >= threshold — exact, vectorized.
+    """All (i<j) pairs with cosine >= threshold — exact, vectorized,
+    **no driver collect anywhere in the lineage**.
 
-    The O(n²) dot products run as BLAS matrix multiplication inside an
-    Arrow-batched ``mapInPandas``: each corpus partition multiplies its
-    block of unit vectors against the broadcast unit matrix of the whole
-    corpus (~n·d·8 bytes: 64-dim × 10M vectors ≈ 5 GB — broadcastable
-    well past this workload's scale; beyond that, switch to
+    The corpus is packed into a single-row DataFrame executor-side
+    (``collect_list`` aggregation) and broadcast-joined onto ``n_blocks``
+    per-block row groups; each block then BLAS-multiplies its unit
+    vectors against the full unit matrix inside an Arrow-batched
+    ``mapInPandas``. The full matrix travels through Spark's broadcast
+    machinery exactly once per block task — never via a driver-side
+    ``collect()`` in user code (~n·d·8 bytes: 64-dim × 10M vectors
+    ≈ 5 GB — near the broadcast ceiling; beyond that, switch to
     :func:`lsh_near_dup_pairs`, which needs no full-matrix broadcast).
-    Map-only plan: no shuffle at all — each partition emits its pairs
-    directly."""
+    Plan shape: one shuffle to form blocks + one single-row broadcast;
+    pairs are emitted directly from the block tasks."""
     import numpy as np
 
-    rows = corpus.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    sc = corpus.sparkSession.sparkContext
-    b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat)
+    vecs = corpus.select(
+        F.col(id_col).alias("_id"), as_double(vec_col).alias("_v")
+    )
+    packed = vecs.agg(
+        F.collect_list(F.struct("_id", "_v")).alias("_all")
+    )
+    blocks = (
+        vecs.withColumn("_blk", F.pmod(F.xxhash64("_id"), F.lit(n_blocks)))
+        .groupBy("_blk")
+        .agg(F.collect_list(F.struct("_id", "_v")).alias("_rows"))
+    )
 
     def gen(batches):
         import pandas as pd
 
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            block = np.array(list(pdf[vec_col]), dtype=np.float64)
-            block /= np.linalg.norm(block, axis=1, keepdims=True)
-            sims = np.round(block @ b_mat.value.T, 6)
-            block_ids = pdf[id_col].to_numpy()
-            all_ids = b_ids.value
-            # fully vectorized pair extraction: one frame per Arrow batch,
-            # not one per row (the per-row version was allocation-bound)
-            mask = (all_ids[None, :] > block_ids[:, None]) & (
-                sims >= threshold
-            )
-            ki, js = np.nonzero(mask)
-            if len(ki):
-                yield pd.DataFrame(
-                    {
-                        "id1": block_ids[ki],
-                        "id2": all_ids[js],
-                        "cos": sims[ki, js],
-                    }
+            for _, row in pdf.iterrows():
+                all_rows = row["_all"]
+                all_ids = np.array(
+                    [r["_id"] for r in all_rows], dtype=np.int64
                 )
+                mat = np.array(
+                    [r["_v"] for r in all_rows], dtype=np.float64
+                )
+                mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+                blk = row["_rows"]
+                block_ids = np.array([r["_id"] for r in blk], dtype=np.int64)
+                block = np.array([r["_v"] for r in blk], dtype=np.float64)
+                block /= np.linalg.norm(block, axis=1, keepdims=True)
+                sims = np.round(block @ mat.T, 6)
+                # fully vectorized pair extraction: one frame per block,
+                # not one per row (the per-row version was allocation-bound)
+                mask = (all_ids[None, :] > block_ids[:, None]) & (
+                    sims >= threshold
+                )
+                ki, js = np.nonzero(mask)
+                if len(ki):
+                    yield pd.DataFrame(
+                        {
+                            "id1": block_ids[ki],
+                            "id2": all_ids[js],
+                            "cos": sims[ki, js],
+                        }
+                    )
 
-    return corpus.select(id_col, vec_col).mapInPandas(
+    return blocks.join(F.broadcast(packed)).mapInPandas(
         gen, "id1 long, id2 long, cos double"
     )
 

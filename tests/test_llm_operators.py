@@ -169,6 +169,22 @@ def test_numpy_and_catalyst_pair_scans_agree(spark, emb):
     assert a == b
 
 
+def test_near_dup_pairs_builds_without_driver_jobs(spark, emb):
+    """Scale-regression gate: constructing the near_dup_pairs plan must not
+    run any Spark job (the round-1 version collect()ed the whole corpus to
+    the driver at plan-build time — a driver OOM at scale). A job group
+    probe catches any eager action sneaking back into the lineage."""
+    sc = spark.sparkContext
+    group = "near-dup-lineage-probe"
+    sc.setJobGroup(group, "assert no jobs during plan construction")
+    try:
+        df = S.near_dup_pairs(emb, threshold=0.25)
+        df.explain  # plan exists, nothing executed
+    finally:
+        sc.setJobGroup("", "")
+    assert sc.statusTracker().getJobIdsForGroup(group) == []
+
+
 def test_ivf_recall_vs_brute_force(spark, emb):
     queries = emb.filter(F.col("vec_id") < 10)
     exact = {
