@@ -598,7 +598,8 @@ def embedding_quantize(spark, sf_dir):
            array_to_string(toks[(s.i * 64 + 1):(s.i * 64 + 96)], ' ') AS chunk,
            CAST(len(toks[(s.i * 64 + 1):(s.i * 64 + 96)]) AS BIGINT)
              AS chunk_tokens
-    FROM t, (SELECT unnest(generate_series(0, 100)) AS i) s
+    FROM t, unnest(generate_series(0,
+             CAST(ceil(len(toks) / 64.0) AS BIGINT) - 1)) AS s(i)
     WHERE s.i * 64 < len(toks)
     """,
 )
@@ -661,48 +662,74 @@ def sample_stratified(spark, sf_dir):
     )
 
 
+N_PACK_SHARDS = 16
+
+from ..operators.sampling import hash_bucket_sql as _hb_sql
+
+
 @register(
     "text_pack_sequences",
-    oracle="""
+    oracle=f"""
     WITH t AS (
       SELECT doc_id,
+             {_hb_sql('doc_id', N_PACK_SHARDS)} AS shard,
              CAST(len(list_filter(string_split(lower(text), ' '),
                                   x -> x <> '')) AS BIGINT) AS n_tokens
       FROM documents
     ), c AS (
-      SELECT doc_id, n_tokens,
-             CAST(sum(n_tokens) OVER (ORDER BY doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      SELECT doc_id, shard, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                   AS BIGINT) AS cum_before
       FROM t
     )
-    SELECT doc_id, n_tokens,
-           CAST(coalesce(cum_before, 0) // 2048 AS BIGINT) AS seq_id,
-           CAST(coalesce(cum_before, 0) % 2048 AS BIGINT) AS seq_offset
+    SELECT doc_id, shard, n_tokens,
+           CAST(cum_before // 2048 AS BIGINT) AS seq_id,
+           CAST(cum_before % 2048 AS BIGINT) AS seq_offset
     FROM c
     """,
 )
 def text_pack_sequences(spark, sf_dir):
-    """Sequence packing (context-window assembly): assign docs, in stable
-    doc_id order, to 2048-token budget bins by cumulative token count —
-    seq_id/seq_offset tell the loader where each doc starts. Contiguous
-    packing (docs may straddle a boundary; the offset makes the split
-    explicit). Single global-ordered window — at scale, run per
-    partition-key (e.g. per shard from write_training_shards) so the
-    cumsum never needs a global sort."""
+    """Sequence packing (context-window assembly): assign docs to
+    2048-token budget bins by cumulative token count, independently
+    within each of ``N_PACK_SHARDS`` deterministic hash shards (the same
+    Knuth id-hash family as ``operators/export.py`` /
+    ``operators/sampling.py``, so it cross-checks in DuckDB) —
+    (shard, seq_id, seq_offset) tell the loader where each doc starts.
+    Contiguous packing within a shard (docs may straddle a boundary; the
+    offset makes the split explicit).
+
+    Scale: the window partitions by shard, so the cumsum is one hash
+    shuffle + per-shard sorts — never a single-partition global sort
+    (plan-asserted in tests). ``N_PACK_SHARDS`` is the scale knob: pick
+    it so one shard's token stream fits an executor's sort budget;
+    each shard is an independent stream for a data-parallel loader.
+    Arithmetic is exact on BIGINT (integer ``div``/``pmod``, no double
+    rounding), so bin assignment is stable past 2^53 cumulative tokens."""
+    from ..operators.sampling import hash_bucket
+
     d = _docs(spark, sf_dir)
-    base = d.select("doc_id", T.token_count("text").alias("n_tokens"))
+    base = d.select(
+        "doc_id",
+        hash_bucket("doc_id", N_PACK_SHARDS).alias("shard"),
+        T.token_count("text").alias("n_tokens"),
+    )
     w = (
-        Window.orderBy("doc_id")
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return base.select(
+    c = base.withColumn(
+        "cum_before",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint"),
+    )
+    return c.select(
         "doc_id",
+        "shard",
         "n_tokens",
-        (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / 2048)
-        .cast("bigint")
-        .alias("seq_id"),
-        F.pmod(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)), F.lit(2048))
-        .cast("bigint")
-        .alias("seq_offset"),
+        F.expr("cum_before DIV 2048").cast("bigint").alias("seq_id"),
+        F.pmod(F.col("cum_before"), F.lit(2048)).cast("bigint").alias(
+            "seq_offset"
+        ),
     )

@@ -73,3 +73,19 @@ def test_partition_pruning_on_partitioned_layout(spark):
         assert q.count() == expect
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+def test_pack_sequences_has_no_global_sort(spark):
+    """Scale gate for text_pack_sequences: the packing cumsum must run as
+    a shard-partitioned window (hash shuffle + per-shard sorts), never an
+    Exchange SinglePartition funneling the whole corpus through one task
+    (the round-1 shape)."""
+    from flink_cdc_msk_spark.plans.llm_pipeline import text_pack_sequences
+
+    plan = (
+        text_pack_sequences(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(shard" in plan, plan
