@@ -186,49 +186,36 @@ def streaming_route_keys(spark, sf_dir):
     Structured Streaming (file source → availableNow trigger → memory
     sink) and checked against the SAME relational oracle — proving the
     engine's streaming and batch paths are one set of expressions
-    (SURVEY.md §3.4). Temp source dir + unique sink name per invocation."""
-    import shutil
-    import tempfile
-    import uuid
-
+    (SURVEY.md §3.4). The stream runs into a parquet file sink under a
+    session-scoped temp dir and the batch SCAN is returned — nothing is
+    collected to the driver here (the round-1 memory-sink shape
+    re-materialized the full routed output through the driver twice)."""
+    from ..streaming.materialize import session_tmpdir, stream_to_parquet
     from ..streaming.pipeline import (
         route_stream_from_directory,
         snapshot_then_stream_paths,
     )
 
     events = synthesize_mysql_events(spark, sf_dir)
-    d = tempfile.mkdtemp(prefix="stream_route_q_")
-    try:
-        snapshot_then_stream_paths(events, f"{d}/src")
-        routed = route_stream_from_directory(
-            spark,
-            f"{d}/src",
-            ORDERS_ROUTING,
-            max_files_per_trigger=None,  # bulk replay: one micro-batch
-            topic_prefix="cdc_",
-        )
-        name = f"stream_route_{uuid.uuid4().hex[:8]}"
-        q = (
-            routed.writeStream.format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{d}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-        op = F.get_json_object("value", "$.op").alias("op")
-        # materialize before the temp dir is removed
-        out = spark.table(name).select(
-            "db", F.col("table").alias("tbl"), "partition_key", "topic", op
-        )
-        return spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+    d = session_tmpdir("stream_route_q_")
+    snapshot_then_stream_paths(events, f"{d}/src")
+    routed = route_stream_from_directory(
+        spark,
+        f"{d}/src",
+        ORDERS_ROUTING,
+        max_files_per_trigger=None,  # bulk replay: one micro-batch
+        topic_prefix="cdc_",
+    )
+    scan = stream_to_parquet(routed, d)
+    op = F.get_json_object("value", "$.op").alias("op")
+    return scan.select(
+        "db", F.col("table").alias("tbl"), "partition_key", "topic", op
+    )
 
 
 @register(
     "cdc_mongo_route_keys",
-    oracle="""
+    oracle=r"""
     SELECT 'test_db' AS db,
            'orders' AS coll,
            'test_db.orders.' || pk AS partition_key,

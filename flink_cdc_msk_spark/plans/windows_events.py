@@ -231,45 +231,37 @@ def streaming_running_totals(spark, sf_dir):
     end-to-end and checked against a relational oracle: stream the events
     table through per-key running (count, sum) state, then take each
     key's final emitted row — which must equal the batch groupBy. Proves
-    arbitrary-state streaming produces exactly the batch semantics."""
-    import shutil
-    import tempfile
-    import uuid
+    arbitrary-state streaming produces exactly the batch semantics.
 
+    Update-mode state output can't go straight to a file sink, so the
+    stream appends each micro-batch via ``foreachBatch`` (idempotent
+    per-batch parquet dirs) and the final-row-per-key aggregation runs
+    over the batch SCAN — no driver-side collect (the round-1 shape
+    re-materialized the memory sink through the driver)."""
+    from ..streaming.materialize import (
+        session_tmpdir,
+        stream_foreach_batch_parquet,
+    )
     from ..streaming.stateful import running_totals
 
     ev = _ev(spark, sf_dir).select("event_type", "value")
-    d = tempfile.mkdtemp(prefix="stream_totals_q_")
-    try:
-        ev.write.mode("overwrite").json(f"{d}/src")
-        stream = spark.readStream.schema("event_type string, value double").json(
-            f"{d}/src"
+    d = session_tmpdir("stream_totals_q_")
+    ev.write.mode("overwrite").json(f"{d}/src")
+    stream = spark.readStream.schema("event_type string, value double").json(
+        f"{d}/src"
+    )
+    out = running_totals(stream, key="event_type", value_col="value")
+    scan = stream_foreach_batch_parquet(out, d, output_mode="update")
+    # final row per key = the one with the max running count
+    return (
+        scan.groupBy("key")
+        .agg(F.max_by(F.struct("n", "total"), "n").alias("s"))
+        .select(
+            "key",
+            F.col("s.n").alias("n"),
+            F.round(F.col("s.total"), 2).alias("total"),
         )
-        out = running_totals(stream, key="event_type", value_col="value")
-        name = f"running_{uuid.uuid4().hex[:8]}"
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{d}/ckpt")
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-        # final row per key = the one with the max running count
-        final = (
-            spark.table(name)
-            .groupBy("key")
-            .agg(F.max_by(F.struct("n", "total"), "n").alias("s"))
-            .select(
-                "key",
-                F.col("s.n").alias("n"),
-                F.round(F.col("s.total"), 2).alias("total"),
-            )
-        )
-        return spark.createDataFrame(final.collect(), final.schema)
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+    )
 
 
 @register(
