@@ -85,56 +85,84 @@ class ParquetUpsertSink:
         else:
             self._merge_bucketed(spark, changes)
 
-    def _merge_full(self, spark, changes: DataFrame) -> None:
+    def _read_current(self, spark) -> DataFrame | None:
+        """Scan of the current state table, or None on the first batch.
+        Only a genuinely-missing path means 'first batch' — any other
+        read failure (partial table after a crash, corrupt footer)
+        re-raises instead of silently discarding the state."""
+        from pyspark.errors import AnalysisException
+
         try:
-            current = spark.read.parquet(self.path)
-            merged = latest_per_key(
-                current.unionByName(changes), self.pk_cols
-            )
-        except Exception:  # first batch: no table yet
-            merged = changes
+            return spark.read.parquet(self.path)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return None
+            raise
+
+    def _swap_in(self, stage: str) -> None:
+        """Atomically (rename-level) replace the table dir with the staged
+        write. The staged dir is fully committed before the old table is
+        touched, so readers never see a partial table — the parquet
+        stand-in for a MERGE commit. (Local-FS rename; on an object-store
+        lake this sink is replaced by Delta/Iceberg MERGE anyway.)"""
+        import os
+        import shutil
+
+        old = f"{self.path}__old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(self.path):
+            os.rename(self.path, old)
+        os.rename(stage, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def _merge_full(self, spark, changes: DataFrame) -> None:
+        current = self._read_current(spark)
+        merged = (
+            changes
+            if current is None
+            else latest_per_key(current.unionByName(changes), self.pk_cols)
+        )
         live = merged.filter(F.col("op") != "d")
-        # stage-then-swap via overwrite; batch-atomic like a MERGE commit
-        live.cache()
-        live.count()
-        live.write.mode("overwrite").parquet(self.path)
-        live.unpersist()
+        # stage to a NEW dir (the plan still reads the live table), then swap
+        stage = f"{self.path}__stage"
+        live.write.mode("overwrite").parquet(stage)
+        self._swap_in(stage)
 
     def _merge_bucketed(self, spark, changes: DataFrame) -> None:
+        import os
+        import shutil
+
         changes = changes.withColumn("bucket", self._bucket()).cache()
         touched = [r.bucket for r in changes.select("bucket").distinct().collect()]
-        try:
-            current = spark.read.parquet(self.path).filter(
-                F.col("bucket").isin(touched)  # partition-pruned read
-            )
-            merged = latest_per_key(
-                current.unionByName(changes), self.pk_cols
-            )
-        except Exception:  # first batch: no table yet
+        current = self._read_current(spark)
+        if current is None:
             merged = changes
-        live = merged.filter(F.col("op") != "d")
-        live.cache()
-        live.count()
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            # dynamic mode replaces ONLY the bucket= dirs present in `live`
-            live.write.mode("overwrite").partitionBy("bucket").parquet(
-                self.path
+        else:
+            merged = latest_per_key(
+                current.filter(
+                    F.col("bucket").isin(touched)  # partition-pruned read
+                ).unionByName(changes),
+                self.pk_cols,
             )
-            # a touched bucket whose keys were ALL deleted has no rows in
-            # `live` → dynamic overwrite skips it and stale rows would
-            # survive; explicitly empty those dirs
-            live_buckets = {
-                r.bucket for r in live.select("bucket").distinct().collect()
-            }
-            for b in set(touched) - live_buckets:
-                live.filter(F.lit(False)).drop("bucket").write.mode(
-                    "overwrite"
-                ).parquet(f"{self.path}/bucket={b}")
+        live = merged.filter(F.col("op") != "d")
+        try:
+            # stage ONLY the touched buckets, then swap each bucket dir in:
+            # replaced buckets point at the staged write; a touched bucket
+            # whose keys were ALL deleted has no staged dir → its dir is
+            # removed. I/O stays O(touched buckets), and the live table is
+            # never read-and-overwritten in the same job.
+            stage = f"{self.path}__stage"
+            shutil.rmtree(stage, ignore_errors=True)
+            live.write.mode("overwrite").partitionBy("bucket").parquet(stage)
+            os.makedirs(self.path, exist_ok=True)
+            for b in touched:
+                src = f"{stage}/bucket={b}"
+                dst = f"{self.path}/bucket={b}"
+                shutil.rmtree(dst, ignore_errors=True)
+                if os.path.exists(src):
+                    os.rename(src, dst)
+            shutil.rmtree(stage, ignore_errors=True)
         finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-            live.unpersist()
             changes.unpersist()
 
 

@@ -26,6 +26,26 @@ from pyspark.sql import functions as F
 from ..operators.dedup import _unit_sets, minhash_signatures
 
 
+def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    """Scan of a state table, or None if it genuinely doesn't exist yet.
+    Any other read failure re-raises — a partial/corrupt store must fail
+    the batch (and be retried), not silently admit near-duplicates."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        msg = str(e)
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            # only empty batch dirs so far (a batch can admit zero docs)
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+        ):
+            return None
+        raise
+
+
 def _banded(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     rows = num_hashes // bands
     entries = []
@@ -93,10 +113,20 @@ class StreamingNearDupFilter:
             batch, self.text_col, self.id_col, self.ngram, hashed=True
         ).cache()
 
-        # --- cross-batch: candidates vs the persistent store
+        # --- cross-batch: candidates vs the persistent store. Rows from
+        # THIS batch_id are excluded: on a foreachBatch retry the store
+        # already holds the failed attempt's output, and without the
+        # exclusion every doc would match itself and be rejected.
+        store = _read_or_none(spark, self.store_path)
+        admitted_docs = _read_or_none(spark, self.out_path)
+        if store is not None:
+            store = store.filter(F.col("batch_id") != F.lit(batch_id))
+        if admitted_docs is not None:
+            admitted_docs = admitted_docs.filter(
+                F.col("batch_id") != F.lit(batch_id)
+            )
         dup_vs_store = None
-        try:
-            store = spark.read.parquet(self.store_path)
+        if store is not None and admitted_docs is not None:
             cand = (
                 banded.alias("n")
                 .join(
@@ -108,7 +138,7 @@ class StreamingNearDupFilter:
                 .distinct()
             )
             stored_sets = _unit_sets(
-                spark.read.parquet(self.out_path),
+                admitted_docs,
                 self.text_col,
                 self.id_col,
                 self.ngram,
@@ -117,8 +147,6 @@ class StreamingNearDupFilter:
             dup_vs_store = self._jaccard_ok(cand, sets, stored_sets).select(
                 F.col("id1").alias("id")
             )
-        except Exception:  # first batch: no store yet
-            pass
 
         survivors = (
             batch.join(
@@ -155,11 +183,20 @@ class StreamingNearDupFilter:
         ).cache()
 
         # --- persist: admitted docs + their band rows (reuse the already-
-        # computed banded signatures — no third signature pass)
-        admitted.write.mode("append").parquet(self.out_path)
+        # computed banded signatures — no third signature pass). Each batch
+        # owns a batch_id= subdirectory written with overwrite semantics,
+        # so a RETRIED batch replaces its own prior output instead of
+        # appending duplicate docs/band rows (foreachBatch gives
+        # at-least-once invocation; idempotent writes restore effective
+        # exactly-once).
+        admitted.write.mode("overwrite").parquet(
+            f"{self.out_path}/batch_id={batch_id}"
+        )
         banded.join(
             admitted.select(F.col(self.id_col).alias("id")), "id"
-        ).write.mode("append").parquet(self.store_path)
+        ).write.mode("overwrite").parquet(
+            f"{self.store_path}/batch_id={batch_id}"
+        )
 
         for df in (admitted, sets, banded, batch):
             df.unpersist()

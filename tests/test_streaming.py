@@ -410,3 +410,27 @@ def test_streaming_near_dup_filter_across_batches(spark, tmpdir):
         r.doc_id for r in spark.read.parquet(f"{tmpdir}/nd_out").collect()
     )
     assert admitted == [1, 3, 5]
+
+
+def test_near_dup_filter_batch_retry_is_idempotent(spark, tmpdir):
+    """foreachBatch is at-least-once: re-invoking the SAME batch_id (a
+    retry) must not duplicate admitted docs or band rows — each batch
+    owns an overwrite-mode batch_id= dir."""
+    from flink_cdc_msk_spark.streaming.dedup_stream import (
+        StreamingNearDupFilter,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+         (2, "totally different words about distributed query engines")],
+        "doc_id long, text string",
+    )
+    filt = StreamingNearDupFilter(
+        f"{tmpdir}/r_store", f"{tmpdir}/r_out", threshold=0.7
+    )
+    filt(docs, batch_id=0)
+    filt(docs, batch_id=0)  # simulated retry of the same micro-batch
+    out = spark.read.parquet(f"{tmpdir}/r_out")
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2]
+    store = spark.read.parquet(f"{tmpdir}/r_store")
+    assert store.count() == store.dropDuplicates(["id", "band", "bucket"]).count()
