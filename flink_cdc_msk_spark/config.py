@@ -112,7 +112,26 @@ class CDCParams:
         return opts
 
 
-def parse_kafka_startup_position(position: str) -> dict[str, str]:
+BINLOG_POS_DEFAULT = 4  # reference: pos defaults to 4 (scala:233-238)
+
+
+def parse_binlog_position(position: str) -> tuple[str, int]:
+    """``file:<binlog-file>[:<pos>]`` → (file, pos); pos defaults to 4
+    (the first event after the binlog magic header, matching the
+    reference's ``StartupOptions.specificOffset`` default,
+    MySQLCDC2AWSMSK.scala:229-238)."""
+    body = position.split(":", 1)[1]
+    if ":" in body:
+        file, pos_s = body.rsplit(":", 1)
+        return file, int(pos_s)
+    return body, BINLOG_POS_DEFAULT
+
+
+def parse_kafka_startup_position(
+    position: str,
+    topic: str | None = None,
+    binlog_offset_index: dict[int, int] | None = None,
+) -> dict[str, str]:
     """Map the reference's startup-position grammar (scala:224-244) onto
     Spark Kafka-source options (SURVEY.md A2-A6).
 
@@ -120,17 +139,63 @@ def parse_kafka_startup_position(position: str) -> dict[str, str]:
                     see sources/jdbc.py)
     ``latest``    → latest
     ``timestamp:<ms>`` → startingTimestamp
-    ``file[:pos]`` / ``gtid:<set>`` → no Kafka analog; documented unsupported
-    (a Debezium-topic replay has its own offsets).
+    ``file[:pos]`` (A4) → binlog coordinates are a MySQL-wire concept, so a
+        Debezium-topic replay maps them in one of two ways:
+
+        - With ``binlog_offset_index`` (a ``{kafka_partition: kafka_offset}``
+          map recorded by whatever tracks the topic — e.g. the consumer
+          checkpoint that saw the binlog position commit) and ``topic``:
+          explicit per-partition ``startingOffsets`` JSON — the efficient
+          resume, no re-read.
+        - Without an index: ``startingOffsets=earliest`` and the EXACT
+          cut is enforced on the event payload via
+          :func:`binlog_resume_filter` (Debezium envelopes carry
+          ``source.file``/``source.pos``), which
+          ``sources/kafka.read_cdc_stream`` applies automatically. Exact
+          semantics at the cost of scanning the topic head — the
+          documented trade until an offset index exists.
+
+    ``gtid:<set>`` → no Kafka analog (GTID sets don't order against topic
+    offsets without a MySQL connection); documented unsupported — use
+    ``timestamp:<ms>`` for resume-after-failover.
     """
+    import json as _json
+
     if position == "initial":
         return {"startingOffsets": "earliest"}
     if position == "latest":
         return {"startingOffsets": "latest"}
     if position.startswith("timestamp:"):
         return {"startingTimestamp": position.split(":", 1)[1]}
+    if position.startswith("file:"):
+        if binlog_offset_index is not None and topic:
+            per_part = {
+                str(p): int(o) for p, o in sorted(binlog_offset_index.items())
+            }
+            return {"startingOffsets": _json.dumps({topic: per_part})}
+        parse_binlog_position(position)  # validate the grammar eagerly
+        return {"startingOffsets": "earliest"}
     raise ValueError(
         f"startup position {position!r} has no Kafka-source analog "
-        "(binlog file/pos and GTID are MySQL-wire concepts; replaying a "
-        "Debezium topic uses Kafka offsets instead)"
+        "(GTID sets are MySQL-wire concepts; use timestamp:<ms> or an "
+        "explicit binlog file:pos)"
+    )
+
+
+def binlog_resume_filter(position: str):
+    """Column predicate implementing the exact ``file:pos`` cut on Debezium
+    envelope JSON: keep events at or after the requested binlog
+    coordinates. Binlog file names (``mysql-bin.NNNNNN``) are zero-padded
+    and rotate in lexicographic order, so string comparison orders files
+    correctly — the same total order MySQL itself uses."""
+    from pyspark.sql import functions as F
+
+    file, pos = parse_binlog_position(position)
+    ev_file = F.get_json_object("value", "$.source.file")
+    ev_pos = F.get_json_object("value", "$.source.pos").cast("long")
+    # events with no source block (e.g. synthetic snapshot rows) pass
+    return (
+        ev_file.isNull()
+        | (ev_file > file)
+        | ((ev_file == file) & (ev_pos >= pos))
     )

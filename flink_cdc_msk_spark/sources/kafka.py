@@ -12,29 +12,51 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..config import CDCParams, parse_kafka_startup_position
+from ..config import (
+    CDCParams,
+    binlog_resume_filter,
+    parse_kafka_startup_position,
+)
 
 
-def kafka_source_options(params: CDCParams, topic: str) -> dict[str, str]:
+def kafka_source_options(
+    params: CDCParams,
+    topic: str,
+    binlog_offset_index: dict[int, int] | None = None,
+) -> dict[str, str]:
     """Reader options for a Debezium topic, honoring the reference's
     startup-position grammar (A2-A6) and parallel-read sizing (A7/A8 →
-    minPartitions)."""
+    minPartitions). ``binlog_offset_index`` (if the caller tracked one)
+    turns an A4 ``file:pos`` resume into explicit per-partition
+    ``startingOffsets`` JSON instead of earliest+filter."""
     opts = {
         "kafka.bootstrap.servers": params.broker_list,
         "subscribe": topic,
         "minPartitions": str(params.parallel),
         "failOnDataLoss": "false",
     }
-    opts.update(parse_kafka_startup_position(params.position))
+    opts.update(
+        parse_kafka_startup_position(
+            params.position, topic=topic, binlog_offset_index=binlog_offset_index
+        )
+    )
     return opts
 
 
 def read_cdc_stream(
-    spark: SparkSession, params: CDCParams, topic: str
+    spark: SparkSession,
+    params: CDCParams,
+    topic: str,
+    binlog_offset_index: dict[int, int] | None = None,
 ) -> DataFrame:
     """→ streaming DataFrame[value: string] of envelope JSON lines, the
-    exact shape the route operator consumes."""
+    exact shape the route operator consumes. An A4 ``file:pos`` startup
+    without an offset index reads from earliest and applies the exact
+    binlog-coordinate cut on the envelope (config.binlog_resume_filter)."""
     reader = spark.readStream.format("kafka")
-    for k, v in kafka_source_options(params, topic).items():
+    for k, v in kafka_source_options(params, topic, binlog_offset_index).items():
         reader = reader.option(k, v)
-    return reader.load().selectExpr("CAST(value AS STRING) AS value")
+    out = reader.load().selectExpr("CAST(value AS STRING) AS value")
+    if params.position.startswith("file:") and binlog_offset_index is None:
+        out = out.filter(binlog_resume_filter(params.position))
+    return out

@@ -279,10 +279,80 @@ def test_startup_position_mapping():
     assert p("timestamp:1700000000000") == {  # A6
         "startingTimestamp": "1700000000000"
     }
-    # A4/A5: binlog file/GTID are MySQL-wire concepts — documented unsupported
-    for pos in ("mysql-bin.000003:4", "gtid:3E11FA47-71CA-11E1-9E33:1-5"):
-        with pytest.raises(ValueError):
-            p(pos)
+    # A5: GTID sets don't order against topic offsets — documented unsupported
+    with pytest.raises(ValueError):
+        p("gtid:3E11FA47-71CA-11E1-9E33:1-5")
+
+
+def test_startup_binlog_file_pos_mapping():
+    """A4 ``file[:pos]``: explicit per-partition offset JSON when an index
+    exists; earliest + exact envelope cut when it doesn't."""
+    import json
+
+    from flink_cdc_msk_spark.config import (
+        parse_binlog_position,
+        parse_kafka_startup_position as p,
+    )
+
+    assert parse_binlog_position("file:mysql-bin.000003:157") == (
+        "mysql-bin.000003", 157
+    )
+    # pos defaults to 4 (first event after the binlog magic header)
+    assert parse_binlog_position("file:mysql-bin.000003") == (
+        "mysql-bin.000003", 4
+    )
+    # with a tracked index: explicit startingOffsets JSON
+    opts = p(
+        "file:mysql-bin.000003:4",
+        topic="cdc_test_db",
+        binlog_offset_index={0: 1200, 1: 980},
+    )
+    assert json.loads(opts["startingOffsets"]) == {
+        "cdc_test_db": {"0": 1200, "1": 980}
+    }
+    # without an index: earliest; the exact cut comes from the envelope
+    # filter applied by read_cdc_stream
+    assert p("file:mysql-bin.000003:4") == {"startingOffsets": "earliest"}
+    with pytest.raises(ValueError):
+        parse_binlog_position("file:not-a-pos:xx")
+
+
+def test_binlog_resume_filter_cuts_at_coordinates(spark):
+    """The earliest+filter path is EXACT: events strictly before the
+    requested (file, pos) drop; later files and same-file>=pos keep;
+    source-less rows (snapshot stand-ins) pass."""
+    import json
+
+    from flink_cdc_msk_spark.config import binlog_resume_filter
+
+    rows = [
+        ("mysql-bin.000002", 9999, "early_file"),
+        ("mysql-bin.000003", 3, "same_file_before"),
+        ("mysql-bin.000003", 4, "at_cut"),
+        ("mysql-bin.000003", 500, "after_cut"),
+        ("mysql-bin.000010", 4, "later_file"),
+        (None, None, "snapshot"),
+    ]
+    df = spark.createDataFrame(
+        [
+            (
+                json.dumps(
+                    {"source": {"file": f, "pos": po}, "tag": tag}
+                    if f is not None
+                    else {"tag": tag}
+                ),
+            )
+            for f, po, tag in rows
+        ],
+        "value string",
+    )
+    kept = {
+        json.loads(r.value)["tag"]
+        for r in df.filter(
+            binlog_resume_filter("file:mysql-bin.000003:4")
+        ).collect()
+    }
+    assert kept == {"at_cut", "after_cut", "later_file", "snapshot"}
 
 
 def test_kafka_properties_passthrough():
