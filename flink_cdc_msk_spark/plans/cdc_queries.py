@@ -119,6 +119,93 @@ def cdc_latest_state(spark, sf_dir):
 
 
 @register(
+    "cdc_snapshot_then_stream",
+    oracle="""
+    WITH feed AS (
+        SELECT o_orderkey, o_custkey, 'r' AS op,
+               1699999000000 + o_orderkey AS ts_ms
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'u', 1700001000000 + o_orderkey
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey, NULL, 'd', 1700002000000 + o_orderkey
+        FROM orders WHERE o_orderkey % 20 = 0
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY o_orderkey ORDER BY ts_ms DESC) AS rn,
+             count(*) OVER (PARTITION BY o_orderkey) AS n_events
+      FROM feed
+    )
+    SELECT o_orderkey, o_custkey, op, ts_ms,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM ranked WHERE rn = 1 AND op <> 'd'
+    """,
+)
+def cdc_snapshot_then_stream(spark, sf_dir):
+    """A1 ``initial`` semantics end-to-end: the snapshot phase (op='r'
+    envelopes, source.snapshot=true, earlier ts_ms) lands in the stream
+    source and is drained by an availableNow run; then the live binlog
+    tail (u/d only) lands and a SECOND availableNow run resumes from the
+    SAME checkpoint — offset continuity across the snapshot→stream seam
+    is load-bearing: if the checkpoint didn't carry over, the snapshot
+    files would replay and the per-key ``n_events`` count (hash-checked
+    against the oracle) would be wrong. Output is the compacted latest
+    state per key (deletes drop), same shape as cdc_latest_state."""
+    from ..sources.cdc_sim import (
+        synthesize_mysql_changes_only,
+        synthesize_mysql_snapshot,
+    )
+    from ..streaming.materialize import session_tmpdir, stream_to_parquet
+    from ..streaming.pipeline import (
+        snapshot_then_stream_paths,
+        stream_lines_from_directory,
+    )
+
+    d = session_tmpdir("snap_stream_")
+    src = f"{d}/src"
+    # phase 1: snapshot files land, an availableNow run drains them
+    snapshot_then_stream_paths(synthesize_mysql_snapshot(spark, sf_dir), src)
+    lines = stream_lines_from_directory(spark, src, max_files_per_trigger=None)
+    stream_to_parquet(lines, d)
+    # phase 2: the binlog tail lands; the same checkpoint resumes past
+    # the already-processed snapshot files
+    synthesize_mysql_changes_only(spark, sf_dir).select("value").write.mode(
+        "append"
+    ).text(src)
+    scan = stream_to_parquet(lines, d)
+
+    env = F.from_json("value", MYSQL_ENVELOPE_COMPACT_SCHEMA).alias("env")
+    parsed = scan.select(env).select(
+        F.coalesce(
+            F.try_element_at("env.after", F.lit("o_orderkey")).cast("bigint"),
+            F.try_element_at("env.before", F.lit("o_orderkey")).cast("bigint"),
+        ).alias("o_orderkey"),
+        F.try_element_at("env.after", F.lit("o_custkey"))
+        .cast("bigint")
+        .alias("o_custkey"),
+        F.col("env.op").alias("op"),
+        F.col("env.ts_ms").alias("ts_ms"),
+    )
+    return (
+        parsed.groupBy("o_orderkey")
+        .agg(
+            F.max_by(F.struct("o_custkey", "op", "ts_ms"), "ts_ms").alias("s"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .filter(F.col("s.op") != "d")
+        .select(
+            "o_orderkey",
+            F.col("s.o_custkey").alias("o_custkey"),
+            F.col("s.op").alias("op"),
+            F.col("s.ts_ms").alias("ts_ms"),
+            "n_events",
+        )
+    )
+
+
+@register(
     "cdc_type_normalize",
     oracle="""
     SELECT o_orderkey,

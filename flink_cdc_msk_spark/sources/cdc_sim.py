@@ -20,13 +20,21 @@ from pyspark.sql import functions as F
 BASE_TS_MS = 1_700_000_000_000
 
 
-def _envelope(payload_cols, before, after, op: str, ts_off: int, key_col: str):
+def _envelope(
+    payload_cols,
+    before,
+    after,
+    op: str,
+    ts_off: int,
+    key_col: str,
+    snapshot: str = "false",
+):
     src = F.struct(
         F.lit("1.6.4.Final").alias("version"),
         F.lit("mysql").alias("connector"),
         F.lit("mysql_binlog_source").alias("name"),
         (F.lit(BASE_TS_MS + ts_off) + F.col(key_col)).alias("ts_ms"),
-        F.lit("false").alias("snapshot"),
+        F.lit(snapshot).alias("snapshot"),
         F.lit("test_db").alias("db"),
         F.lit(None).cast("string").alias("sequence"),
         F.lit("orders").alias("table"),
@@ -66,47 +74,85 @@ def synthesize_mysql_events(
         raise ValueError("CDC simulation currently synthesizes from orders")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
 
-    def payload(price_col):
-        # map<string,string>-shaped struct; decimal.handling.mode=string ⇒
-        # price as string (scala:248); DATETIME → "yyyy-MM-dd HH:mm:ss"
-        # (DebeziumConverter.java:20,82-105).
-        return F.struct(
-            F.col("o_orderkey").alias("o_orderkey"),
-            F.col("o_custkey").alias("o_custkey"),
-            F.col("o_orderstatus").alias("o_orderstatus"),
-            price_col.cast("string").alias("o_totalprice"),
-            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
-                "o_orderdate"
-            ),
-            F.col("o_orderpriority").alias("o_orderpriority"),
-        )
-
-    null_payload = F.lit(None).cast(
-        "struct<o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,"
-        "o_totalprice:string,o_orderdate:string,o_orderpriority:string>"
-    )
     inserts = o.select(
-        _envelope(o.columns, null_payload, payload(F.col("o_totalprice")),
+        _envelope(o.columns, _null_payload(), _payload(F.col("o_totalprice")),
                   "c", 0, "o_orderkey").alias("value")
     )
     if not with_updates:
         return inserts
+    return inserts.unionAll(_synthesize_changes(o))
 
+
+def _payload(price_col):
+    # map<string,string>-shaped struct; decimal.handling.mode=string ⇒
+    # price as string (scala:248); DATETIME → "yyyy-MM-dd HH:mm:ss"
+    # (DebeziumConverter.java:20,82-105).
+    return F.struct(
+        F.col("o_orderkey").alias("o_orderkey"),
+        F.col("o_custkey").alias("o_custkey"),
+        F.col("o_orderstatus").alias("o_orderstatus"),
+        price_col.cast("string").alias("o_totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+            "o_orderdate"
+        ),
+        F.col("o_orderpriority").alias("o_orderpriority"),
+    )
+
+
+def _null_payload():
+    return F.lit(None).cast(
+        "struct<o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,"
+        "o_totalprice:string,o_orderdate:string,o_orderpriority:string>"
+    )
+
+
+def _synthesize_changes(o: DataFrame) -> DataFrame:
     upd_rows = o.filter(F.col("o_orderkey") % 10 == 0)
     updates = upd_rows.select(
         _envelope(
             o.columns,
-            payload(F.col("o_totalprice")),
-            payload(F.round(F.col("o_totalprice") * 1.1, 2)),
+            _payload(F.col("o_totalprice")),
+            _payload(F.round(F.col("o_totalprice") * 1.1, 2)),
             "u", 1_000_000, "o_orderkey",
         ).alias("value")
     )
     del_rows = o.filter(F.col("o_orderkey") % 20 == 0)
     deletes = del_rows.select(
-        _envelope(o.columns, payload(F.col("o_totalprice")), null_payload,
+        _envelope(o.columns, _payload(F.col("o_totalprice")), _null_payload(),
                   "d", 2_000_000, "o_orderkey").alias("value")
     )
-    return inserts.unionAll(updates).unionAll(deletes)
+    return updates.unionAll(deletes)
+
+
+def synthesize_mysql_snapshot(
+    spark: SparkSession, sf_dir: str, table: str = "orders"
+) -> DataFrame:
+    """→ op='r' snapshot-read envelopes (the Debezium snapshot phase of
+    ``StartupOptions.initial()``, scala:225): every current row, with
+    ``source.snapshot='true'`` and ts_ms strictly BEFORE any change
+    event (BASE_TS_MS - 1_000_000 + key)."""
+    if table != "orders":
+        raise ValueError("CDC simulation currently synthesizes from orders")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.select(
+        _envelope(
+            o.columns,
+            _null_payload(),
+            _payload(F.col("o_totalprice")),
+            "r", -1_000_000, "o_orderkey",
+            snapshot="true",
+        ).alias("value")
+    )
+
+
+def synthesize_mysql_changes_only(
+    spark: SparkSession, sf_dir: str, table: str = "orders"
+) -> DataFrame:
+    """→ only the live u/d traffic (no inserts) — the post-snapshot binlog
+    tail for the snapshot-then-stream seam."""
+    if table != "orders":
+        raise ValueError("CDC simulation currently synthesizes from orders")
+    return _synthesize_changes(spark.read.parquet(f"{sf_dir}/orders.parquet"))
 
 
 def synthesize_mongo_events(
