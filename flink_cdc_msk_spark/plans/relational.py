@@ -610,14 +610,29 @@ def agg_distinct_exact(spark, sf_dir):
     )
 
 
-@register("agg_approx_distinct")  # no SQL oracle: HLL sketches differ by engine
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           1 AS est_in_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark, sf_dir):
-    """approx_count_distinct (HLL++). Rows-only driver check; pytest bounds
-    the relative error against the exact count instead."""
+    """approx_count_distinct (HLL++) next to the exact count. The raw HLL
+    estimate differs by engine, so what the oracle hash-checks is (a) the
+    exact counts and (b) an in-query assertion that the estimate lands
+    within 3 standard deviations of exact (rsd=0.02 → 6%) — the oracle
+    emits the constant 1, so an out-of-bound estimate fails the gate."""
     (li,) = _t(spark, sf_dir, "lineitem")
+    est = F.approx_count_distinct("l_partkey", 0.02)
+    exact = F.countDistinct("l_partkey")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+        exact.alias("exact_parts"),
+        F.when(F.abs(est - exact) / exact <= 0.06, 1)
+        .otherwise(0)
+        .alias("est_in_bound"),
     )
 
 
