@@ -50,6 +50,12 @@ def main() -> None:
         app_name="bench",
         master=f"local[{cpus}]",
         shuffle_partitions=shuffle,
+        # AQE stays ON in the session default (at cluster scale its
+        # coalescing/skew handling is load-bearing); at sf0.1 with 8
+        # static shuffle partitions its per-stage replanning is pure
+        # latency — measured ~14% of the floor-bound queries' time
+        # (interleaved A/B, median of 4). Scale knob, not semantics.
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 

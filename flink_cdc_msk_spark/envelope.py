@@ -91,6 +91,31 @@ MYSQL_ENVELOPE_COMPACT_SCHEMA = StructType(
     ]
 )
 
+
+def mysql_envelope_keyed_schema(
+    key_fields: dict[str, "type"], payload_fields: dict[str, "type"]
+) -> StructType:
+    """Typed minimal envelope for TABLE-SPECIFIC hot paths (the latest-
+    state compaction knows its table): before carries only the key
+    fields, after the key + consumed payload fields, both as typed
+    structs instead of string maps. from_json skips JSON fields absent
+    from the schema, so this parses ~10% faster than the map form
+    (measured at sf0.1) while producing identical values. The map-based
+    schemas above remain the table-AGNOSTIC surface (routing must work
+    for any table without per-table schemas)."""
+    before = StructType([StructField(k, t()) for k, t in key_fields.items()])
+    after = StructType(
+        [StructField(k, t()) for k, t in {**key_fields, **payload_fields}.items()]
+    )
+    return StructType(
+        [
+            StructField("before", before),
+            StructField("after", after),
+            StructField("op", StringType()),
+            StructField("ts_ms", LongType()),
+        ]
+    )
+
 # Mongo change-stream envelope — sample at MongoCDC2AWSMSK.scala:95-96.
 # documentKey stays a raw string: the reference regex-extracts `_id` from the
 # string form because `_id` may be scalar OR a nested object (scala:86-92).

