@@ -141,6 +141,38 @@ def jaccard_pairs(
     never enters the second shuffle. On near-dup corpora this removes
     most of the candidate volume at the cost of two multiplications.
     """
+    inter = _pair_intersections(
+        df, text_col, id_col, ngram, hashed, max_token_freq,
+        size_ratio=threshold,
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz1") + F.col("sz2") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def _pair_intersections(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ngram: int,
+    hashed: bool,
+    max_token_freq: int | None,
+    size_ratio: float | None,
+) -> DataFrame:
+    """Posting-list core shared by the set-similarity operators:
+    → (id1, sz1, id2, sz2, inter) for every co-occurring (i<j) doc pair.
+    ``size_ratio=τ`` applies the exact Jaccard prune (τ·max ≤ min) inside
+    each posting list; pass None for asymmetric measures (containment)
+    where large/small pairs are the signal, not noise."""
     us = _unit_sets(df, text_col, id_col, ngram, hashed)
     toks = (
         us.select(
@@ -157,7 +189,16 @@ def jaccard_pairs(
     )
     if max_token_freq is not None:
         posting = posting.filter(F.size("docs") <= max_token_freq)
-    th = F.lit(threshold)
+
+    def keep(p):
+        cond = p["id1"] < p["id2"]
+        if size_ratio is not None:
+            th = F.lit(size_ratio)
+            cond = (
+                cond & (p["sz1"] * th <= p["sz2"]) & (p["sz2"] * th <= p["sz1"])
+            )
+        return cond
+
     pairs = posting.select(
         F.explode(
             F.filter(
@@ -175,30 +216,44 @@ def jaccard_pairs(
                         ),
                     )
                 ),
-                lambda p: (p["id1"] < p["id2"])
-                & (p["sz1"] * th <= p["sz2"])
-                & (p["sz2"] * th <= p["sz1"]),
+                keep,
             )
         ).alias("p")
     )
+    return pairs.groupBy(
+        F.col("p.id1").alias("id1"),
+        F.col("p.sz1").alias("sz1"),
+        F.col("p.id2").alias("id2"),
+        F.col("p.sz2").alias("sz2"),
+    ).agg(F.count(F.lit(1)).alias("inter"))
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_token_freq: int | None = None,
+    ngram: int = 1,
+    hashed: bool = True,
+) -> DataFrame:
+    """All (i<j) pairs where the SMALLER unit set is ``threshold``-contained
+    in the larger: max-containment C = |A∩B| / min(|A|,|B|) >= τ — the
+    subset-duplication detector Jaccard misses (a short doc quoted inside
+    a long one has tiny Jaccard but containment ≈ 1; standard alongside
+    Jaccard in corpus dedup). Same posting-list plan as
+    :func:`jaccard_pairs` minus the size-ratio prune, which would delete
+    exactly the asymmetric pairs this operator exists to find."""
+    inter = _pair_intersections(
+        df, text_col, id_col, ngram, hashed, max_token_freq, size_ratio=None
+    )
     return (
-        pairs.groupBy(
-            F.col("p.id1").alias("id1"),
-            F.col("p.sz1").alias("sz1"),
-            F.col("p.id2").alias("id2"),
-            F.col("p.sz2").alias("sz2"),
+        inter.withColumn(
+            "containment",
+            F.round(F.col("inter") / F.least("sz1", "sz2"), 6),
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.col("sz1") + F.col("sz2") - F.col("inter")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id1", "id2", "jaccard")
+        .filter(F.col("containment") >= threshold)
+        .select("id1", "id2", "containment")
     )
 
 

@@ -150,6 +150,45 @@ def dedup_token_jaccard(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH docs AS (
+      {DOCS_WITH_NEAR_DUPS_SQL}
+    ), arrs AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '') AS a
+      FROM docs
+    ), sh AS (
+      SELECT doc_id AS id, s.sh AS token
+      FROM arrs, unnest(list_distinct(list_transform(
+        generate_series(1, len(a) - 2),
+        i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2]))) AS s(sh)
+    ), sizes AS (
+      SELECT id, count(*) AS sz FROM sh GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+      FROM sh a JOIN sh b ON a.token = b.token AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id1, id2,
+           round(inter / least(s1.sz, s2.sz), 6) AS containment
+    FROM inter
+    JOIN sizes s1 ON s1.id = id1
+    JOIN sizes s2 ON s2.id = id2
+    WHERE round(inter / least(s1.sz, s2.sz), 6) >= 0.9
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Max-containment near-dup pairs (|A∩B| / min set size >= 0.9) over
+    the near-dup corpus: catches subset duplication — the planted
+    suffix-extended docs contain their originals completely (containment
+    1.0) even where Jaccard dips below its threshold."""
+    return D.containment_pairs(
+        _docs_with_near_dups(spark, sf_dir), threshold=0.9, ngram=3
+    )
+
+
 @register("dedup_minhash_lsh")  # engine-specific hashes → rows-only check
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(32) + 8-band LSH candidates over 3-gram shingles, exact-
@@ -629,6 +668,79 @@ def text_chunking(spark, sf_dir):
             F.col("c.chunk_no").alias("chunk_no"),
             F.col("c.chunk").alias("chunk"),
             F.col("c.chunk_tokens").alias("chunk_tokens"),
+        )
+    )
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+    WITH corpus AS (
+      {DOCS_WITH_DUPS_SQL}
+    ), arrs AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '') AS a
+      FROM corpus
+    ), sh AS (
+      SELECT doc_id AS id, s.sh AS g
+      FROM arrs, unnest(list_distinct(list_transform(
+        generate_series(1, len(a) - 2),
+        i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2]))) AS s(sh)
+    ), bench AS (
+      SELECT DISTINCT g FROM sh
+      WHERE id % 50 = 0 AND id < {CLONE_OFFSET}
+    ), hits AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS n_collisions
+      FROM sh JOIN bench USING (g)
+      WHERE NOT (id % 50 = 0 AND id < {CLONE_OFFSET})
+      GROUP BY id
+    )
+    SELECT c.doc_id,
+           coalesce(h.n_collisions, 0) AS n_collisions,
+           CASE WHEN coalesce(h.n_collisions, 0) > 0 THEN 1 ELSE 0 END
+             AS contaminated
+    FROM (SELECT doc_id FROM corpus
+          WHERE NOT (doc_id % 50 = 0 AND doc_id < {CLONE_OFFSET})) c
+    LEFT JOIN hits h ON h.id = c.doc_id
+    """,
+)
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination — the eval-leak gate every training-data
+    pipeline needs: flag candidate docs sharing any word 3-gram with the
+    held-out benchmark set (here: doc_id % 50 == 0 originals; the planted
+    clones of benchmark docs are candidates and collide on every
+    shingle, so the operator provably fires).
+
+    Shape for 100 TB: the benchmark shingle set is small relative to the
+    corpus (eval sets are thousands of docs, the corpus billions), so its
+    DISTINCT shingles BROADCAST — contamination becomes a map-side hash
+    probe per candidate shingle + one groupBy per doc; the corpus never
+    shuffles by shingle. Hashed 64-bit shingles (collision P ≈ n²/2⁶⁵)
+    keep the broadcast tiny; counts are hash-invariant so the string-
+    shingle oracle matches exactly."""
+    corpus = _docs_with_dups(spark, sf_dir)
+    is_bench = (F.col("doc_id") % 50 == 0) & (
+        F.col("doc_id") < CLONE_OFFSET
+    )
+    shingles = D.distinct_tokens(corpus, ngram=3, hashed=True)
+    sh_bench = (F.col("id") % 50 == 0) & (F.col("id") < CLONE_OFFSET)
+    bench = shingles.filter(sh_bench).select("token").distinct()
+    hits = (
+        shingles.filter(~sh_bench)
+        .join(F.broadcast(bench), "token")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_collisions"))
+    )
+    return (
+        corpus.filter(~is_bench)
+        .select("doc_id")
+        .join(hits, F.col("doc_id") == F.col("id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_collisions", F.lit(0)).alias("n_collisions"),
+            F.when(F.coalesce("n_collisions", F.lit(0)) > 0, 1)
+            .otherwise(0)
+            .alias("contaminated"),
         )
     )
 
