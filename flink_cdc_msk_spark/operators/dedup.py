@@ -257,6 +257,55 @@ def containment_pairs(
     )
 
 
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 4,
+    id_col: str = "id",
+) -> DataFrame:
+    """→ (id, cluster) labels via ``iters`` rounds of min-label
+    propagation over an undirected edge set — the cluster-resolution
+    stage after pairwise near-dup detection (keep one doc per cluster).
+
+    Exact for components whose diameter ≤ ``iters`` (near-dup clusters
+    are small and dense — a clone group's diameter is 1 or 2); label =
+    the minimum node id in the component, so output is deterministic and
+    engine-independent, which is what makes a fixed-iteration oracle
+    cross-check possible at all.
+
+    Scale: each round is one join (edges ⋈ labels, shuffled on node id)
+    + one groupBy — the standard DataFrame large-graph CC loop. The loop
+    count is a fixed small constant, never data-dependent driver logic;
+    at 100 TB persist/checkpoint ``labels`` between rounds to cut the
+    growing lineage (local plans here stay small enough without it)."""
+    und = edges.select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst")
+    ).unionByName(
+        edges.select(
+            F.col("id2").alias("src"), F.col("id1").alias("dst")
+        )
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("lbl")
+    )
+    for _ in range(iters):
+        nbr_min = (
+            und.join(labels, und["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    "lbl", F.coalesce("nbr_lbl", F.col("lbl"))
+                ).alias("lbl"),
+            )
+        )
+    return labels.select("id", F.col("lbl").alias("cluster"))
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 32,

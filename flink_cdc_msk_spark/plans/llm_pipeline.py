@@ -150,6 +150,79 @@ def dedup_token_jaccard(spark, sf_dir):
     )
 
 
+# shared CTE body: exact 3-gram jaccard pairs >= 0.8 over the near-dup
+# corpus (also the dedup_token_jaccard oracle's shape)
+_JACCARD_CTES = f"""
+    docs AS (
+      {DOCS_WITH_NEAR_DUPS_SQL}
+    ), arrs AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '') AS a
+      FROM docs
+    ), sh AS (
+      SELECT doc_id AS id, s.sh AS token
+      FROM arrs, unnest(list_distinct(list_transform(
+        generate_series(1, len(a) - 2),
+        i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2]))) AS s(sh)
+    ), sizes AS (
+      SELECT id, count(*) AS sz FROM sh GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+      FROM sh a JOIN sh b ON a.token = b.token AND a.id < b.id
+      GROUP BY a.id, b.id
+    ), pairs AS (
+      SELECT id1, id2
+      FROM inter
+      JOIN sizes s1 ON s1.id = id1
+      JOIN sizes s2 ON s2.id = id2
+      WHERE round(inter / (s1.sz + s2.sz - inter), 6) >= 0.8
+    )
+"""
+
+
+def _cc_oracle(iters: int) -> str:
+    steps = ["l0 AS (SELECT doc_id AS id, doc_id AS lbl FROM docs)"]
+    for k in range(1, iters + 1):
+        steps.append(f"""l{k} AS (
+          SELECT l.id, least(l.lbl, coalesce(min(nl.lbl), l.lbl)) AS lbl
+          FROM l{k - 1} l
+          LEFT JOIN edges e ON e.src = l.id
+          LEFT JOIN l{k - 1} nl ON nl.id = e.dst
+          GROUP BY l.id, l.lbl)""")
+    return f"""
+    WITH {_JACCARD_CTES},
+    edges AS (
+      SELECT id1 AS src, id2 AS dst FROM pairs
+      UNION ALL
+      SELECT id2, id1 FROM pairs
+    ),
+    {", ".join(steps)}
+    SELECT id AS doc_id, lbl AS cluster FROM l{iters}
+    """
+
+
+@register("dedup_connected_components", oracle=_cc_oracle(iters=4))
+def dedup_connected_components(spark, sf_dir):
+    """Cluster resolution after pairwise near-dup detection: connected
+    components over the jaccard>=0.8 pair graph via 4 rounds of
+    min-label propagation — every doc gets its component's minimum
+    doc_id as cluster label (keep-one-per-cluster follows as a trivial
+    groupBy). Both engines run the IDENTICAL bounded iteration, which is
+    what lets an iterative graph algorithm be hash-checked at all; 4
+    rounds is exact here (clone/near-dup chains have diameter <= 3)."""
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    pairs = D.jaccard_pairs(corpus, threshold=0.8, ngram=3)
+    labels = D.connected_components(
+        corpus.select("doc_id"),
+        pairs.select("id1", "id2"),
+        iters=4,
+        id_col="doc_id",
+    )
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("cluster").alias("cluster")
+    )
+
+
 @register(
     "dedup_containment",
     oracle=f"""

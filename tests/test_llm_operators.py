@@ -482,3 +482,21 @@ def test_sharded_export_roundtrip_and_manifest(spark, docs):
             shutil.rmtree(d2, ignore_errors=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_connected_components_merges_clone_chains(spark, docs):
+    """doc → clone (J=1) edges must collapse to the original's id as the
+    cluster label; untouched docs stay singleton-labeled by themselves."""
+    corpus = _with_clones(docs)
+    pairs = D.jaccard_pairs(corpus, threshold=0.8, ngram=3)
+    labels = {
+        r.id: r.cluster
+        for r in D.connected_components(
+            corpus.select("doc_id"), pairs.select("id1", "id2"),
+            iters=4, id_col="doc_id",
+        ).collect()
+    }
+    cloned = [r.doc_id for r in docs.filter(F.col("doc_id") % 5 == 0).collect()]
+    assert all(labels[c + 10_000] == labels[c] for c in cloned)
+    # a clone group's label is the ORIGINAL id (component minimum)
+    assert all(labels[c] <= c for c in cloned)
