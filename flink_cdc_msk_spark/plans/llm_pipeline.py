@@ -658,6 +658,88 @@ def text_top_terms(spark, sf_dir):
 
 
 @register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, u.tok AS term
+      FROM t, unnest(toks) AS u(tok)
+      WHERE len(toks) >= 1
+    ), tf AS (
+      SELECT doc_id, n_tokens, term, CAST(count(*) AS BIGINT) AS tfc
+      FROM tok GROUP BY doc_id, n_tokens, term
+    ), dfreq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             (tf.tfc / tf.n_tokens) * (n.n_docs / dfreq.df) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, round(score, 6) + 0 AS tfidf,
+           CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+      FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """Per-doc top-5 terms by TF-IDF — the keyword-extraction /
+    relevance-weighting stage. IDF is the exact rational ``N/df`` rather
+    than ``ln(N/df)``: log ordering is monotone-identical per term, but
+    libm ``ln`` is not bit-reproducible across engines while IEEE
+    division/multiplication is — which is what makes the rank boundary
+    (and so the oracle hash) deterministic.
+
+    Plan: one corpus scan → (doc, term) counts (one shuffle) → document
+    frequency by term (second shuffle, the vocabulary aggregate) →
+    term-keyed join back + corpus-count broadcast (a 1-row aggregate
+    cross-joined, never a driver action) → per-doc top-5 window. At
+    100 TB the vocabulary join is the natural shuffle-heavy stage; df
+    pruning (drop df=1 hapaxes) bounds it when needed."""
+    d = _docs(spark, sf_dir)
+    base = d.select("doc_id", T.tokens("text").alias("_t")).filter(
+        F.size("_t") >= 1
+    )
+    tok = base.select(
+        "doc_id",
+        F.size("_t").cast("bigint").alias("n_tokens"),
+        F.explode_outer("_t").alias("term"),
+    ).filter(F.col("term").isNotNull())
+    tf = tok.groupBy("doc_id", "n_tokens", "term").agg(
+        F.count(F.lit(1)).alias("tfc")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tfc") / F.col("n_tokens"))
+            * (F.col("n_docs") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "doc_id",
+            "term",
+            (F.round("score", 6) + F.lit(0.0)).alias("tfidf"),
+            F.col("rn").cast("bigint").alias("rank"),
+        )
+    )
+
+
+@register(
     "embedding_quantize",
     oracle="""
     SELECT vec_id,
