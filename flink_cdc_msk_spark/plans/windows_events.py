@@ -51,6 +51,57 @@ def events_tumbling_hour(spark, sf_dir):
 
 
 @register(
+    "streaming_tumbling_counts",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_counts(spark, sf_dir):
+    """events_tumbling_hour executed through REAL Structured Streaming:
+    parquet file stream → watermarked tumbling window (append mode) →
+    parquet sink → batch scan, checked against the SAME relational
+    oracle. Append-mode windowed aggregation only emits windows the
+    watermark has passed, so a sentinel event 4h past the corpus max
+    (watermark delay 2h) pushes every real window final; the sentinel's
+    own window stays open and never emits — the streaming output equals
+    the batch groupBy exactly, which is the whole claim."""
+    from datetime import timedelta
+
+    from ..streaming.materialize import session_tmpdir, stream_to_parquet
+    from ..streaming.windows import tumbling_counts
+
+    # Watermarks require TIMESTAMP (not NTZ); pin the session timezone so
+    # the ntz→timestamp cast (and the window strings below) are identical
+    # under ANY caller session — the driver imports with an un-tuned one.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ev(spark, sf_dir).select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    d = session_tmpdir("stream_tumble_")
+    max_ts = ev.agg(F.max("ts")).first()[0]  # 1-row bound lookup
+    sentinel = spark.createDataFrame(
+        [(max_ts + timedelta(hours=4), "__sentinel__", 0.0)],
+        "ts timestamp, event_type string, value double",
+    )
+    ev.unionByName(sentinel).repartition(4).write.parquet(f"{d}/src")
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).parquet(f"{d}/src")
+    out = tumbling_counts(stream, window="1 hour", watermark="2 hours")
+    scan = stream_to_parquet(out, d)
+    return scan.select(
+        F.date_format("window_start", TS_FMT).alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@register(
     "events_sliding_window",
     oracle=f"""
     WITH assigned AS (
