@@ -658,6 +658,55 @@ def text_top_terms(spark, sf_dir):
 
 
 @register(
+    "embedding_centroid_per_label",
+    oracle="""
+    WITH e AS (
+      SELECT label, s.i AS pos, CAST(embedding[s.i] AS DOUBLE) AS x
+      FROM embeddings,
+           unnest(generate_series(1, len(embedding))) AS s(i)
+    ), m AS (
+      SELECT label, pos, round(avg(x), 6) + 0 AS mx
+      FROM e GROUP BY label, pos
+    )
+    SELECT label,
+           (SELECT CAST(count(*) AS BIGINT) FROM embeddings v
+            WHERE v.label = m.label) AS n_vecs,
+           list(mx ORDER BY pos) AS centroid
+    FROM m
+    GROUP BY label
+    """,
+)
+def embedding_centroid_per_label(spark, sf_dir):
+    """Per-label mean vector (class centroids — the building block for
+    nearest-centroid classification and cluster summaries):
+    posexplode → (label, dim) partial-aggregating avg → re-assemble the
+    vector ordered by dimension. One shuffle of n·d (label, dim) rows
+    with map-side combine — the centroid never exists as unsplittable
+    state, so the same plan holds at any corpus size."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    from ..operators.similarity import as_double
+
+    e = emb.select(
+        "label", F.posexplode(as_double("embedding")).alias("pos", "x")
+    )
+    m = e.groupBy("label", "pos").agg(
+        (F.round(F.avg("x"), 6) + F.lit(0.0)).alias("mx"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        m.groupBy("label")
+        .agg(
+            F.max("cnt").alias("n_vecs"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+                lambda s: s.getField("mx"),
+            ).alias("centroid"),
+        )
+        .select("label", "n_vecs", "centroid")
+    )
+
+
+@register(
     "text_tfidf_top_terms",
     oracle="""
     WITH t AS (
@@ -776,6 +825,65 @@ def embedding_quantize(spark, sf_dir):
             lambda x: F.round(x * 127 / F.nullif(F.col("_m"), F.lit(0.0)))
             .cast("bigint"),
         ).alias("q8"),
+    )
+
+
+@register(
+    "text_repetition",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS a
+      FROM documents
+    ), b AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(a) - 1),
+                            i -> a[i] || ' ' || a[i+1]) AS bg
+      FROM t
+      WHERE len(a) >= 2
+    )
+    SELECT doc_id,
+           CAST(len(bg) AS BIGINT) AS n_bigrams,
+           CAST(len(list_distinct(bg)) AS BIGINT) AS distinct_bigrams,
+           round(1.0 - len(list_distinct(bg)) / len(bg), 6) + 0
+             AS repetition_ratio
+    FROM b
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Repetition scoring — the boilerplate/spam filter every pre-training
+    pipeline runs: fraction of repeated word bigrams per doc
+    (1 - distinct/total). Map-only codegen'd array expressions; the
+    integer counts make the oracle hash exact, the ratio is a derived
+    display column."""
+    d = _docs(spark, sf_dir)
+    base = d.select("doc_id", T.tokens("text").alias("_t")).filter(
+        F.size("_t") >= 2
+    )
+    k = F.size("_t") - 1
+    bg = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(
+            " ", F.element_at("_t", i), F.element_at("_t", i + 1)
+        ),
+    )
+    withbg = base.select("doc_id", bg.alias("_bg")).select(
+        "doc_id",
+        F.size("_bg").cast("bigint").alias("n_bigrams"),
+        F.size(F.array_distinct("_bg")).cast("bigint").alias(
+            "distinct_bigrams"
+        ),
+    )
+    return withbg.select(
+        "doc_id",
+        "n_bigrams",
+        "distinct_bigrams",
+        (
+            F.round(
+                F.lit(1.0) - F.col("distinct_bigrams") / F.col("n_bigrams"), 6
+            )
+            + F.lit(0.0)
+        ).alias("repetition_ratio"),
     )
 
 
