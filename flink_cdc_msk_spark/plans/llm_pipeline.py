@@ -658,6 +658,69 @@ def text_top_terms(spark, sf_dir):
 
 
 @register(
+    "text_bigram_lm",
+    oracle="""
+    WITH t AS (
+      SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS a
+      FROM documents
+    ), b AS (
+      SELECT a[s.i] AS w1, a[s.i + 1] AS w2
+      FROM t, unnest(generate_series(1, len(a) - 1)) AS s(i)
+      WHERE len(a) >= 2
+    ), c12 AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12
+      FROM b GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM c12 GROUP BY w1
+    )
+    SELECT c12.w1, c12.w2, n12, round(n12 / c1.n1, 6) + 0 AS cond_p
+    FROM c12 JOIN c1 USING (w1)
+    ORDER BY n12 DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def text_bigram_lm(spark, sf_dir):
+    """Corpus bigram statistics with conditional probability
+    P(w2|w1) = n(w1 w2)/n(w1 ·) — the n-gram LM / transition-table stage
+    (also what contamination and repetition heuristics build on). Top-20
+    by raw count with full (n, w1, w2) tie-break so the cut is
+    deterministic; counts are integers and the probability an exact
+    rational division, so the hash is engine-independent. Plan: bigram
+    explode → (w1,w2) count (one shuffle, map-side combine) → context
+    totals derived FROM the bigram counts (second tiny shuffle) →
+    TakeOrderedAndProject — never a global sort."""
+    d = _docs(spark, sf_dir)
+    base = d.select(T.tokens("text").alias("_t")).filter(F.size("_t") >= 2)
+    k = F.size("_t") - 1
+    pairs = base.select(
+        F.explode_outer(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.struct(
+                    F.element_at("_t", i).alias("w1"),
+                    F.element_at("_t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    return (
+        c12.join(c1, "w1")
+        .select(
+            "w1",
+            "w2",
+            "n12",
+            (F.round(F.col("n12") / F.col("n1"), 6) + F.lit(0.0)).alias(
+                "cond_p"
+            ),
+        )
+        .orderBy(F.desc("n12"), "w1", "w2")
+        .limit(20)
+    )
+
+
+@register(
     "embedding_centroid_per_label",
     oracle="""
     WITH e AS (

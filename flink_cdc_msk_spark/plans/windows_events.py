@@ -316,6 +316,47 @@ def streaming_running_totals(spark, sf_dir):
 
 
 @register(
+    "streaming_dedup_exact",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_kept
+    FROM (
+      SELECT DISTINCT event_type, CAST(floor(value * 10) AS BIGINT) AS vb
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def streaming_dedup_exact(spark, sf_dir):
+    """Streaming exact dedup via ``dropDuplicatesWithinWatermark`` run
+    end-to-end: stream the events table, dedup on a deliberately
+    collision-heavy key (event_type, value-decile bucket), count
+    survivors per type — which must equal the batch DISTINCT. Watermarked
+    so per-key state expires at scale instead of growing forever; the
+    availableNow replay keeps every key inside the horizon, so the
+    streaming result is exactly the batch semantics."""
+    from ..streaming.materialize import session_tmpdir, stream_to_parquet
+    from ..streaming.windows import streaming_dedup
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ev(spark, sf_dir).select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        F.floor(F.col("value") * 10).cast("bigint").alias("vb"),
+    )
+    d = session_tmpdir("stream_dedup_")
+    ev.repartition(4).write.parquet(f"{d}/src")
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, vb bigint"
+    ).parquet(f"{d}/src")
+    deduped = streaming_dedup(
+        stream, keys=["event_type", "vb"], watermark="10 days"
+    )
+    scan = stream_to_parquet(deduped, d)
+    return scan.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@register(
     "pandas_grouped_stats",
     oracle="""
     SELECT event_type,

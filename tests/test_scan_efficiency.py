@@ -89,3 +89,33 @@ def test_pack_sequences_has_no_global_sort(spark):
     )
     assert "SinglePartition" not in plan, plan
     assert "hashpartitioning(shard" in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark_shingles(spark):
+    """Scale gate for text_decontaminate: the benchmark shingle set must
+    BROADCAST (map-side probe) — a shuffled join on shingles would move
+    the whole corpus's token stream at 100 TB."""
+    from flink_cdc_msk_spark.plans.llm_pipeline import text_decontaminate
+
+    plan = (
+        text_decontaminate(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_tfidf_corpus_count_is_plan_side_broadcast(spark):
+    """The corpus count in text_tfidf_top_terms must ride INSIDE the plan
+    as a broadcast 1-row aggregate (BroadcastNestedLoopJoin of the count
+    subtree), not as a driver-side count() stitched in as a literal."""
+    from flink_cdc_msk_spark.plans.llm_pipeline import text_tfidf_top_terms
+
+    plan = (
+        text_tfidf_top_terms(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan, plan
