@@ -31,15 +31,14 @@ def write_training_shards(
 
     One shuffle (repartition on shard) so each shard writes from one task
     as one file-set; at scale pair with maxRecordsPerFile to bound file
-    size inside a shard."""
-    sharded = with_shard(df, n_shards, id_col).repartition(
-        n_shards, F.col("shard")
-    )
+    size inside a shard.
+
+    A pre-existing ``shard`` column is honored as-is (callers that need a
+    different deterministic hash — e.g. the oracle-reproducible Knuth
+    bucket from operators/sampling — shard upstream)."""
+    keyed = df if "shard" in df.columns else with_shard(df, n_shards, id_col)
+    sharded = keyed.repartition(n_shards, F.col("shard"))
     sharded.write.mode("overwrite").partitionBy("shard").parquet(path)
-    manifest = (
-        with_shard(df, n_shards, id_col)
-        .groupBy("shard")
-        .agg(F.count(F.lit(1)).alias("rows"))
-    )
+    manifest = keyed.groupBy("shard").agg(F.count(F.lit(1)).alias("rows"))
     manifest.write.mode("overwrite").parquet(f"{path}/_manifest")
     return manifest

@@ -124,6 +124,66 @@ def cdc_latest_state(spark, sf_dir):
 
 
 @register(
+    "cdc_streaming_compaction",
+    oracle="""
+    WITH changes AS (
+        SELECT o_orderkey, o_custkey, 'c' AS op,
+               1700000000000 + o_orderkey AS ts_ms
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'u', 1700001000000 + o_orderkey
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey, NULL, 'd', 1700002000000 + o_orderkey
+        FROM orders WHERE o_orderkey % 20 = 0
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_orderkey ORDER BY ts_ms DESC) AS rn
+      FROM changes
+    )
+    SELECT o_orderkey, o_custkey, op, ts_ms
+    FROM ranked WHERE rn = 1 AND op <> 'd'
+    """,
+)
+def cdc_streaming_compaction(spark, sf_dir):
+    """The A31 compaction SINK under the oracle gate: replay the full
+    c/u/d feed through ``ParquetUpsertSink`` (bucket-pruned merge path,
+    foreachBatch) and return the materialized state table — which must
+    equal the declarative latest-state query bit-for-bit. This is the
+    reference's continuous-upsert behavior proven end-to-end, not just
+    unit-tested: newest ts_ms wins per PK, deletes drop the key, and the
+    staged-swap bucket rewrite leaves exactly the surviving rows."""
+    from ..streaming.compaction import (
+        ParquetUpsertSink,
+        start_compaction_stream,
+    )
+    from ..streaming.materialize import session_tmpdir
+    from ..streaming.pipeline import (
+        snapshot_then_stream_paths,
+        stream_lines_from_directory,
+    )
+
+    events = synthesize_mysql_events(spark, sf_dir)
+    d = session_tmpdir("cdc_compact_q_")
+    snapshot_then_stream_paths(events, f"{d}/src")
+    stream = stream_lines_from_directory(
+        spark, f"{d}/src", max_files_per_trigger=None
+    )
+    sink = ParquetUpsertSink(f"{d}/state", ["o_orderkey"], num_buckets=8)
+    q = start_compaction_stream(stream, sink, f"{d}/ckpt", available_now=True)
+    q.awaitTermination(300)
+    state = spark.read.parquet(f"{d}/state")
+    return state.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.try_element_at("payload", F.lit("o_custkey"))
+        .cast("bigint")
+        .alias("o_custkey"),
+        "op",
+        "ts_ms",
+    )
+
+
+@register(
     "cdc_snapshot_then_stream",
     oracle="""
     WITH feed AS (

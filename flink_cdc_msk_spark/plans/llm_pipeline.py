@@ -1106,6 +1106,38 @@ from ..operators.sampling import hash_bucket_sql as _hb_sql
 
 
 @register(
+    "export_shard_manifest",
+    oracle=f"""
+    SELECT {_hb_sql('doc_id', 8)} AS shard,
+           CAST(count(*) AS BIGINT) AS rows,
+           CAST(sum({T.rolling_fingerprint_sql('text')}) AS BIGINT) AS fp_sum
+    FROM documents GROUP BY 1
+    """,
+)
+def export_shard_manifest(spark, sf_dir):
+    """Sharded training export proven ROUND-TRIP: write the corpus as
+    deterministic hash shards (operators/export.py — one repartition,
+    one dir per shard), then READ THE WRITTEN FILES BACK and manifest
+    them (per-shard row count + order-insensitive content fingerprint
+    sum). The oracle computes the same manifest straight from the source
+    table, so a wrong shard assignment, a dropped/duplicated row, or a
+    corrupted text in the exported files all hash-mismatch."""
+    from ..operators.export import write_training_shards
+    from ..operators.sampling import hash_bucket
+    from ..streaming.materialize import session_tmpdir
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    sharded = d.withColumn("shard", hash_bucket("doc_id", 8))
+    out = session_tmpdir("export_q_")
+    write_training_shards(sharded, f"{out}/shards", n_shards=8)
+    back = spark.read.parquet(f"{out}/shards")
+    return back.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(T.rolling_fingerprint("text")).cast("bigint").alias("fp_sum"),
+    )
+
+
+@register(
     "text_pack_sequences",
     oracle=f"""
     WITH t AS (
