@@ -242,9 +242,18 @@ def _finish(
     out_cols = ["db", "table", "partition_key", "topic"] + (
         ["partition"] if num_partitions is not None else []
     ) + ["value"]
-    # A21: trailing null guard (emr/MySQLCDC2AWSMSK.scala:160).
+    # A21: trailing null guard (emr/MySQLCDC2AWSMSK.scala:160) — extended:
+    # unparseable/unroutable lines (no JSON, no source block) yield null
+    # db/table and are DROPPED rather than forwarded as key-less records.
+    # Deliberate deviation: the reference's Gson parse would throw on such
+    # input and fail the job; a poisoned topic shouldn't take down the
+    # pipeline (query cdc_route_malformed pins this behavior).
     return (
         df.withColumns(cols)
         .select(*out_cols)
-        .filter(F.col("value").isNotNull())
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("db").isNotNull()
+            & F.col("table").isNotNull()
+        )
     )

@@ -56,6 +56,45 @@ def cdc_route_keys(spark, sf_dir):
 
 
 @register(
+    "cdc_route_malformed",
+    oracle="""
+    SELECT 'test_db' AS db,
+           'orders' AS tbl,
+           'test_db.orders.' || CAST(o_orderkey AS VARCHAR) AS partition_key,
+           'cdc_test_db' AS topic
+    FROM (
+      SELECT o_orderkey FROM orders
+      UNION ALL
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 20 = 0
+    )
+    """,
+)
+def cdc_route_malformed(spark, sf_dir):
+    """A21 null guard proven end-to-end: the valid envelope feed is
+    polluted with garbage lines (non-JSON, empty object, envelope with no
+    source block, NULL) and the routed output must equal the clean feed's
+    routing exactly — the guard silently drops what can't be routed
+    instead of crashing the pipeline or emitting key-less records
+    (reference behavior: null-checked map output, scala:122-128)."""
+    junk = spark.createDataFrame(
+        [
+            ("this is not json at all",),
+            ("{}",),
+            ('{"op":"c","ts_ms":1}',),  # no source block → no db/table
+            (None,),
+        ],
+        "value string",
+    )
+    events = synthesize_mysql_events(spark, sf_dir).unionByName(junk)
+    routed = route_mysql_cdc(events, ORDERS_ROUTING, topic_prefix="cdc_")
+    return routed.select(
+        "db", F.col("table").alias("tbl"), "partition_key", "topic"
+    )
+
+
+@register(
     "cdc_latest_state",
     oracle="""
     WITH changes AS (

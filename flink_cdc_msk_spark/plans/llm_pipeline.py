@@ -502,6 +502,35 @@ def multimodal_binary_stats(spark, sf_dir):
 
 
 @register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 AS INTEGER)
+                WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+           END AS kind,
+           CAST(s.i AS INTEGER) AS frame_no,
+           substring(text, CAST(s.i * 256 + 1 AS BIGINT), 16) AS frame
+    FROM documents,
+         unnest(generate_series(0,
+           greatest(CAST(floor(octet_length(encode(text)) / 256.0) AS INTEGER),
+                    1) - 1)) AS s(i)
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing under the oracle gate: slice fixed windows
+    out of each media payload every 256 bytes (operators/multimodal.py,
+    pure Catalyst, exploded map-side — the video-frame-extraction shape
+    with the codec stubbed). The payload is utf-8 text here, so the
+    stride counts BYTES (payload length) while the window slices
+    CHARACTERS (string substring) — the oracle mirrors exactly that
+    hybrid, which keeps parity exact on multibyte (zh) docs too."""
+    from ..operators.multimodal import frame_sample, synthesize_media
+
+    media = synthesize_media(_docs(spark, sf_dir))
+    return frame_sample(media, every_n_bytes=256, frame_len=16)
+
+
+@register(
     "text_fingerprint",
     oracle=f"""
     SELECT doc_id,
