@@ -10,6 +10,8 @@ from __future__ import annotations
 import json
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from flink_cdc_msk_spark.config import TableRouting
@@ -403,3 +405,19 @@ def test_truncation_idempotent_property(spark):
     assert sorted(r.partition_key for r in once) == sorted(
         r.partition_key for r in twice
     )
+
+
+@given(
+    file=st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz-._0123456789", min_size=1
+    ),
+    pos=st.integers(min_value=0, max_value=2**48),
+)
+@settings(max_examples=200, deadline=None)
+def test_binlog_position_grammar_roundtrip(file, pos):
+    """Property: any file:<name>:<pos> round-trips; bare file:<name>
+    defaults pos to 4 (binlog magic-header offset)."""
+    from flink_cdc_msk_spark.config import parse_binlog_position
+
+    assert parse_binlog_position(f"file:{file}:{pos}") == (file, pos)
+    assert parse_binlog_position(f"file:{file}") == (file, 4)
