@@ -275,15 +275,22 @@ def connected_components(
 
     Scale: each round is one join (edges ⋈ labels, shuffled on node id)
     + one groupBy — the standard DataFrame large-graph CC loop. The loop
-    count is a fixed small constant, never data-dependent driver logic;
-    at 100 TB persist/checkpoint ``labels`` between rounds to cut the
-    growing lineage (local plans here stay small enough without it)."""
-    und = edges.select(
-        F.col("id1").alias("src"), F.col("id2").alias("dst")
-    ).unionByName(
-        edges.select(
-            F.col("id2").alias("src"), F.col("id1").alias("dst")
+    count is a fixed small constant, never data-dependent driver logic.
+    ``edges`` and each round's ``labels`` are persisted: every round
+    references the previous labels TWICE (the neighbor join and the
+    carry-through), so an unpersisted loop re-evaluates round 0's
+    subtree 2^iters times — the plan census showed 15 SortMergeJoins
+    and 60 scans for 4 rounds before caching, 1 edge evaluation after.
+    (At true 100 TB scale swap persist for checkpoint to also truncate
+    lineage; blocks here are two longs per node/edge.)"""
+    und = (
+        edges.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+        .unionByName(
+            edges.select(
+                F.col("id2").alias("src"), F.col("id1").alias("dst")
+            )
         )
+        .persist()
     )
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("lbl")
@@ -302,6 +309,7 @@ def connected_components(
                     "lbl", F.coalesce("nbr_lbl", F.col("lbl"))
                 ).alias("lbl"),
             )
+            .persist()
         )
     return labels.select("id", F.col("lbl").alias("cluster"))
 
