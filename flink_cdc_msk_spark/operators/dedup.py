@@ -373,9 +373,15 @@ def minhash_lsh_pairs(
         )
     banded = sigs.select(
         # explode_outer: avoids an inferred size()>0 filter duplicating the
-        # band-hash expressions (array literal is never empty)
+        # band-hash expressions (explode would re-run every signature
+        # aggregate inside an inferred filter; array literal never empty)
         "id", F.explode_outer(F.array(*band_entries)).alias("bb")
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    ).persist()
+    # persist: the candidate self-join references `banded` twice; without
+    # the cache each side re-tokenizes and re-signatures the whole corpus
+    # (banded is n·bands fixed-width rows — tiny next to the corpus text)
 
     x = banded.alias("x")
     y = banded.alias("y")
