@@ -242,18 +242,17 @@ def _finish(
     out_cols = ["db", "table", "partition_key", "topic"] + (
         ["partition"] if num_partitions is not None else []
     ) + ["value"]
-    # A21: trailing null guard (emr/MySQLCDC2AWSMSK.scala:160) — extended:
-    # unparseable/unroutable lines (no JSON, no source block) yield null
-    # db/table and are DROPPED rather than forwarded as key-less records.
-    # Deliberate deviation: the reference's Gson parse would throw on such
-    # input and fail the job; a poisoned topic shouldn't take down the
-    # pipeline (query cdc_route_malformed pins this behavior).
+    # A21: trailing null guard (emr/MySQLCDC2AWSMSK.scala:160). Unroutable
+    # lines (no JSON, no source block) SURVIVE with null db/table/topic —
+    # the reference's Gson parse would throw and fail the job; here the
+    # caller quarantines or drops them (query cdc_route_malformed pins the
+    # drop). Deliberately NOT filtered here: any predicate on the derived
+    # columns is pushed below this projection with the whole from_json
+    # inlined (PushPredicateThroughProject splits conjunctions, and
+    # nondeterministic barriers don't stop the inferred-constraint copies)
+    # — measured 2.5× on the route hot path.
     return (
         df.withColumns(cols)
         .select(*out_cols)
-        .filter(
-            F.col("value").isNotNull()
-            & F.col("db").isNotNull()
-            & F.col("table").isNotNull()
-        )
+        .filter(F.col("value").isNotNull())
     )

@@ -74,10 +74,13 @@ def cdc_route_keys(spark, sf_dir):
 def cdc_route_malformed(spark, sf_dir):
     """A21 null guard proven end-to-end: the valid envelope feed is
     polluted with garbage lines (non-JSON, empty object, envelope with no
-    source block, NULL) and the routed output must equal the clean feed's
-    routing exactly — the guard silently drops what can't be routed
-    instead of crashing the pipeline or emitting key-less records
-    (reference behavior: null-checked map output, scala:122-128)."""
+    source block, NULL) and the quarantine filter must reduce the routed
+    output to exactly the clean feed's routing. The route operator itself
+    SURFACES unroutable lines null-keyed instead of crashing (the
+    reference's Gson parse would throw and fail the job); the drop is the
+    caller's one-line filter shown here — deliberately outside the hot
+    operator, where a derived-column predicate would re-inline the JSON
+    parse (see route.py::_finish)."""
     junk = spark.createDataFrame(
         [
             ("this is not json at all",),
@@ -89,7 +92,10 @@ def cdc_route_malformed(spark, sf_dir):
     )
     events = synthesize_mysql_events(spark, sf_dir).unionByName(junk)
     routed = route_mysql_cdc(events, ORDERS_ROUTING, topic_prefix="cdc_")
-    return routed.select(
+    quarantined = routed.filter(
+        F.col("db").isNotNull() & F.col("table").isNotNull()
+    )
+    return quarantined.select(
         "db", F.col("table").alias("tbl"), "partition_key", "topic"
     )
 
