@@ -102,6 +102,64 @@ def streaming_tumbling_counts(spark, sf_dir):
 
 
 @register(
+    "streaming_session_windows",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *, sum(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS session_value
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def streaming_session_windows(spark, sf_dir):
+    """Built-in ``session_window`` (30-min gap) through REAL Structured
+    Streaming — the dynamic-state operator where adjacent sessions merge
+    as events arrive — checked against the batch gaps-and-islands oracle
+    (same sessionization, two formulations). Sentinel event 4h past the
+    corpus max closes every real session under the 2h watermark; append
+    mode then emits exactly the final merged sessions."""
+    from datetime import timedelta
+
+    from ..streaming.materialize import session_tmpdir, stream_to_parquet
+    from ..streaming.windows import sessionized
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ev(spark, sf_dir).select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id", "value"
+    )
+    d = session_tmpdir("stream_sess_")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(max_ts + timedelta(hours=4), -1, 0.0)],
+        "ts timestamp, user_id long, value double",
+    )
+    ev.unionByName(sentinel).repartition(4).write.parquet(f"{d}/src")
+    stream = spark.readStream.schema(
+        "ts timestamp, user_id long, value double"
+    ).parquet(f"{d}/src")
+    out = sessionized(stream, gap="30 minutes", watermark="2 hours")
+    scan = stream_to_parquet(out, d)
+    return scan.filter(F.col("user_id") != -1).select(
+        "user_id",
+        F.date_format("session_start", TS_FMT).alias("session_start"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("session_value", 2).alias("session_value"),
+    )
+
+
+@register(
     "events_sliding_window",
     oracle=f"""
     WITH assigned AS (
