@@ -1167,6 +1167,94 @@ def export_shard_manifest(spark, sf_dir):
 
 
 @register(
+    "sample_per_source_cap",
+    oracle=f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_hb_sql('doc_id', 1000000)}, doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 200
+    """,
+)
+def sample_per_source_cap(spark, sf_dir):
+    """Per-source document caps (the domain-cap stage of crawl curation:
+    no single site may dominate the mix): keep at most 200 docs per
+    source, selected by a deterministic id-hash order — same survivors
+    on any cluster/partitioning/retry, and the hash order (not doc_id
+    order) avoids biasing the kept set toward early crawl ids. One
+    shuffle on source; per-group rank, no global sort."""
+    from ..operators.sampling import hash_bucket
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        hash_bucket("doc_id", 1_000_000), "doc_id"
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 200)
+        .select("doc_id", "source")
+    )
+
+
+@register(
+    "text_pii_scrub",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id,
+             text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-0' || CAST(doc_id % 1000 AS VARCHAR)
+               AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(text) - length(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '', 'g'))
+             AS BIGINT) AS email_chars,
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+',
+                            '<EMAIL>', 'g'),
+             '\\+?[0-9][0-9()\\-]{{6,}}[0-9]', '<PHONE>', 'g') AS scrubbed
+    FROM planted
+    """.replace("{{", "{").replace("}}", "}"),
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction (the scrub stage every pre-training corpus runs):
+    emails and phone-like digit runs replaced by placeholder tokens, with
+    a removed-chars count as the detection metric. PII is PLANTED in the
+    query (deterministic per doc) so the redaction provably fires; the
+    regexes stay in the dialect subset where Java regex and RE2 agree
+    (character classes, bounded repetition — no lookarounds). Map-only;
+    at 100 TB this is pure codegen'd regexp_replace, no Python."""
+    d = _docs(spark, sf_dir)
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-0"),
+            (F.col("doc_id") % 1000).cast("string"),
+        ).alias("text"),
+    )
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    phone_re = r"\+?[0-9][0-9()\-]{6,}[0-9]"
+    return planted.select(
+        "doc_id",
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", email_re, ""))
+        ).cast("bigint").alias("email_chars"),
+        F.regexp_replace(
+            F.regexp_replace("text", email_re, "<EMAIL>"),
+            phone_re,
+            "<PHONE>",
+        ).alias("scrubbed"),
+    )
+
+
+@register(
     "text_pack_sequences",
     oracle=f"""
     WITH t AS (
