@@ -169,6 +169,51 @@ def cdc_latest_state(spark, sf_dir):
 
 
 @register(
+    "cdc_route_multi_table",
+    oracle="""
+    SELECT 'test_db' AS db, 'orders' AS tbl,
+           'test_db.orders.' || CAST(o_orderkey AS VARCHAR) AS partition_key,
+           'cdc_test_db' AS topic
+    FROM (
+      SELECT o_orderkey FROM orders
+      UNION ALL
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 20 = 0
+    )
+    UNION ALL
+    SELECT 'test_db', 'customer',
+           'test_db.customer.' || CAST(c_custkey AS VARCHAR) || '.'
+                               || CAST(c_nationkey AS VARCHAR),
+           'cdc_test_db'
+    FROM customer
+    """,
+)
+def cdc_route_multi_table(spark, sf_dir):
+    """Multi-table routing through ONE operator instance (the reference's
+    whole point — one job fans a mixed binlog out by table): interleaved
+    orders (single PK, exact table rule) and customer (composite PK,
+    matched via a ``cust.*`` REGEX rule) envelopes, each getting its own
+    delete-aware key chain from the longest-match rule lookup. The
+    oracle derives both tables' expected keys directly from the
+    relational sources."""
+    from ..sources.cdc_sim import synthesize_customer_events
+
+    routing = TableRouting.parse(
+        '[{"db":"test_db","table":"orders","primary_key":"o_orderkey"},'
+        '{"db":"test_db","table":"cust.*",'
+        '"primary_key":"c_custkey,c_nationkey"}]'
+    )
+    events = synthesize_mysql_events(spark, sf_dir).unionByName(
+        synthesize_customer_events(spark, sf_dir)
+    )
+    routed = route_mysql_cdc(events, routing, topic_prefix="cdc_")
+    return routed.select(
+        "db", F.col("table").alias("tbl"), "partition_key", "topic"
+    )
+
+
+@register(
     "cdc_streaming_compaction",
     oracle="""
     WITH changes AS (

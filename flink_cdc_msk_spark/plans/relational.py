@@ -358,6 +358,48 @@ def q14_promo_revenue(spark, sf_dir):
     )
 
 
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 20 AND 40)
+       OR (p_brand = 'Brand#5' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 30 AND 50)
+    """,
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive multi-attribute predicates spanning
+    both join sides. Catalyst extracts the common join key and pushes the
+    per-side residuals (brand/size reach the part scan as an OR'd
+    PushedFilter; the cross-side conjuncts evaluate post-join) — the
+    disjunction never blocks the broadcast hash join."""
+    li, p = _t(spark, sf_dir, "lineitem", "part")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    arm = lambda brand, s_lo, s_hi, q_lo, q_hi: (
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(s_lo, s_hi)
+        & F.col("l_quantity").between(q_lo, q_hi)
+    )
+    return (
+        j.filter(
+            arm("Brand#1", 1, 15, 1, 20)
+            | arm("Brand#3", 10, 30, 20, 40)
+            | arm("Brand#5", 20, 50, 30, 50)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 # ------------------------------------------------------------------- joins
 
 

@@ -155,6 +155,52 @@ def synthesize_mysql_changes_only(
     return _synthesize_changes(spark.read.parquet(f"{sf_dir}/orders.parquet"))
 
 
+def synthesize_customer_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """→ insert envelopes for the ``customer`` table (second routed table
+    for multi-table routing queries; composite PK c_custkey,c_nationkey
+    exercises the multi-column key join)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    payload = F.struct(
+        F.col("c_custkey").alias("c_custkey"),
+        F.col("c_nationkey").alias("c_nationkey"),
+        F.col("c_name").alias("c_name"),
+        F.col("c_acctbal").cast("string").alias("c_acctbal"),
+    )
+    null_payload = F.lit(None).cast(
+        "struct<c_custkey:bigint,c_nationkey:bigint,"
+        "c_name:string,c_acctbal:string>"
+    )
+    env = F.struct(
+        null_payload.alias("before"),
+        payload.alias("after"),
+        F.struct(
+            F.lit("1.6.4.Final").alias("version"),
+            F.lit("mysql").alias("connector"),
+            F.lit("mysql_binlog_source").alias("name"),
+            (F.lit(BASE_TS_MS) + F.col("c_custkey")).alias("ts_ms"),
+            F.lit("false").alias("snapshot"),
+            F.lit("test_db").alias("db"),
+            F.lit(None).cast("string").alias("sequence"),
+            F.lit("customer").alias("table"),
+            F.lit(57330068).cast("long").alias("server_id"),
+            F.lit(None).cast("string").alias("gtid"),
+            F.lit("mysql-bin-changelog.007670").alias("file"),
+            F.lit(804).cast("long").alias("pos"),
+            F.lit(0).alias("row"),
+            F.lit(None).cast("string").alias("thread"),
+            F.lit(None).cast("string").alias("query"),
+        ).alias("source"),
+        F.lit("c").alias("op"),
+        (F.lit(BASE_TS_MS) + F.col("c_custkey")).alias("ts_ms"),
+        F.lit(None).cast("string").alias("transaction"),
+    )
+    return c.select(
+        F.to_json(env, {"ignoreNullFields": "false"}).alias("value")
+    )
+
+
 def synthesize_mongo_events(
     spark: SparkSession, sf_dir: str, table: str = "orders"
 ) -> DataFrame:
