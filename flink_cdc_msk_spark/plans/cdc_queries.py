@@ -365,6 +365,72 @@ def cdc_snapshot_then_stream(spark, sf_dir):
 
 
 @register(
+    "cdc_scd2_intervals",
+    oracle="""
+    WITH changes AS (
+        SELECT o_orderkey, o_custkey, 'c' AS op,
+               1700000000000 + o_orderkey AS ts_ms
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'u', 1700001000000 + o_orderkey
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey, NULL, 'd', 1700002000000 + o_orderkey
+        FROM orders WHERE o_orderkey % 20 = 0
+    )
+    SELECT o_orderkey, o_custkey, op,
+           ts_ms AS valid_from,
+           lead(ts_ms) OVER (
+             PARTITION BY o_orderkey ORDER BY ts_ms) AS valid_to,
+           CASE WHEN lead(ts_ms) OVER (
+             PARTITION BY o_orderkey ORDER BY ts_ms) IS NULL
+             AND op <> 'd' THEN 1 ELSE 0 END AS is_current
+    FROM changes
+    """,
+)
+def cdc_scd2_intervals(spark, sf_dir):
+    """SCD Type-2 history materialization — the OTHER standard CDC
+    product besides latest-state: every change becomes a versioned row
+    with a [valid_from, valid_to) interval (valid_to = next change's
+    ts_ms, open for the live version) and an is_current flag (deletes
+    close their interval and are never current). One shuffle on the PK;
+    the lead() window reuses that partitioning — at 100 TB this is the
+    standard history-table build, run per ingestion batch over the
+    merged feed. Typed per-table envelope parse, same as the latest-state
+    compaction."""
+    from pyspark.sql.types import LongType
+
+    from ..envelope import mysql_envelope_keyed_schema
+    from pyspark.sql.window import Window
+
+    events = synthesize_mysql_events(spark, sf_dir)
+    schema = mysql_envelope_keyed_schema(
+        {"o_orderkey": LongType}, {"o_custkey": LongType}
+    )
+    env = F.from_json("value", schema).alias("env")
+    parsed = events.select(env).select(
+        F.coalesce(
+            "env.after.o_orderkey", "env.before.o_orderkey"
+        ).alias("o_orderkey"),
+        F.col("env.after.o_custkey").alias("o_custkey"),
+        F.col("env.op").alias("op"),
+        F.col("env.ts_ms").alias("ts_ms"),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy("ts_ms")
+    valid_to = F.lead("ts_ms").over(w)
+    return parsed.select(
+        "o_orderkey",
+        "o_custkey",
+        "op",
+        F.col("ts_ms").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        F.when(valid_to.isNull() & (F.col("op") != "d"), 1)
+        .otherwise(0)
+        .alias("is_current"),
+    )
+
+
+@register(
     "cdc_type_normalize",
     oracle="""
     SELECT o_orderkey,
