@@ -893,6 +893,34 @@ def window_lag_lead(spark, sf_dir):
 
 
 @register(
+    "window_distribution_funcs",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 6) + 0 AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM documents
+    WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+    """,
+)
+def window_distribution_funcs(spark, sf_dir):
+    """Distribution-family window functions (ntile / percent_rank /
+    cume_dist) — per-language document-length quartiles and percentile
+    positions, the bucketing primitive for curriculum ordering and
+    length-stratified analysis. Fully deterministic: the ordering
+    tie-breaks on doc_id, so bucket boundaries are engine-independent."""
+    (d,) = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        (F.round(F.percent_rank().over(w), 6) + F.lit(0.0)).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
     "window_running_sum",
     oracle="""
     SELECT o_orderkey, o_custkey,
