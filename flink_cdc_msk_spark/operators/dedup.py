@@ -121,32 +121,112 @@ def jaccard_pairs(
     string-shingle oracle bit-for-bit; measured ~27% faster with far less
     shuffle weight.
 
-    ``max_token_freq`` drops units whose posting list exceeds the cutoff —
-    the standard skew guard at scale (a unit in every doc creates an
-    O(n²) pair blow-up; bounding the list bounds it, at the cost of
-    under-counting intersections only — set sizes stay exact, so the
-    pruned jaccard is a strict underestimate; leave None for exact).
+    ``max_token_freq`` drops prefix units whose posting list exceeds the
+    cutoff — the standard skew guard at scale (a unit in every doc
+    creates an O(n²) pair blow-up; bounding the list bounds it, at the
+    cost of possibly missing pairs whose only shared prefix unit was
+    pruned; leave None for exact).
 
-    Plan shape: ONE corpus scan and exactly two shuffles — (id, sz, unit)
-    shuffles once into posting lists, pairs shuffle once into the
-    per-pair intersection count. (The former self-join shape scanned and
-    tokenized the corpus twice and shuffled both join sides; grouping
-    into posting lists halves both. Measured ~20% faster at sf0.1 —
-    at cluster scale the saved scan+exchange dominates.)
+    PREFIX FILTERING (AllPairs / PPJoin family — Bayardo et al. WWW'07,
+    Xiao et al. WWW'08 Lemma 1): with every unit array sorted in one
+    global total order (the 64-bit unit-hash order), two sets with
+    J(A,B) ≥ τ must have |A∩B| ≥ ⌈τ·max(|A|,|B|)⌉, and any two sorted
+    sets with overlap ≥ α share an element within their first
+    (|·| − α + 1) elements. So indexing only each doc's first
+    ``sz − ⌈τ·sz⌉ + 1`` units is EXACT: every qualifying pair
+    co-occurs in some prefix posting list. At τ=0.8 this puts ~20% of
+    units through the shuffle instead of 100% and cuts the candidate
+    pair volume ~100× (measured 790k → 7k at sf0.1); survivors are
+    verified with one ``array_intersect`` per candidate.
 
-    Size-ratio prune, applied per posting list BEFORE the pair shuffle:
-    J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|) (the intersection is at most the
-    smaller set; the union at least the larger), so any pair failing
-    ``τ·max ≤ min`` cannot reach τ and is skipped EXACTLY — the pair
-    never enters the second shuffle. On near-dup corpora this removes
-    most of the candidate volume at the cost of two multiplications.
-    """
-    inter = _pair_intersections(
-        df, text_col, id_col, ngram, hashed, max_token_freq,
-        size_ratio=threshold,
+    Size-ratio prune, applied per posting list during candidate gen:
+    J(A,B) ≤ min/max of the sizes, so any pair failing ``τ·max ≤ min``
+    cannot reach τ and is skipped EXACTLY — it never enters the second
+    shuffle.
+
+    Plan shape: the per-doc unit arrays (id, sorted toks, sz) are
+    persisted (fixed-width hashes, far smaller than the corpus text) and
+    read three times — prefix explode → posting lists → candidate pairs
+    (2 shuffles), then two hash joins bring the full arrays back for
+    verification. Candidate volume ≈ output volume, so the verify joins
+    are linear in the result, never in the corpus²."""
+    us = (
+        _unit_sets(df, text_col, id_col, ngram, hashed)
+        .select(
+            "id",
+            F.sort_array("toks").alias("toks"),
+            F.size("toks").cast("long").alias("sz"),
+        )
+        .persist()
     )
-    return (
-        inter.withColumn(
+    plen = (
+        F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + F.lit(1)
+    ).cast("int")
+    pref = us.select(
+        "id", "sz", F.explode(F.slice("toks", F.lit(1), plen)).alias("token")
+    )
+    posting = (
+        pref.groupBy("token")
+        .agg(F.collect_list(F.struct("id", "sz")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    if max_token_freq is not None:
+        posting = posting.filter(F.size("docs") <= max_token_freq)
+
+    def keep(p):
+        th = F.lit(threshold)
+        return (
+            (p["id1"] < p["id2"])
+            & (p["sz1"] * th <= p["sz2"])
+            & (p["sz2"] * th <= p["sz1"])
+        )
+
+    cands = (
+        posting.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "docs",
+                            lambda x: F.transform(
+                                "docs",
+                                lambda y: F.struct(
+                                    x["id"].alias("id1"),
+                                    x["sz"].alias("sz1"),
+                                    y["id"].alias("id2"),
+                                    y["sz"].alias("sz2"),
+                                ),
+                            ),
+                        )
+                    ),
+                    keep,
+                )
+            ).alias("p")
+        )
+        .select("p.id1", "p.id2")
+        .distinct()
+    )
+    verified = (
+        cands.join(
+            us.select(
+                F.col("id").alias("id1"),
+                F.col("toks").alias("t1"),
+                F.col("sz").alias("sz1"),
+            ),
+            "id1",
+        )
+        .join(
+            us.select(
+                F.col("id").alias("id2"),
+                F.col("toks").alias("t2"),
+                F.col("sz").alias("sz2"),
+            ),
+            "id2",
+        )
+        .withColumn(
+            "inter", F.size(F.array_intersect("t1", "t2")).cast("long")
+        )
+        .withColumn(
             "jaccard",
             F.round(
                 F.col("inter")
@@ -154,7 +234,9 @@ def jaccard_pairs(
                 6,
             ),
         )
-        .filter(F.col("jaccard") >= threshold)
+    )
+    return (
+        verified.filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
 
@@ -332,6 +414,11 @@ def minhash_signatures(
     O(total tokens) shuffle entirely).
     """
     us = _unit_sets(df, text_col, id_col, ngram, hashed=True)
+    return _signatures_from_units(us, num_hashes)
+
+
+def _signatures_from_units(us: DataFrame, num_hashes: int) -> DataFrame:
+    """(id, toks) → (id, h0..h{k-1}); see minhash_signatures."""
 
     def hash_fn(i: int):
         # NB: must be a 1-arg lambda — a second param (even a default like
@@ -364,7 +451,11 @@ def minhash_lsh_pairs(
     candidate generation vs O(corpus²) brute force.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, num_hashes, text_col, id_col, ngram)
+    # one tokenize+shingle pass feeds BOTH the signatures and the verify
+    # join below; persisted because hashed unit arrays are fixed-width and
+    # small next to the corpus text (re-deriving them costs a corpus scan)
+    units = _unit_sets(df, text_col, id_col, ngram, hashed=True).persist()
+    sigs = _signatures_from_units(units, num_hashes)
     band_entries = []
     for b in range(bands):
         cols = [F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
@@ -398,7 +489,7 @@ def minhash_lsh_pairs(
 
     # verify candidates with exact token-set Jaccard via array ops, over
     # hashed units (identical set sizes modulo 64-bit collisions)
-    sets = _unit_sets(df, text_col, id_col, ngram, hashed=True)
+    sets = units
     return (
         candidates.join(
             sets.withColumnsRenamed({"id": "id1", "toks": "toks1"}), "id1"

@@ -24,7 +24,20 @@ TABLES = (
 )
 
 
+# DataFrame handles are immutable logical plans, so the 10-table load is
+# memoized per (session, sf_dir): each spark.read.parquet costs a JVM
+# round-trip + footer/schema read (~0.8s for the set), and every registered
+# query starts with load_tables — without the memo that cost is a per-QUERY
+# floor, with it a per-SESSION one. Keyed by applicationId (unique per
+# SparkContext), so a restarted session re-reads schemas.
+_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CACHE.get(key)
+    if cached is not None:
+        return dict(cached)
     # Runtime-settable SQL conf: required to read the events table's
     # TIMESTAMP(NANOS) column regardless of how the caller built the
     # session (the driver creates its own un-tuned SparkSession).
@@ -40,7 +53,8 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
                 F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
             )
         out[t] = df
-    return out
+    _CACHE[key] = out
+    return dict(out)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
