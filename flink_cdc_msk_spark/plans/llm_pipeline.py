@@ -1320,3 +1320,145 @@ def text_pack_sequences(spark, sf_dir):
             "seq_offset"
         ),
     )
+
+
+@register(
+    "text_segment_dedup",
+    oracle=f"""
+    WITH corpus AS (
+      {DOCS_WITH_DUPS_SQL}
+    ), t AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '') AS a
+      FROM corpus
+    ), segs AS (
+      SELECT doc_id, CAST(s.i AS BIGINT) AS seg_no,
+             array_to_string(a[(s.i * 32 + 1):(s.i * 32 + 32)], ' ') AS seg
+      FROM t, unnest(generate_series(0,
+               CAST(ceil(len(a) / 32.0) AS BIGINT) - 1)) AS s(i)
+      WHERE s.i * 32 < len(a)
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY seg ORDER BY doc_id, seg_no) AS rn
+      FROM segs
+    ), reassembled AS (
+      SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_no) AS clean_text,
+             count(*) AS kept_segments
+      FROM ranked WHERE rn = 1 GROUP BY doc_id
+    ), totals AS (
+      SELECT doc_id, count(*) AS total FROM segs GROUP BY doc_id
+    )
+    SELECT totals.doc_id, reassembled.clean_text,
+           coalesce(reassembled.kept_segments, 0) AS kept_segments,
+           totals.total - coalesce(reassembled.kept_segments, 0)
+             AS removed_segments
+    FROM totals LEFT JOIN reassembled USING (doc_id)
+    """,
+)
+def text_segment_dedup(spark, sf_dir):
+    """Cross-corpus segment-level dedup (the C4/CCNet "line dedup" stage,
+    with deterministic 32-token segments standing in for newline-split
+    lines — this corpus has no newlines): every repeated segment is kept
+    only at its FIRST occurrence ((doc_id, seg_no) order) anywhere in the
+    corpus; documents are reassembled from their surviving segments.
+
+    Scale shape: segments explode map-side; first-occurrence election is
+    one hash shuffle on the segment text (high-cardinality key — no skew;
+    a window over seg, not a global sort); reassembly is one shuffle on
+    doc_id. Reassembly sorts each doc's surviving segments in-array
+    (array_sort on (seg_no, seg) structs), so no per-group sort pass.
+    Fully-duplicated docs surface with clean_text=NULL, kept=0 — the
+    downstream filter decides whether to drop them."""
+    corpus = _docs_with_dups(spark, sf_dir)
+    base = corpus.select("doc_id", T.tokens("text").alias("_t")).filter(
+        F.size("_t") >= 1
+    )
+    n_segs = F.ceil(F.size("_t") / 32).cast("int")
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.struct(
+            i.cast("bigint").alias("seg_no"),
+            F.concat_ws(" ", F.slice("_t", i * 32 + 1, 32)).alias("seg"),
+        ),
+    )
+    segs = base.select("doc_id", F.explode_outer(seg_arr).alias("s")).select(
+        "doc_id", F.col("s.seg_no").alias("seg_no"), F.col("s.seg").alias("seg")
+    )
+    w = Window.partitionBy("seg").orderBy("doc_id", "seg_no")
+    kept = (
+        segs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    reassembled = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_no", "seg"))),
+                lambda s: s["seg"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("kept_segments"),
+    )
+    totals = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("total"))
+    return totals.join(reassembled, "doc_id", "left").select(
+        "doc_id",
+        "clean_text",
+        F.coalesce("kept_segments", F.lit(0)).alias("kept_segments"),
+        (F.col("total") - F.coalesce("kept_segments", F.lit(0))).alias(
+            "removed_segments"
+        ),
+    )
+
+
+_TEMP_ALPHA = 0.6  # mixture temperature: expected per-source count ∝ n^α
+
+
+@register(
+    "sample_temperature",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ), w AS (
+      SELECT lang, pow(n, {_TEMP_ALPHA} - 1.0) AS wr FROM counts
+    ), m AS (
+      SELECT max(wr) AS mw FROM w
+    ), r AS (
+      SELECT lang, CAST(round(wr / mw * 1000000) AS BIGINT) AS keep_ppm
+      FROM w, m
+    )
+    SELECT d.doc_id, d.lang, r.keep_ppm
+    FROM documents d JOIN r USING (lang)
+    WHERE {{hb}} < r.keep_ppm
+    """.replace("{hb}", _hb_sql("d.doc_id", 1_000_000)),
+)
+def sample_temperature(spark, sf_dir):
+    """Temperature-flattened mixture sampling (the multilingual
+    rebalancing stage): per-language keep-rate ∝ n^(α-1) normalized so
+    the rarest language keeps everything — expected post-sample counts ∝ n^α,
+    α=0.6. Membership is the deterministic Knuth id-hash (see
+    operators/sampling.py): reproducible on any cluster/partitioning, and
+    the DuckDB oracle runs the identical formula.
+
+    Scale shape: the per-language histogram is a tiny partial-agg shuffle
+    (|langs| rows); rates broadcast back; the membership test is
+    map-side arithmetic on the id — the corpus itself never shuffles."""
+    from ..operators.sampling import hash_bucket
+
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    w = counts.select(
+        "lang", F.pow("n", F.lit(_TEMP_ALPHA - 1.0)).alias("wr")
+    )
+    m = w.agg(F.max("wr").alias("mw"))
+    rates = w.crossJoin(F.broadcast(m)).select(
+        "lang",
+        F.round(F.col("wr") / F.col("mw") * 1_000_000)
+        .cast("bigint")
+        .alias("keep_ppm"),
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(hash_bucket("doc_id", 1_000_000) < F.col("keep_ppm"))
+        .select("doc_id", "lang", "keep_ppm")
+    )

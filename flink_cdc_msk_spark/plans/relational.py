@@ -1385,3 +1385,260 @@ def agg_hll_sketch(spark, sf_dir):
             F.hll_sketch_estimate("u").alias("distinct_customers_est"),
         )
     )
+
+
+# ------------------------------------------------- subquery decorrelation set
+# TPC-H Q4/Q13/Q15/Q17/Q21/Q22 shapes, adapted to this testdata's reduced
+# schema (no partsupp/commitdate/phone columns — predicates substituted,
+# join/subquery structure preserved). Together they cover the decorrelation
+# patterns a warehouse engine must handle: EXISTS → left-semi, NOT EXISTS →
+# left-anti, correlated scalar agg → join against a grouped subplan, and
+# uncorrelated scalar agg → one-row broadcast cross join.
+
+
+@register(
+    "q4_priority_late_exists",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_late_exists(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS over lineitem → left-semi join on
+    the order key with the correlated inequality in the join condition.
+    Catalyst keeps it one shuffle pair (orders is the small filtered side);
+    at scale the semi-join never materializes lineitem columns."""
+    o, li = _t(spark, sf_dir, "orders", "lineitem")
+    filtered = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    late = filtered.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: outer-join-preserving count distribution. The
+    non-equi predicate lives in the JOIN condition (not WHERE — that would
+    turn the outer join inner); customers with zero surviving orders count
+    as c_count=0. Two agg shuffles, both on low-cardinality keys."""
+    cu, o = _t(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        cu.join(
+            o.filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: grouped revenue view + uncorrelated scalar MAX
+    subquery. The one-row max broadcasts into a cross join (no second scan
+    of lineitem — the rev subplan is reused for both sides). Revenue sums
+    DECIMAL(18,4): per-element rounding then exact decimal addition, so
+    the max-equality is partition-order-independent on any engine."""
+    li, s = _t(spark, sf_dir, "lineitem", "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .select(
+            "l_suppkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,4)")
+            .alias("r"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("r").alias("total_revenue"))
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(top), F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT p_brand,
+           round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_quantity < (
+      SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = lineitem.l_partkey
+    )
+    GROUP BY p_brand
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar AVG decorrelated into a grouped
+    subplan joined back on the part key. l_quantity is integer-valued, so
+    the per-part avg (exact integer sum / count) is bit-identical across
+    engines and partitionings — the 0.2·avg threshold is safe to compare.
+    Both lineitem reads share one scan; the per-part avg is the smaller
+    side and shuffles on the same key as the join."""
+    li, p = _t(spark, sf_dir, "lineitem", "part")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        li.join(per_part, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q21_last_shipper",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name
+    """,
+)
+def q21_last_shipper(spark, sf_dir):
+    """TPC-H Q21 shape: the hardest decorrelation in the suite — a
+    correlated EXISTS (another supplier in the order) AND a correlated
+    NOT EXISTS with an inequality (nobody shipped later). Left-semi then
+    left-anti self-joins on the order key; all three lineitem sides
+    shuffle on l_orderkey, so AQE plans them into one exchange reuse."""
+    s, li, o = _t(spark, sf_dir, "supplier", "lineitem", "orders")
+    l1 = li.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = li.select("l_orderkey", "l_suppkey", "l_shipdate").alias("l3")
+    base = l1.join(
+        o.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+        F.col("l1.l_orderkey") == F.col("o_orderkey"),
+    )
+    multi = base.join(
+        l2,
+        (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_semi",
+    )
+    last = multi.join(
+        l3,
+        (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey"))
+        & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
+        "left_anti",
+    )
+    return (
+        last.join(
+            F.broadcast(s), F.col("s_suppkey") == F.col("l1.l_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "q22_idle_customers",
+    oracle="""
+    SELECT n_name, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY n_name
+    """,
+)
+def q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: uncorrelated scalar AVG (one-row broadcast cross
+    join — never a collect) + NOT EXISTS anti-join against recent orders
+    ("no order in the last years" — this data has no order-less
+    customers). The anti-join side projects only o_custkey after the date
+    filter pushes to the scan, so the shuffle carries one column."""
+    cu, o, n = _t(spark, sf_dir, "customer", "orders", "nation")
+    avg_bal = cu.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    rich = cu.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("ab")
+    )
+    idle = rich.join(
+        o.filter(
+            F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz")
+        ).select("o_custkey"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    )
+    return (
+        idle.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
