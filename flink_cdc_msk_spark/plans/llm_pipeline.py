@@ -1400,7 +1400,11 @@ def text_segment_dedup(spark, sf_dir):
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("kept_segments"),
     )
-    totals = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("total"))
+    # per-doc segment totals come map-side from the token count — no
+    # second pass over the exploded segments
+    totals = base.select(
+        "doc_id", F.ceil(F.size("_t") / 32).cast("bigint").alias("total")
+    )
     return totals.join(reassembled, "doc_id", "left").select(
         "doc_id",
         "clean_text",

@@ -467,3 +467,176 @@ def pandas_grouped_stats(spark, sf_dir):
     return grouped.join(udaf, "event_type").select(
         "event_type", "n", "median_value", "mad_value", "geo_mean"
     )
+
+
+@register(
+    "streaming_interval_join",
+    oracle=f"""
+    SELECT c.event_id AS click_id,
+           c.user_id,
+           strftime(c.ts, '{TS_FMT_DUCK}') AS click_ts,
+           v.event_id AS view_id,
+           strftime(v.ts, '{TS_FMT_DUCK}') AS view_ts,
+           round(v.value, 2) AS view_value
+    FROM events c
+    JOIN events v
+      ON v.user_id = c.user_id
+     AND v.ts BETWEEN c.ts - INTERVAL 10 MINUTE AND c.ts
+    WHERE c.event_type = 'click' AND v.event_type = 'view'
+    """,
+)
+def streaming_interval_join(spark, sf_dir):
+    """Stream-stream INTERVAL JOIN through real Structured Streaming:
+    every click joined to the same user's views in the preceding 10
+    minutes — the attribution join. Both sides carry a 2h watermark and
+    the join condition bounds event-time distance, so Spark provably
+    expires join state (a stream-stream join without both is unbounded
+    state — the planner rejects it in append mode). Inner joins emit on
+    match, so no sentinel row is needed; the availableNow run must equal
+    the batch interval join, which is the oracle.
+
+    Scale shape: state is hash-partitioned on user_id on both sides and
+    bounded by watermark + interval; at 100 TB/day this is the standard
+    clickstream-attribution topology."""
+    from ..streaming.materialize import session_tmpdir, stream_to_parquet
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ev(spark, sf_dir).select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    d = session_tmpdir("stream_ijoin_")
+    ev.repartition(4).write.parquet(f"{d}/src")
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double"
+    ).parquet(f"{d}/src")
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("value").alias("v_value"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    joined = clicks.join(
+        views,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("view_ts") <= F.col("click_ts")),
+    )
+    scan = stream_to_parquet(joined, d)
+    return scan.select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        F.date_format("click_ts", TS_FMT).alias("click_ts"),
+        "view_id",
+        F.date_format("view_ts", TS_FMT).alias("view_ts"),
+        F.round("v_value", 2).alias("view_value"),
+    )
+
+
+@register(
+    "streaming_left_outer_interval_join",
+    oracle=f"""
+    SELECT c.event_id AS click_id,
+           c.user_id,
+           strftime(c.ts, '{TS_FMT_DUCK}') AS click_ts,
+           v.event_id AS view_id,
+           round(v.value, 2) AS view_value
+    FROM events c
+    LEFT JOIN events v
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view'
+     AND v.ts BETWEEN c.ts - INTERVAL 10 MINUTE AND c.ts
+    WHERE c.event_type = 'click'
+    """,
+)
+def streaming_left_outer_interval_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join — the semantically hard
+    variant: an unmatched click's null row may only be emitted once the
+    watermark proves no matching view can still arrive. Sentinel events
+    4h past the corpus max on BOTH branches (each branch's watermark is
+    tracked at its own ``withWatermark`` node, after the filter — a
+    sentinel that one filter drops would never advance that side) push
+    the global watermark past every real click, so availableNow emits
+    exactly the batch LEFT JOIN; sentinels are scrubbed from the output.
+
+    Scale shape: identical bounded state to the inner variant plus a
+    per-click "seen a match" bit; emission latency is the watermark
+    delay, the price of correct null rows."""
+    from datetime import timedelta
+
+    from ..streaming.materialize import session_tmpdir, stream_to_parquet
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ev(spark, sf_dir).select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    d = session_tmpdir("stream_lojoin_")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinels = spark.createDataFrame(
+        [
+            (-1, max_ts + timedelta(hours=4), -1, "click", 0.0),
+            (-2, max_ts + timedelta(hours=4), -1, "view", 0.0),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    ev.unionByName(sentinels).repartition(4).write.parquet(f"{d}/src")
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double"
+    ).parquet(f"{d}/src")
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("value").alias("v_value"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    joined = clicks.join(
+        views,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("view_ts") <= F.col("click_ts")),
+        "left_outer",
+    )
+    scan = stream_to_parquet(joined, d)
+    return scan.filter(F.col("c_user") != -1).select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        F.date_format("click_ts", TS_FMT).alias("click_ts"),
+        "view_id",
+        F.round("v_value", 2).alias("view_value"),
+    )
