@@ -500,3 +500,52 @@ def test_connected_components_merges_clone_chains(spark, docs):
     assert all(labels[c + 10_000] == labels[c] for c in cloned)
     # a clone group's label is the ORIGINAL id (component minimum)
     assert all(labels[c] <= c for c in cloned)
+
+
+def test_jaccard_prefix_filter_exhaustive_vs_bruteforce(spark):
+    """The AllPairs prefix filter is an EXACT optimization — any
+    off-by-one in the ``sz - ceil(τ·sz) + 1`` prefix length silently
+    drops qualifying pairs. Randomized corpora (fixed seeds, heavy
+    shared vocabulary so posting lists overlap) are compared against a
+    driver-side brute-force over every (i<j) pair, at two thresholds
+    including one where τ·sz is often integral (the ceil edge)."""
+    import itertools
+    import random
+
+    for seed, threshold in [(1, 0.8), (2, 0.5), (3, 0.75)]:
+        rng = random.Random(seed)
+        vocab = [f"w{k}" for k in range(12)]
+        rows = []
+        for i in range(40):
+            n = rng.randint(3, 12)
+            rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+        corpus = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.id1, r.id2)
+            for r in D.jaccard_pairs(
+                corpus, threshold=threshold, ngram=1, hashed=True
+            ).collect()
+        }
+        sets = {i: {w for w in t.lower().split() if w} for i, t in rows}
+        want = set()
+        for a, b in itertools.combinations(sorted(sets), 2):
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if round(j, 6) >= threshold:
+                want.add((a, b))
+        assert got == want, (seed, threshold, got ^ want)
+
+
+def test_load_tables_memoized_per_session(spark):
+    """The 10-table load is a per-session cost, not a per-query one: the
+    same DataFrame handles must come back on repeat calls (the returned
+    dict is a fresh copy, so callers can't poison the cache)."""
+    from flink_cdc_msk_spark.sources.tables import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    a = load_tables(spark, sf)
+    b = load_tables(spark, sf)
+    assert a is not b
+    assert all(a[t] is b[t] for t in a)
