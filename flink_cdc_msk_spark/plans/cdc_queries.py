@@ -559,3 +559,69 @@ def cdc_mongo_route_keys(spark, sf_dir):
     return routed.select(
         "db", F.col("table").alias("coll"), "partition_key", "topic", op
     )
+
+
+@register(
+    "cdc_schema_drift_rescue",
+    oracle="""
+    SELECT o_orderkey, 'c' AS op,
+           CASE WHEN o_orderkey % 13 = 0
+                THEN '{"o_channel":"ch' || CAST(o_orderkey % 3 AS VARCHAR)
+                     || '"}'
+           END AS rescued_json
+    FROM orders
+    """,
+)
+def cdc_schema_drift_rescue(spark, sf_dir):
+    """Schema-evolution tolerance on the CDC parse path (the reference
+    inherits this from Debezium's JSON envelope — new columns simply
+    appear in ``after``, MySQLCDC2AWSMSK.scala:95-168 passes them
+    through): rows are parsed with the TYPED envelope schema for the
+    known columns, and any field the schema does not know lands in a
+    rescued-data column (the lakehouse "_rescued_data" pattern) instead
+    of being silently dropped — so a mid-stream ALTER TABLE ADD COLUMN
+    degrades to a visible, queryable map, never data loss.
+
+    Drift is planted deterministically: orderkey%13 rows carry an extra
+    ``o_channel`` field (ignoreNullFields=true renders the others
+    without it). Parse is one pass: typed ``from_json`` for the known
+    payload + a ``map<string,string>`` parse of ``after`` filtered to
+    unknown keys. Map-side only — no shuffle; the rescued map is
+    re-serialized to JSON so downstream sinks keep a stable schema."""
+    from ..sources.tables import load_tables
+
+    o = load_tables(spark, sf_dir)["orders"]
+    drifted = F.struct(
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.when(
+            F.col("o_orderkey") % 13 == 0,
+            F.concat(F.lit("ch"), (F.col("o_orderkey") % 3).cast("string")),
+        ).alias("o_channel"),
+    )
+    feed = o.select(
+        F.to_json(
+            F.struct(
+                drifted.alias("after"),
+                F.lit("c").alias("op"),
+            )
+        ).alias("value")
+    )
+    known = {"o_orderkey", "o_custkey"}
+    typed = F.from_json(
+        "value", "struct<after:struct<o_orderkey:bigint>,op:string>"
+    )
+    raw_after = F.from_json(
+        F.get_json_object("value", "$.after"), "map<string,string>"
+    )
+    rescued = F.map_filter(
+        raw_after,
+        lambda k, v: ~k.isin(*sorted(known)),
+    )
+    return feed.select(
+        typed["after"]["o_orderkey"].alias("o_orderkey"),
+        typed["op"].alias("op"),
+        F.when(F.size(F.map_keys(rescued)) > 0, F.to_json(rescued)).alias(
+            "rescued_json"
+        ),
+    )

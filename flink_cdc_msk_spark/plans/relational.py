@@ -1642,3 +1642,90 @@ def q22_idle_customers(spark, sf_dir):
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "agg_approx_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.50), 2) AS p50_exact,
+           round(quantile_cont(o_totalprice, 0.95), 2) AS p95_exact,
+           1 AS approx_in_bound
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_approx_percentiles(spark, sf_dir):
+    """percentile_approx (Greenwald-Khanna sketch — the mergeable
+    one-pass structure you use at 100 TB, where exact percentiles need a
+    per-group sort) next to the exact interpolated percentile. Sketch
+    internals differ by engine, so the oracle hash-checks (a) the exact
+    p50/p95 (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, same
+    linear interpolation) and (b) an in-query RANK-window assertion: the
+    sketch value must lie between the exact percentiles at q∓0.02 —
+    value-space bounds would be data-dependent, rank bounds are not.
+    accuracy=10000 → rank error ≤ 0.01%, so the 2% window is loose; an
+    out-of-bound sketch collapses the constant to 0 and fails the gate."""
+    (o,) = _t(spark, sf_dir, "orders")
+
+    def pct(q):
+        return F.expr(f"percentile(o_totalprice, {q})")
+
+    def apx(q):
+        return F.expr(f"percentile_approx(o_totalprice, {q}, 10000)")
+
+    in_bound = (
+        apx(0.50).between(pct(0.48), pct(0.52))
+        & apx(0.95).between(pct(0.93), pct(0.97))
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.round(pct(0.50), 2).alias("p50_exact"),
+        F.round(pct(0.95), 2).alias("p95_exact"),
+        F.when(in_bound, 1).otherwise(0).alias("approx_in_bound"),
+    )
+
+
+@register(
+    "unpivot_price_components",
+    oracle="""
+    SELECT l_returnflag, component, round(sum(amount), 2) AS total
+    FROM (
+      SELECT l_returnflag, 'base' AS component,
+             l_extendedprice AS amount FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'discount_amt',
+             l_extendedprice * l_discount FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'tax_amt',
+             l_extendedprice * (1 - l_discount) * l_tax FROM lineitem
+    )
+    GROUP BY l_returnflag, component
+    """,
+)
+def unpivot_price_components(spark, sf_dir):
+    """Wide→long reshaping via ``unpivot`` (melt): three derived price
+    components become (component, amount) rows, then a grouped sum. One
+    scan — the unpivot is a map-side Expand (3 output rows per input, no
+    self-union re-scan, which is what the UNION ALL oracle would cost if
+    executed literally); one agg shuffle on the (flag, component) key."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    wide = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("base"),
+        (F.col("l_extendedprice") * F.col("l_discount")).alias(
+            "discount_amt"
+        ),
+        (
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * F.col("l_tax")
+        ).alias("tax_amt"),
+    )
+    long = wide.unpivot(
+        ["l_returnflag"],
+        ["base", "discount_amt", "tax_amt"],
+        "component",
+        "amount",
+    )
+    return long.groupBy("l_returnflag", "component").agg(
+        F.round(F.sum("amount"), 2).alias("total")
+    )
