@@ -150,14 +150,18 @@ def jaccard_pairs(
     (2 shuffles), then two hash joins bring the full arrays back for
     verification. Candidate volume ≈ output volume, so the verify joins
     are linear in the result, never in the corpus²."""
-    us = (
-        _unit_sets(df, text_col, id_col, ngram, hashed)
-        .select(
-            "id",
-            F.sort_array("toks").alias("toks"),
-            F.size("toks").cast("long").alias("sz"),
-        )
-        .persist()
+    # persist the PLAIN unit sets (not the sorted projection): this is the
+    # exact logical plan minhash/simhash/containment build for the same
+    # (corpus, ngram) — Spark's cache manager substitutes a persisted plan
+    # into any query containing it, so one materialization serves every
+    # dedup operator in the session. sort_array (needed only for the
+    # prefix index) is a cheap derived projection; the verify joins use
+    # the unsorted arrays — array_intersect doesn't care.
+    units = _unit_sets(df, text_col, id_col, ngram, hashed).persist()
+    us = units.select(
+        "id",
+        F.sort_array("toks").alias("toks"),
+        F.size("toks").cast("long").alias("sz"),
     )
     plen = (
         F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + F.lit(1)
@@ -208,18 +212,18 @@ def jaccard_pairs(
     )
     verified = (
         cands.join(
-            us.select(
+            units.select(
                 F.col("id").alias("id1"),
                 F.col("toks").alias("t1"),
-                F.col("sz").alias("sz1"),
+                F.size("toks").cast("long").alias("sz1"),
             ),
             "id1",
         )
         .join(
-            us.select(
+            units.select(
                 F.col("id").alias("id2"),
                 F.col("toks").alias("t2"),
-                F.col("sz").alias("sz2"),
+                F.size("toks").cast("long").alias("sz2"),
             ),
             "id2",
         )
