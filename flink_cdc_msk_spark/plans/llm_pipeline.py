@@ -43,21 +43,53 @@ def _docs(spark, sf_dir):
     return load_tables(spark, sf_dir)["documents"]
 
 
+def _planted_variants(d, with_near: bool):
+    """One-scan corpus planting: each doc emits itself plus its planted
+    clone/near-dup variants from a map-side array explode — the UNION ALL
+    formulation (what the oracle SQL runs) re-scans the parquet once per
+    branch. Output rows are identical; the plan reads the corpus once.
+    ``explode_outer`` (not explode): the inferred size>0 filter of a
+    plain explode would re-inline the array construction (PERF.md §1)."""
+    self_row = F.array(F.struct(F.col("doc_id"), F.col("text")))
+    empty = F.array().cast("array<struct<doc_id:bigint,text:string>>")
+    clone = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.array(
+            F.struct(
+                (F.col("doc_id") + CLONE_OFFSET).alias("doc_id"),
+                F.col("text"),
+            )
+        ),
+    ).otherwise(empty)
+    parts = [self_row, clone]
+    if with_near:
+        parts.append(
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.array(
+                    F.struct(
+                        (F.col("doc_id") + NEAR_OFFSET).alias("doc_id"),
+                        F.concat(F.col("text"), F.lit(NEAR_SUFFIX)).alias(
+                            "text"
+                        ),
+                    )
+                ),
+            ).otherwise(empty)
+        )
+    return (
+        d.select(F.explode_outer(F.concat(*parts)).alias("v"))
+        .select("v.doc_id", "v.text")
+    )
+
+
 def _docs_with_dups(spark, sf_dir):
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    clones = d.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + CLONE_OFFSET).alias("doc_id"), "text"
-    )
-    return d.unionByName(clones)
+    return _planted_variants(d, with_near=False)
 
 
 def _docs_with_near_dups(spark, sf_dir):
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    near = d.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + NEAR_OFFSET).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(NEAR_SUFFIX)).alias("text"),
-    )
-    return _docs_with_dups(spark, sf_dir).unionByName(near)
+    return _planted_variants(d, with_near=True)
 
 
 def _emb(spark, sf_dir):
