@@ -119,3 +119,65 @@ def test_tfidf_corpus_count_is_plan_side_broadcast(spark):
         .toString()
     )
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_segment_dedup_has_no_global_sort(spark):
+    """First-occurrence election must be a window over the SEGMENT key
+    (high-cardinality hash partition), never an all-rows global sort; the
+    reassembly agg must partition on doc_id."""
+    from flink_cdc_msk_spark.plans.llm_pipeline import text_segment_dedup
+
+    plan = (
+        text_segment_dedup(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(seg" in plan, plan
+
+
+def test_q21_no_cartesian_product(spark):
+    """The semi+anti self-join decorrelation must stay key-equi: a
+    CartesianProduct/BroadcastNestedLoopJoin here means the inequality
+    conjunct displaced the equi-key and the plan is corpus² at scale."""
+    from flink_cdc_msk_spark.plans.relational import q21_last_shipper
+
+    plan = (
+        q21_last_shipper(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_streaming_interval_join_state_is_bounded(spark):
+    """The stream-stream join must carry watermarks on BOTH sides and an
+    event-time range condition — that pair is what lets Spark expire join
+    state. Build the registered query's join topology on a real streaming
+    source (rate — analysis only, never started) and assert the analyzed
+    plan records both EventTimeWatermark nodes; a batch stand-in would
+    silently elide them (withWatermark is a no-op outside streaming)."""
+    from pyspark.sql import functions as F
+
+    src = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    clicks = src.select(
+        F.col("value").alias("click_id"),
+        (F.col("value") % 5).alias("c_user"),
+        F.col("timestamp").alias("click_ts"),
+    ).withWatermark("click_ts", "2 hours")
+    views = src.select(
+        F.col("value").alias("view_id"),
+        (F.col("value") % 5).alias("v_user"),
+        F.col("timestamp").alias("view_ts"),
+    ).withWatermark("view_ts", "2 hours")
+    j = clicks.join(
+        views,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("view_ts") <= F.col("click_ts")),
+    )
+    logical = j._jdf.queryExecution().analyzed().toString()
+    assert logical.count("EventTimeWatermark") == 2, logical
