@@ -56,3 +56,75 @@ def running_totals(
     return events.groupBy(key).applyInPandasWithState(
         fn, RUNNING_OUT_SCHEMA, RUNNING_STATE_SCHEMA, "update", timeout
     )
+
+
+TWS_OUT_SCHEMA = (
+    "user_id bigint, n bigint, total double, v_min double, v_max double"
+)
+
+
+def user_stats_tws(events: DataFrame, value_col: str = "value") -> DataFrame:
+    """Per-user running stats via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-state API (successor of applyInPandasWithState:
+    typed state handles, timers, and schema-evolvable state instead of a
+    single opaque tuple). State is one fixed-width ValueState row per
+    user; requires the RocksDB state-store provider (the API rejects the
+    default HDFS-backed one), which is also the provider you'd run at
+    scale — state spills off-heap instead of executor memory.
+
+    ENVIRONMENT GATE: the transformWithState Python worker speaks a
+    protobuf protocol to the state server; this container ships a broken
+    ``google.protobuf`` (no ``descriptor``), so the operator cannot run
+    here and is deliberately NOT a registered query — the arbitrary-state
+    surface is driver-verified through ``running_totals``
+    (applyInPandasWithState, query ``streaming_running_totals``) instead.
+    ``tests/test_streaming.py::test_user_stats_tws`` runs it wherever
+    protobuf is importable.
+
+    Emits the cumulative (n, total, min, max) per user each micro-batch;
+    after an availableNow run the max-n row per user equals the batch
+    groupBy, which is what the registered query's oracle checks."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats", "n bigint, total double, v_min double, v_max double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, total, v_min, v_max = self._state.get()
+            else:
+                n, total, v_min, v_max = 0, 0.0, None, None
+            for pdf in rows:
+                vals = pdf[value_col].astype(float)
+                n += len(pdf)
+                total += float(vals.sum())
+                lo, hi = float(vals.min()), float(vals.max())
+                v_min = lo if v_min is None else min(v_min, lo)
+                v_max = hi if v_max is None else max(v_max, hi)
+            self._state.update((n, total, v_min, v_max))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n": [n],
+                    "total": [total],
+                    "v_min": [v_min],
+                    "v_max": [v_max],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStats(),
+        outputStructType=TWS_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

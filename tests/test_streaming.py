@@ -434,3 +434,52 @@ def test_near_dup_filter_batch_retry_is_idempotent(spark, tmpdir):
     assert sorted(r.doc_id for r in out.collect()) == [1, 2]
     store = spark.read.parquet(f"{tmpdir}/r_store")
     assert store.count() == store.dropDuplicates(["id", "band", "bucket"]).count()
+
+
+def test_user_stats_tws_if_protobuf_available(spark, tmp_path):
+    """transformWithStateInPandas end-to-end — skipped where the
+    container's protobuf is broken (the state-server protocol needs it);
+    the operator itself is import-clean everywhere."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable in this container")
+    from pyspark.sql import functions as F
+
+    from flink_cdc_msk_spark.streaming.stateful import user_stats_tws
+
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        src = tmp_path / "src"
+        spark.createDataFrame(
+            [(1, 2.0), (1, 3.0), (2, 5.0)], "user_id long, value double"
+        ).write.json(str(src))
+        stream = spark.readStream.schema("user_id long, value double").json(
+            str(src)
+        )
+        out = user_stats_tws(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_test")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = {
+            r.user_id: r
+            for r in spark.sql(
+                "SELECT * FROM tws_test ORDER BY n"
+            ).collect()
+        }
+        assert rows[1].n == 2 and abs(rows[1].total - 5.0) < 1e-9
+        assert rows[2].v_min == 5.0 == rows[2].v_max
+    finally:
+        spark.conf.unset(prov_key)
