@@ -38,6 +38,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # NB: Spark's runtime row-level filters
+        # (spark.sql.optimizer.runtime.bloomFilter.enabled /
+        # runtimeFilter.semiJoinReduction.enabled) were measured here and
+        # REVERTED: at test scale the injected bloom-build subqueries
+        # multiplied per-query work several-fold (bench hung past 10 min).
+        # At 100 TB they're worth re-enabling per-job where a selective
+        # dimension filter feeds a fact-scan join — a deploy-time knob,
+        # not an engine default.
         # Arrow for every pandas-UDF exchange (the only Python hot paths).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Spark can't read parquet TIMESTAMP(NANOS) natively; read as long
