@@ -1498,3 +1498,41 @@ def sample_temperature(spark, sf_dir):
         .filter(hash_bucket("doc_id", 1_000_000) < F.col("keep_ppm"))
         .select("doc_id", "lang", "keep_ppm")
     )
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+             encode(text) AS payload
+      FROM documents
+    )
+    SELECT media_id, kind, 64 AS width, 64 AS height,
+           CAST(4096 AS BIGINT) AS out_len,
+           md5(substring(repeat(text, CAST(4096 / greatest(length(text), 1)
+               AS INTEGER) + 1), 1, 4096)) AS payload_md5
+    FROM media JOIN documents ON doc_id = media_id
+    """,
+)
+def multimodal_resize(spark, sf_dir):
+    """Resize/thumbnail plumbing over binary media payloads
+    (operators/multimodal.py): Arrow-batched mapInPandas, fixed-size
+    output per asset, map-only — the real pipeline swaps the stub stripe
+    transform for a PIL/ffmpeg decode+re-encode behind the same
+    signature. The oracle reproduces the deterministic stripe (repeat-pad
+    to 64×64 bytes) and compares md5 fingerprints — raw binary columns
+    don't stringify identically across engines, fingerprints do."""
+    from ..operators.multimodal import resize_media, synthesize_media
+
+    media = synthesize_media(_docs(spark, sf_dir))
+    out = resize_media(media, width=64, height=64)
+    return out.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        F.length("payload").cast("bigint").alias("out_len"),
+        F.md5("payload").alias("payload_md5"),
+    )
