@@ -63,13 +63,36 @@ _DRIVER_VERIFIED = frozenset(
 )
 
 
+# Queries registered in round 3 — they queue BEHIND the round-2 backlog
+# (registered before the r02 snapshot but never driver-checked) so the
+# oldest debt clears the 50-entry sweep first; these get their rows next
+# round.
+_REGISTERED_R3 = frozenset(
+    {
+        "q4_priority_late_exists", "q13_order_count_distribution",
+        "q15_top_supplier", "q17_small_quantity_revenue",
+        "q21_last_shipper", "q22_idle_customers", "agg_approx_percentiles",
+        "unpivot_price_components", "cdc_schema_drift_rescue",
+        "text_segment_dedup", "sample_temperature", "multimodal_resize",
+        "streaming_interval_join", "streaming_left_outer_interval_join",
+    }
+)
+
+
 def _rotated(mapping: dict) -> dict:
     registry.ensure_loaded()
-    unverified = {
-        k: v for k, v in mapping.items() if k not in _DRIVER_VERIFIED
-    }
-    verified = {k: v for k, v in mapping.items() if k in _DRIVER_VERIFIED}
-    return {**unverified, **verified}
+
+    def tier(name: str) -> int:
+        if name in _DRIVER_VERIFIED:
+            return 2
+        if name in _REGISTERED_R3:
+            return 1
+        return 0
+
+    items = sorted(
+        enumerate(mapping.items()), key=lambda t: (tier(t[1][0]), t[0])
+    )
+    return {k: v for _, (k, v) in items}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
