@@ -75,6 +75,8 @@ _REGISTERED_R3 = frozenset(
         "unpivot_price_components", "cdc_schema_drift_rescue",
         "text_segment_dedup", "sample_temperature", "multimodal_resize",
         "streaming_interval_join", "streaming_left_outer_interval_join",
+        "events_resample_gapfill", "scalar_map_funcs",
+        "text_edit_distance_pairs",
     }
 )
 

@@ -1536,3 +1536,37 @@ def multimodal_resize(spark, sf_dir):
         F.length("payload").cast("bigint").alias("out_len"),
         F.md5("payload").alias("payload_md5"),
     )
+
+
+@register(
+    "text_edit_distance_pairs",
+    oracle="""
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40))
+             AS edit40,
+           abs(length(a.text) - length(b.text)) AS len_diff
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def text_edit_distance_pairs(spark, sf_dir):
+    """Character-level edit distance over candidate pairs (the fuzzy
+    string-match primitive): adjacent-id pairs via an equi self-join,
+    Levenshtein on a 40-char prefix. The prefix bound matters at scale:
+    Levenshtein is O(m·n) per pair, so production fuzzy joins always run
+    it on bounded keys AFTER cheap candidate generation (here the id
+    join; in anger, an LSH/blocking stage like dedup's) — never across
+    the raw cross product."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    a = d.select(F.col("doc_id").alias("id1"), F.col("text").alias("t1"))
+    b = d.select(F.col("doc_id").alias("id2"), F.col("text").alias("t2"))
+    return (
+        a.join(b, F.col("id2") == F.col("id1") + 1)
+        .select(
+            "id1",
+            "id2",
+            F.levenshtein(
+                F.substring("t1", 1, 40), F.substring("t2", 1, 40)
+            ).alias("edit40"),
+            F.abs(F.length("t1") - F.length("t2")).alias("len_diff"),
+        )
+    )

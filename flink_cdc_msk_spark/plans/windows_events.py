@@ -640,3 +640,96 @@ def streaming_left_outer_interval_join(spark, sf_dir):
         "view_id",
         F.round("v_value", 2).alias("view_value"),
     )
+
+
+@register(
+    "events_resample_gapfill",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT min(date_trunc('hour', ts)) AS lo,
+             max(date_trunc('hour', ts)) AS hi
+      FROM events
+    ), grid AS (
+      SELECT g.h FROM bounds,
+        unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS g(h)
+    ), agg AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             count(*) AS n, round(sum(value), 2) AS total_value
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), types AS (SELECT DISTINCT event_type FROM events)
+    SELECT types.event_type,
+           strftime(grid.h, '{TS_FMT_DUCK}') AS bucket,
+           coalesce(agg.n, 0) AS n,
+           coalesce(agg.total_value, 0.0) AS total_value
+    FROM grid CROSS JOIN types
+    LEFT JOIN agg ON agg.h = grid.h AND agg.event_type = types.event_type
+    """,
+)
+def events_resample_gapfill(spark, sf_dir):
+    """Time-series resample with gap filling: hourly buckets per event
+    type over the full [min, max] hour grid, empty buckets zero-filled —
+    the densification step before rolling-window models (which assume a
+    complete, regular grid).
+
+    Scale shape: the dense grid is GENERATED, not scanned — a one-row
+    bounds aggregate exploded via ``sequence()`` (map-side), cross-joined
+    with the distinct-type dimension (broadcast — |types| rows), then a
+    LEFT join against the hourly aggregate on the same (type, hour) key
+    the agg already shuffled on. The raw event stream is read once; no
+    per-row Python, no global sort. Grid size = hours × types — bounded
+    by the time range, independent of event volume."""
+    ev = _ev(spark, sf_dir).select(
+        F.date_trunc("hour", "ts").alias("h"), "event_type", "value"
+    )
+    bounds = ev.agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    agg = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return (
+        grid.crossJoin(F.broadcast(types))
+        .join(agg, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.date_format("h", TS_FMT).alias("bucket"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "scalar_map_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+           CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                THEN 1 ELSE 0 END AS has_k,
+           CAST(json_extract(props, '$.k') AS BIGINT) * 2 AS k_doubled
+    FROM events
+    """,
+)
+def scalar_map_funcs(spark, sf_dir):
+    """Map-typed column surface: parse the per-event JSON props into a
+    real ``map<string,bigint>`` and exercise the map function family —
+    size, element_at, membership, and ``transform_values`` (value-side
+    higher-order rewrite). Map-side only; the map never shuffles."""
+    ev = _ev(spark, sf_dir).select("event_id", "props")
+    m = F.from_json("props", "map<string,bigint>")
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    return ev.select(
+        "event_id",
+        F.size(m).alias("n_keys"),
+        F.element_at(m, "k").alias("k_value"),
+        F.when(F.map_contains_key(m, "k"), 1).otherwise(0).alias("has_k"),
+        F.element_at(doubled, "k").alias("k_doubled"),
+    )
