@@ -76,7 +76,8 @@ _REGISTERED_R3 = frozenset(
         "text_segment_dedup", "sample_temperature", "multimodal_resize",
         "streaming_interval_join", "streaming_left_outer_interval_join",
         "events_resample_gapfill", "scalar_map_funcs",
-        "text_edit_distance_pairs",
+        "text_edit_distance_pairs", "events_funnel_conversion",
+        "events_cohort_retention",
     }
 )
 

@@ -733,3 +733,141 @@ def scalar_map_funcs(spark, sf_dir):
         F.when(F.map_contains_key(m, "k"), 1).otherwise(0).alias("has_k"),
         F.element_at(doubled, "k").alias("k_doubled"),
     )
+
+
+@register(
+    "events_funnel_conversion",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, min(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS first_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.first_view
+        AND e.ts <= v.first_view + INTERVAL 1 HOUR
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS first_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+        AND e.ts <= c.first_click + INTERVAL 1 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_view_click,
+           CAST((SELECT count(*) FROM p) AS BIGINT)
+             AS n_view_click_purchase
+    """,
+)
+def events_funnel_conversion(spark, sf_dir):
+    """Ordered funnel (view → click → purchase, each stage within one
+    hour of the previous — the conversion-window variant): per-stage first-occurrence timestamps chained through
+    ordered joins, counting users surviving each stage. One pass builds
+    all three per-user stage times via conditional aggregation — the
+    event stream shuffles ONCE on user_id; stage chaining is then
+    row-local arithmetic (no self-joins, vs the oracle's 3-scan
+    formulation). At 100 TB: one shuffle of (user, 3 timestamps)."""
+    ev = _ev(spark, sf_dir).select("user_id", "event_type", "ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        # first click AFTER first view: min over clicks later than the
+        # user's first view — needs the view time first, so compute via
+        # max_by-style conditional on the sorted event set instead:
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("event_type").isin("view", "click", "purchase"),
+                    F.struct("ts", "event_type"),
+                )
+            )
+        ).alias("seq"),
+    )
+    # walk the per-user time-sorted (ts, type) array once, map-side:
+    # aggregate() carries (view_ts, click_ts, purchase_ts) through the
+    # fold — the standard funnel automaton, O(events per user)
+    state0 = F.struct(
+        F.lit(None).cast("timestamp_ntz").alias("v"),
+        F.lit(None).cast("timestamp_ntz").alias("c"),
+        F.lit(None).cast("timestamp_ntz").alias("p"),
+    )
+
+    def step(acc, e):
+        is_view = e["event_type"] == "view"
+        is_click = e["event_type"] == "click"
+        is_purchase = e["event_type"] == "purchase"
+        v = F.when(acc["v"].isNull() & is_view, e["ts"]).otherwise(acc["v"])
+        c = F.when(
+            acc["c"].isNull()
+            & is_click
+            & acc["v"].isNotNull()
+            & (e["ts"] > acc["v"])
+            & (e["ts"] <= acc["v"] + F.expr("INTERVAL 1 HOUR")),
+            e["ts"],
+        ).otherwise(acc["c"])
+        p = F.when(
+            acc["p"].isNull()
+            & is_purchase
+            & acc["c"].isNotNull()
+            & (e["ts"] > acc["c"])
+            & (e["ts"] <= acc["c"] + F.expr("INTERVAL 1 HOUR")),
+            e["ts"],
+        ).otherwise(acc["p"])
+        return F.struct(v.alias("v"), c.alias("c"), p.alias("p"))
+
+    walked = per_user.select(
+        F.aggregate("seq", state0, step).alias("s")
+    )
+    return walked.agg(
+        F.count(F.col("s.v")).alias("n_view"),
+        F.count(F.col("s.c")).alias("n_view_click"),
+        F.count(F.col("s.p")).alias("n_view_click_purchase"),
+    )
+
+
+@register(
+    "events_cohort_retention",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+      FROM events
+    )
+    SELECT strftime(f.cohort_week, '{TS_FMT_DUCK}') AS cohort_week,
+           CAST(date_diff('week', f.cohort_week, a.act_week) AS BIGINT)
+             AS week_offset,
+           count(DISTINCT a.user_id) AS active_users
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY f.cohort_week, date_diff('week', f.cohort_week, a.act_week)
+    """,
+)
+def events_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    distinct in each subsequent week offset — the standard
+    retention-curve input. Two shuffles on user_id (first-week agg +
+    distinct activity, same key → AQE reuses the exchange), then one
+    small agg on (cohort, offset); the event stream is read once."""
+    ev = _ev(spark, sf_dir).select(
+        "user_id", F.date_trunc("week", "ts").alias("w")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    activity = ev.distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("w"), F.col("cohort_week")) / 7
+            ).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .select(
+            F.date_format("cohort_week", TS_FMT).alias("cohort_week"),
+            "week_offset",
+            "active_users",
+        )
+    )
