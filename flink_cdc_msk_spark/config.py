@@ -155,9 +155,11 @@ def parse_kafka_startup_position(
           semantics at the cost of scanning the topic head — the
           documented trade until an offset index exists.
 
-    ``gtid:<set>`` → no Kafka analog (GTID sets don't order against topic
-    offsets without a MySQL connection); documented unsupported — use
-    ``timestamp:<ms>`` for resume-after-failover.
+    ``gtid:<set>`` (A5) → like index-less ``file:pos``: GTID sets don't
+    order against topic offsets, so read from earliest and enforce the
+    exact cut on the envelope payload via :func:`gtid_resume_filter`
+    (Debezium carries ``source.gtid``), applied automatically by
+    ``sources/kafka.read_cdc_stream``.
     """
     import json as _json
 
@@ -175,10 +177,11 @@ def parse_kafka_startup_position(
             return {"startingOffsets": _json.dumps({topic: per_part})}
         parse_binlog_position(position)  # validate the grammar eagerly
         return {"startingOffsets": "earliest"}
+    if position.startswith("gtid:"):
+        parse_gtid_set(position.split("gtid:", 1)[1])  # validate eagerly
+        return {"startingOffsets": "earliest"}
     raise ValueError(
-        f"startup position {position!r} has no Kafka-source analog "
-        "(GTID sets are MySQL-wire concepts; use timestamp:<ms> or an "
-        "explicit binlog file:pos)"
+        f"startup position {position!r} has no Kafka-source analog"
     )
 
 
@@ -199,3 +202,60 @@ def binlog_resume_filter(position: str):
         | (ev_file > file)
         | ((ev_file == file) & (ev_pos >= pos))
     )
+
+
+def parse_gtid_set(gtid_set: str) -> dict[str, int]:
+    """Parse a MySQL executed-GTID-set string
+    (``uuid:1-100[:105-110],uuid2:1-7``) into {server_uuid: highest
+    covered transaction number}. Interval lists are collapsed to their
+    maximum end: resuming "after this executed set" with a gapped set
+    would need per-interval membership, but gaps in an executed set only
+    occur mid-failover — the resume contract (reference
+    MySQLCDC2AWSMSK.scala:239-240 passes the set straight to the
+    connector) is a contiguous snapshot, and the collapse is documented
+    rather than silently wrong for the exotic case."""
+    covered: dict[str, int] = {}
+    for part in gtid_set.replace("\n", "").split(","):
+        part = part.strip()
+        if not part:
+            continue
+        fields = part.split(":")
+        uuid, intervals = fields[0], fields[1:]
+        hi = 0
+        for iv in intervals:
+            end = iv.split("-")[-1]
+            hi = max(hi, int(end))
+        covered[uuid.lower()] = hi
+    return covered
+
+
+def gtid_resume_filter(gtid_set: str):
+    """Column predicate implementing the A5 ``gtid:<set>`` startup as an
+    exact cut on the Debezium envelope (``source.gtid`` carries
+    ``server_uuid:txno`` per event): keep events whose transaction is NOT
+    covered by the executed set — i.e. txno greater than the set's
+    highest number for that server UUID, and everything from unknown
+    UUIDs (a failed-over primary's new UUID must replay from its start).
+    Events without a gtid (snapshot rows, non-GTID servers) pass — no
+    coordinates to cut on.
+
+    GTID sets are a MySQL-wire concept with no Kafka-offset analog, so
+    like the index-less ``file:pos`` path this reads the topic from
+    earliest and enforces the cut on the payload — exact semantics at
+    the cost of scanning the topic head."""
+    from pyspark.sql import functions as F
+
+    covered = parse_gtid_set(gtid_set.split("gtid:", 1)[-1])
+    ev_gtid = F.get_json_object("value", "$.source.gtid")
+    uuid = F.lower(F.substring_index(ev_gtid, ":", 1))
+    txno = F.substring_index(ev_gtid, ":", -1).cast("long")
+    if covered:
+        pairs = []
+        for k, v in sorted(covered.items()):
+            pairs.extend([F.lit(k), F.lit(v)])
+        covered_max = F.coalesce(
+            F.element_at(F.create_map(*pairs), uuid), F.lit(-1)
+        )
+    else:
+        covered_max = F.lit(-1)
+    return ev_gtid.isNull() | (txno > covered_max.cast("long"))

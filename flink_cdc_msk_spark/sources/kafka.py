@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..config import (
     CDCParams,
     binlog_resume_filter,
+    gtid_resume_filter,
     parse_kafka_startup_position,
 )
 
@@ -59,4 +60,6 @@ def read_cdc_stream(
     out = reader.load().selectExpr("CAST(value AS STRING) AS value")
     if params.position.startswith("file:") and binlog_offset_index is None:
         out = out.filter(binlog_resume_filter(params.position))
+    if params.position.startswith("gtid:"):
+        out = out.filter(gtid_resume_filter(params.position))
     return out

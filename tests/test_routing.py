@@ -281,9 +281,14 @@ def test_startup_position_mapping():
     assert p("timestamp:1700000000000") == {  # A6
         "startingTimestamp": "1700000000000"
     }
-    # A5: GTID sets don't order against topic offsets — documented unsupported
+    # A5: GTID sets don't order against topic offsets — earliest + exact
+    # envelope cut (test_gtid_resume_filter_cuts_at_set); unknown grammars
+    # still refuse loudly
+    assert p("gtid:3E11FA47-71CA-11E1-9E33:1-5") == {
+        "startingOffsets": "earliest"
+    }
     with pytest.raises(ValueError):
-        p("gtid:3E11FA47-71CA-11E1-9E33:1-5")
+        p("not-a-position")
 
 
 def test_startup_binlog_file_pos_mapping():
@@ -421,3 +426,66 @@ def test_binlog_position_grammar_roundtrip(file, pos):
 
     assert parse_binlog_position(f"file:{file}:{pos}") == (file, pos)
     assert parse_binlog_position(f"file:{file}") == (file, 4)
+
+
+def test_startup_gtid_mapping_and_set_parse():
+    """A5 ``gtid:<set>``: earliest + exact envelope cut (like index-less
+    file:pos); interval lists collapse to the per-UUID maximum."""
+    from flink_cdc_msk_spark.config import (
+        parse_gtid_set,
+        parse_kafka_startup_position as p,
+    )
+
+    assert p("gtid:3E11FA47-71CA-11E1-9E33-C80AA9429562:1-5") == {
+        "startingOffsets": "earliest"
+    }
+    assert parse_gtid_set(
+        "3E11FA47-71CA-11E1-9E33-C80AA9429562:1-5:11-20,"
+        "aaaabbbb-0000-0000-0000-000000000001:1-7"
+    ) == {
+        "3e11fa47-71ca-11e1-9e33-c80aa9429562": 20,
+        "aaaabbbb-0000-0000-0000-000000000001": 7,
+    }
+
+
+def test_gtid_resume_filter_cuts_at_set(spark):
+    """Events covered by the executed set drop; later txns, unknown
+    server UUIDs (failover!), and gtid-less rows (snapshot/non-GTID
+    servers) pass."""
+    import json
+
+    from flink_cdc_msk_spark.config import gtid_resume_filter
+
+    U1 = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    U2 = "bbbbbbbb-0000-0000-0000-000000000002"
+    rows = [
+        (f"{U1}:19", "covered_old"),
+        (f"{U1}:20", "covered_edge"),
+        (f"{U1.upper()}:21", "next_txn_case_insensitive"),
+        (f"{U2}:1", "unknown_uuid_failover"),
+        (None, "snapshot_no_gtid"),
+    ]
+    df = spark.createDataFrame(
+        [
+            (
+                json.dumps(
+                    {"source": {"gtid": g}, "tag": tag}
+                    if g is not None
+                    else {"tag": tag}
+                ),
+            )
+            for g, tag in rows
+        ],
+        "value string",
+    )
+    kept = {
+        json.loads(r.value)["tag"]
+        for r in df.filter(
+            gtid_resume_filter(f"gtid:{U1}:1-5:11-20")
+        ).collect()
+    }
+    assert kept == {
+        "next_txn_case_insensitive",
+        "unknown_uuid_failover",
+        "snapshot_no_gtid",
+    }
