@@ -77,7 +77,7 @@ _REGISTERED_R3 = frozenset(
         "streaming_interval_join", "streaming_left_outer_interval_join",
         "events_resample_gapfill", "scalar_map_funcs",
         "text_edit_distance_pairs", "events_funnel_conversion",
-        "events_cohort_retention",
+        "events_cohort_retention", "text_gopher_filter",
     }
 )
 

@@ -1570,3 +1570,91 @@ def text_edit_distance_pairs(spark, sf_dir):
             F.abs(F.length("t1") - F.length("t2")).alias("len_diff"),
         )
     )
+
+
+@register(
+    "text_gopher_filter",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '')
+               AS toks,
+             length(text) AS n_chars,
+             length(text)
+               - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+               AS n_symbols
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(toks) BETWEEN 20 AND 100000
+                THEN 1 ELSE 0 END AS ok_word_count,
+           CASE WHEN list_sum(list_transform(toks, x -> length(x)))
+                     / len(toks) BETWEEN 3 AND 10
+                THEN 1 ELSE 0 END AS ok_mean_word_len,
+           CASE WHEN n_symbols / greatest(len(toks), 1) <= 0.1
+                THEN 1 ELSE 0 END AS ok_symbol_ratio,
+           CASE WHEN len(list_filter(toks, x -> list_contains(
+                  ['the','a','and','of','to','in','is'], x))) >= 2
+                THEN 1 ELSE 0 END AS ok_stopwords,
+           CASE WHEN len(list_distinct(toks)) / len(toks) > 0.2
+                THEN 1 ELSE 0 END AS ok_diversity,
+           CASE WHEN len(toks) BETWEEN 20 AND 100000
+                 AND list_sum(list_transform(toks, x -> length(x)))
+                     / len(toks) BETWEEN 3 AND 10
+                 AND n_symbols / greatest(len(toks), 1) <= 0.1
+                 AND len(list_filter(toks, x -> list_contains(
+                       ['the','a','and','of','to','in','is'], x))) >= 2
+                 AND len(list_distinct(toks)) / len(toks) > 0.2
+                THEN 1 ELSE 0 END AS gopher_pass
+    FROM t
+    """,
+)
+def text_gopher_filter(spark, sf_dir):
+    """Gopher-style rule-based quality filter (Rae et al. 2021, the
+    published pre-training heuristics, adapted to this corpus's bands):
+    word-count window, mean-word-length window, symbol-to-word ratio,
+    minimum stop-word hits, lexical diversity — each emitted as its own
+    flag (a pipeline debugging requirement: you tune rules by seeing
+    WHICH one rejects) plus the conjunction. Entirely codegen'd array
+    expressions over ONE token-array materialization — map-only, no
+    Python, no shuffle."""
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        "doc_id",
+        "text",
+        T.tokens("text").alias("_t"),
+    )
+    n = F.size("_t")
+    mean_len = F.aggregate(
+        "_t", F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    ) / n
+    n_symbols = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), "[^a-z0-9 ]", "")
+    )
+    stop_hits = F.size(
+        F.filter(
+            "_t",
+            lambda x: x.isin("the", "a", "and", "of", "to", "in", "is"),
+        )
+    )
+    diversity = F.size(F.array_distinct("_t")) / n
+
+    def flag(cond):
+        return F.when(cond, 1).otherwise(0)
+
+    ok_wc = n.between(20, 100_000)
+    ok_mwl = mean_len.between(3, 10)
+    ok_sym = n_symbols / F.greatest(n, F.lit(1)) <= 0.1
+    ok_stop = stop_hits >= 2
+    ok_div = diversity > 0.2
+    return base.select(
+        "doc_id",
+        flag(ok_wc).alias("ok_word_count"),
+        flag(ok_mwl).alias("ok_mean_word_len"),
+        flag(ok_sym).alias("ok_symbol_ratio"),
+        flag(ok_stop).alias("ok_stopwords"),
+        flag(ok_div).alias("ok_diversity"),
+        flag(ok_wc & ok_mwl & ok_sym & ok_stop & ok_div).alias(
+            "gopher_pass"
+        ),
+    )
