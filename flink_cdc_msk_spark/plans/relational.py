@@ -1729,3 +1729,83 @@ def unpivot_price_components(spark, sf_dir):
     return long.groupBy("l_returnflag", "component").agg(
         F.round(F.sum("amount"), 2).alias("total")
     )
+
+
+@register(
+    "join_asof_forward_tolerance",
+    oracle="""
+    WITH matched AS MATERIALIZED (
+      SELECT e.event_id, e.user_id, e.ts AS ets, c.ts AS cts,
+             c.value AS next_click_value
+      FROM (SELECT * FROM events WHERE event_type = 'error') e
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON e.user_id = c.user_id AND e.ts <= c.ts
+    )
+    SELECT event_id, user_id,
+           strftime(ets, '%Y-%m-%d %H:%M:%S.%f') AS error_ts,
+           strftime(cts, '%Y-%m-%d %H:%M:%S.%f') AS next_click_ts,
+           next_click_value
+    FROM matched
+    WHERE cts <= ets + INTERVAL 2 HOUR
+    """,
+)
+def join_asof_forward_tolerance(spark, sf_dir):
+    """FORWARD as-of join with tolerance: each error → the next click
+    at-or-after it, per user, kept only when within 2 hours (the
+    recovery-latency join). Same union-tag + window pattern as the
+    backward variant (one shuffle on user_id, no range cross-product),
+    mirrored: ``first(ignorenulls)`` over [current, unbounded following],
+    errors sorting before clicks at identical timestamps so an
+    exact-tie click is visible (ASOF ``<=``). The tolerance is a
+    row-local filter after the window — matched-beyond-tolerance rows
+    drop, mirroring the oracle's inner-ASOF + WHERE."""
+    (ev,) = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    errors = ev.filter(F.col("event_type") == "error")
+    tagged = errors.select(
+        "event_id", "user_id", "ts",
+        F.lit(None).cast("timestamp_ntz").alias("click_ts"),
+        F.lit(None).cast("double").alias("click_value"),
+        F.lit(0).alias("is_click"),
+    ).unionByName(
+        clicks.select(
+            "event_id", "user_id", "ts",
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+            F.lit(1).alias("is_click"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_click"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        tagged.withColumns(
+            {
+                "next_click_ts_t": F.first("click_ts", ignorenulls=True).over(w),
+                "next_click_value": F.first(
+                    "click_value", ignorenulls=True
+                ).over(w),
+            }
+        )
+        .filter(
+            (F.col("is_click") == 0)
+            & F.col("next_click_ts_t").isNotNull()
+            & (
+                F.col("next_click_ts_t")
+                <= F.col("ts") + F.expr("INTERVAL 2 HOURS")
+            )
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "error_ts"
+            ),
+            F.date_format(
+                "next_click_ts_t", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ).alias("next_click_ts"),
+            "next_click_value",
+        )
+    )
