@@ -78,7 +78,8 @@ _REGISTERED_R3 = frozenset(
         "events_resample_gapfill", "scalar_map_funcs",
         "text_edit_distance_pairs", "events_funnel_conversion",
         "events_cohort_retention", "text_gopher_filter",
-        "join_asof_forward_tolerance",
+        "join_asof_forward_tolerance", "embedding_ann_recall_gate",
+        "dedup_minhash_recall_gate",
     }
 )
 

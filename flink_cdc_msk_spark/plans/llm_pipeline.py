@@ -1658,3 +1658,81 @@ def text_gopher_filter(spark, sf_dir):
             "gopher_pass"
         ),
     )
+
+
+@register(
+    "embedding_ann_recall_gate",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_exact, 1 AS recall_ok
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                               c.embedding::DOUBLE[]) DESC,
+                        c.vec_id) AS rank
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    ) WHERE rank <= 5
+    """,
+)
+def embedding_ann_recall_gate(spark, sf_dir):
+    """Driver-hash-checked quality gate for the approximate ANN path
+    (same pattern as agg_approx_distinct): IVF internals are
+    engine-specific, so the oracle checks (a) the exact top-k pair count
+    and (b) an IN-QUERY recall assertion — IVF(nprobe=4/16) must recover
+    ≥ 80% of the exact cosine top-5 pairs, or the emitted constant flips
+    and the hash fails. The rows-only ``embedding_ann_ivf`` keeps the
+    pair-level output; this gate makes its quality a driver-checked
+    fact rather than a local test claim."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "vec_id"
+    )
+    approx = S.ivf_topk(
+        emb, queries, k=5, n_centroids=16, nprobe=4
+    ).select("query_id", "vec_id")
+    hit = exact.join(approx, ["query_id", "vec_id"], "left_semi")
+    return exact.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
+        hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    ).select(
+        "n_exact",
+        F.when(
+            F.col("n_hit") >= F.col("n_exact") * 0.8, 1
+        ).otherwise(0).alias("recall_ok"),
+    )
+
+
+@register(
+    "dedup_minhash_recall_gate",
+    oracle=f"""
+    WITH {_JACCARD_CTES}
+    SELECT CAST(count(*) AS BIGINT) AS n_exact, 1 AS recall_ok
+    FROM pairs
+    """,
+)
+def dedup_minhash_recall_gate(spark, sf_dir):
+    """Driver-hash-checked quality gate for MinHash+LSH (same pattern as
+    the ANN gate): the oracle checks the exact jaccard>=0.8 pair count
+    and an in-query assertion that banding recovers >= 90% of them
+    (32 hashes / 8 bands at j>=0.8 → analytic recall ~0.9996, so 0.9 is
+    loose). Precision needs no flag: every emitted LSH pair is
+    exact-verified inside minhash_lsh_pairs, so false positives are
+    structurally impossible — recall is the only free variable."""
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    exact = D.jaccard_pairs(corpus, threshold=0.8, ngram=3).select(
+        "id1", "id2"
+    )
+    approx = D.minhash_lsh_pairs(
+        corpus, threshold=0.8, num_hashes=32, bands=8, ngram=3
+    ).select("id1", "id2")
+    hit = exact.join(approx, ["id1", "id2"], "left_semi")
+    return exact.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
+        hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    ).select(
+        "n_exact",
+        F.when(
+            F.col("n_hit") >= F.col("n_exact") * 0.9, 1
+        ).otherwise(0).alias("recall_ok"),
+    )
