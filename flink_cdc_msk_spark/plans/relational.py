@@ -1809,3 +1809,35 @@ def join_asof_forward_tolerance(spark, sf_dir):
             "next_click_value",
         )
     )
+
+
+@register(
+    "scalar_try_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice / nullif(o_custkey % 3, 0) AS safe_div,
+           try_cast(o_orderpriority AS INTEGER) AS bad_cast_null,
+           CASE WHEN o_orderkey % 2 = 0
+                THEN try_cast(substring(o_orderpriority, 1, 1) AS INTEGER)
+           END AS prio_digit
+    FROM orders
+    """,
+)
+def scalar_try_funcs(spark, sf_dir):
+    """ANSI-mode error-safe function family: Spark 4 runs ANSI SQL
+    (overflow/bad-cast/div-by-zero THROW), so production pipelines reach
+    for ``try_divide`` / ``try_cast`` where dirty data must degrade to
+    NULL instead of failing the job — the per-row error-tolerance story
+    that matters on 100 TB of unvetted input."""
+    (o,) = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.try_divide("o_totalprice", F.col("o_custkey") % 3).alias(
+            "safe_div"
+        ),
+        F.expr("try_cast(o_orderpriority AS INT)").alias("bad_cast_null"),
+        F.when(
+            F.col("o_orderkey") % 2 == 0,
+            F.expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)"),
+        ).alias("prio_digit"),
+    )

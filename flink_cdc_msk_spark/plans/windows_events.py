@@ -871,3 +871,30 @@ def events_cohort_retention(spark, sf_dir):
             "active_users",
         )
     )
+
+
+@register(
+    "scalar_variant_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
+           CAST(json_extract(props, '$.missing') AS BIGINT) AS missing_null,
+           json_extract_string(props, '$.k') AS k_string
+    FROM events
+    """,
+)
+def scalar_variant_funcs(spark, sf_dir):
+    """VARIANT semi-structured type (Spark 4 / the open-lakehouse variant
+    encoding): ``parse_json`` once into a binary variant, then typed
+    path extraction — ``variant_get`` for present paths,
+    ``try_variant_get`` returning NULL (never throwing, ANSI mode) for
+    absent ones. At scale variant beats per-query ``get_json_object``
+    re-parsing: one parse, many typed reads, shredded columnar storage."""
+    ev = _ev(spark, sf_dir).select("event_id", "props")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_typed"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("missing_null"),
+        F.variant_get(v, "$.k", "string").alias("k_string"),
+    )
