@@ -1736,3 +1736,65 @@ def dedup_minhash_recall_gate(spark, sf_dir):
             F.col("n_hit") >= F.col("n_exact") * 0.9, 1
         ).otherwise(0).alias("recall_ok"),
     )
+
+
+@register(
+    "text_token_runs_udtf",
+    oracle="""
+    WITH arrs AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS a
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, a[i] AS tok, CAST(i AS BIGINT) - 1 AS pos
+      FROM arrs, unnest(generate_series(1, len(a))) AS s(i)
+    ), flagged AS (
+      SELECT *, CASE WHEN lag(tok) OVER w IS DISTINCT FROM tok
+                     THEN 1 ELSE 0 END AS brk
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), runs AS (
+      SELECT doc_id, tok, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+      FROM flagged
+    )
+    SELECT doc_id, tok AS token,
+           min(pos) AS run_start,
+           CAST(count(*) AS BIGINT) AS run_len
+    FROM runs
+    GROUP BY doc_id, tok, run_id
+    HAVING count(*) >= 2
+    """,
+)
+def text_token_runs_udtf(spark, sf_dir):
+    """Python UDTF surface (Spark 4 ``@udtf`` — arbitrary table-valued
+    expansion per input row, LATERAL-joinable): run-length encoding of
+    consecutive repeated tokens, emitting runs of length ≥ 2 (the
+    stutter-detection primitive). One linear pass per document inside
+    the UDTF vs the SQL formulation's two window passes over the
+    exploded token stream.
+
+    UDTFs are row-based Python — the slow path (PERF.md §6); this one
+    exists to prove the API surface with a real operator. The hot-path
+    equivalent of this analysis family is the pure-Catalyst
+    ``text_repetition``. Still scale-sane: map-side only (no shuffle,
+    no state), output bounded by input tokens."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="d_id: bigint, token: string, run_start: bigint,"
+                     " run_len: bigint")
+    class TokenRuns:
+        def eval(self, doc_id, text):
+            toks = [t for t in text.lower().split(" ") if t]
+            i = 0
+            for j in range(1, len(toks) + 1):
+                if j == len(toks) or toks[j] != toks[i]:
+                    if j - i >= 2:
+                        yield doc_id, toks[i], i, j - i
+                    i = j
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.lateralJoin(
+        TokenRuns(F.col("doc_id").outer(), F.col("text").outer())
+    ).select(
+        F.col("d_id").alias("doc_id"), "token", "run_start", "run_len"
+    )
