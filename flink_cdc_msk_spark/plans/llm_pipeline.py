@@ -1798,3 +1798,77 @@ def text_token_runs_udtf(spark, sf_dir):
     ).select(
         F.col("d_id").alias("doc_id"), "token", "run_start", "run_len"
     )
+
+
+@register(
+    "dedup_simhash_recall_gate",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_clone_pairs, 1 AS recall_ok
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def dedup_simhash_recall_gate(spark, sf_dir):
+    """Driver-hash-checked gate for SimHash: identical texts ALWAYS
+    collide (hamming 0 is deterministic, not probabilistic), so every
+    planted clone pair (doc, doc+offset) is a guaranteed-recall subset —
+    the oracle knows their exact count, and the in-query assertion flips
+    the flag if simhash misses any. Near-dup (nonzero-distance) recall
+    stays a pytest property (it is probabilistic by design); this gate
+    makes the deterministic floor a driver-verified fact."""
+    corpus = _docs_with_dups(spark, sf_dir)
+    pairs = D.simhash_pairs(corpus, max_hamming=3).select("id1", "id2")
+    clone_pairs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            F.col("doc_id").alias("id1"),
+            (F.col("doc_id") + CLONE_OFFSET).alias("id2"),
+        )
+    )
+    hit = clone_pairs.join(pairs, ["id1", "id2"], "left_semi")
+    return clone_pairs.agg(
+        F.count(F.lit(1)).alias("n_clone_pairs")
+    ).crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit"))).select(
+        "n_clone_pairs",
+        F.when(F.col("n_hit") == F.col("n_clone_pairs"), 1)
+        .otherwise(0)
+        .alias("recall_ok"),
+    )
+
+
+@register(
+    "embedding_lsh_recall_gate",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_exact, 1 AS recall_ok
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 6) >= 0.3
+    """,
+)
+def embedding_lsh_recall_gate(spark, sf_dir):
+    """Driver-hash-checked gate for hyperplane LSH: the oracle checks the
+    exact cosine>=0.3 pair count plus an in-query assertion that the
+    8-table OR-amplified LSH recovers >= 65% of them. The bound is the
+    ANALYTIC boundary expectation: a pair at exactly cos 0.3 collides in
+    one 4-plane table with p = (1-θ/π)⁴ ≈ 0.127, so 8 OR'd tables give
+    1-(1-p)⁸ ≈ 0.66 — and this corpus's pairs concentrate at the
+    boundary (measured recall 0.735, deterministic because the planes
+    are hash-derived). Stronger pairs recall higher (0.83 in the 0.4
+    band); recall-vs-strength is pytest's property. Precision is
+    structural — LSH candidates are exact-verified."""
+    emb = _emb(spark, sf_dir)
+    exact = S.near_dup_pairs_catalyst(emb, threshold=0.3).select(
+        "id1", "id2"
+    )
+    approx = S.lsh_near_dup_pairs(
+        emb, threshold=0.3, n_planes=4, n_tables=8
+    ).select("id1", "id2")
+    hit = exact.join(approx, ["id1", "id2"], "left_semi")
+    return exact.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
+        hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    ).select(
+        "n_exact",
+        F.when(F.col("n_hit") >= F.col("n_exact") * 0.65, 1)
+        .otherwise(0)
+        .alias("recall_ok"),
+    )
