@@ -135,9 +135,10 @@ def jaccard_pairs(
     (|·| − α + 1) elements. So indexing only each doc's first
     ``sz − ⌈τ·sz⌉ + 1`` units is EXACT: every qualifying pair
     co-occurs in some prefix posting list. At τ=0.8 this puts ~20% of
-    units through the shuffle instead of 100% and cuts the candidate
-    pair volume ~100× (measured 790k → 7k at sf0.1); survivors are
-    verified with one ``array_intersect`` per candidate.
+    units through the shuffle instead of 100% and cuts the distinct
+    candidate pairs to 190k at sf0.1 (vs 1.15M raw pair rows through the
+    old intersection-count shuffle); survivors are verified with one
+    ``array_intersect`` per candidate.
 
     Size-ratio prune, applied per posting list during candidate gen:
     J(A,B) ≤ min/max of the sizes, so any pair failing ``τ·max ≤ min``
@@ -177,37 +178,21 @@ def jaccard_pairs(
     if max_token_freq is not None:
         posting = posting.filter(F.size("docs") <= max_token_freq)
 
-    def keep(p):
-        th = F.lit(threshold)
-        return (
-            (p["id1"] < p["id2"])
-            & (p["sz1"] * th <= p["sz2"])
-            & (p["sz2"] * th <= p["sz1"])
-        )
-
+    # candidate generation: double explode (posting list → x, → y) keeps
+    # the pair blow-up inside codegen'd Generate nodes — measured ~40%
+    # faster than a nested higher-order transform (interpreted) and the
+    # expression tree is far smaller (less driver plan-build time)
+    th = F.lit(threshold)
+    ex = posting.select("docs", F.explode("docs").alias("x")).select(
+        "x", F.explode("docs").alias("y")
+    )
     cands = (
-        posting.select(
-            F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            "docs",
-                            lambda x: F.transform(
-                                "docs",
-                                lambda y: F.struct(
-                                    x["id"].alias("id1"),
-                                    x["sz"].alias("sz1"),
-                                    y["id"].alias("id2"),
-                                    y["sz"].alias("sz2"),
-                                ),
-                            ),
-                        )
-                    ),
-                    keep,
-                )
-            ).alias("p")
+        ex.filter(
+            (F.col("x.id") < F.col("y.id"))
+            & (F.col("x.sz") * th <= F.col("y.sz"))
+            & (F.col("y.sz") * th <= F.col("x.sz"))
         )
-        .select("p.id1", "p.id2")
+        .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
         .distinct()
     )
     verified = (
