@@ -261,42 +261,30 @@ def _pair_intersections(
     if max_token_freq is not None:
         posting = posting.filter(F.size("docs") <= max_token_freq)
 
-    def keep(p):
-        cond = p["id1"] < p["id2"]
-        if size_ratio is not None:
-            th = F.lit(size_ratio)
-            cond = (
-                cond & (p["sz1"] * th <= p["sz2"]) & (p["sz2"] * th <= p["sz1"])
-            )
-        return cond
-
-    pairs = posting.select(
-        F.explode(
-            F.filter(
-                F.flatten(
-                    F.transform(
-                        "docs",
-                        lambda x: F.transform(
-                            "docs",
-                            lambda y: F.struct(
-                                x["id"].alias("id1"),
-                                x["sz"].alias("sz1"),
-                                y["id"].alias("id2"),
-                                y["sz"].alias("sz2"),
-                            ),
-                        ),
-                    )
-                ),
-                keep,
-            )
-        ).alias("p")
+    # pair blow-up via double explode (codegen Generate), not nested
+    # interpreted transforms — same lesson as jaccard_pairs, measured 2×
+    # at 10× volume
+    ex = posting.select("docs", F.explode("docs").alias("x")).select(
+        "x", F.explode("docs").alias("y")
     )
-    return pairs.groupBy(
-        F.col("p.id1").alias("id1"),
-        F.col("p.sz1").alias("sz1"),
-        F.col("p.id2").alias("id2"),
-        F.col("p.sz2").alias("sz2"),
-    ).agg(F.count(F.lit(1)).alias("inter"))
+    cond = F.col("x.id") < F.col("y.id")
+    if size_ratio is not None:
+        th = F.lit(size_ratio)
+        cond = (
+            cond
+            & (F.col("x.sz") * th <= F.col("y.sz"))
+            & (F.col("y.sz") * th <= F.col("x.sz"))
+        )
+    return (
+        ex.filter(cond)
+        .groupBy(
+            F.col("x.id").alias("id1"),
+            F.col("x.sz").alias("sz1"),
+            F.col("y.id").alias("id2"),
+            F.col("y.sz").alias("sz2"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
 
 
 def containment_pairs(
