@@ -1872,3 +1872,119 @@ def embedding_lsh_recall_gate(spark, sf_dir):
         .otherwise(0)
         .alias("recall_ok"),
     )
+
+
+@register(
+    "llm_corpus_pipeline_v2",
+    oracle=f"""
+    WITH corpus AS (
+      {DOCS_WITH_DUPS_SQL}
+    ), langd AS (
+      SELECT c.doc_id, c.text, d.lang
+      FROM corpus c JOIN documents d ON d.doc_id = c.doc_id % {CLONE_OFFSET}
+    ), t AS (
+      SELECT doc_id, text, lang,
+             list_filter(string_split(lower(text), ' '), x -> x <> '')
+               AS toks
+      FROM langd
+    ), q AS (
+      SELECT doc_id, text, lang, len(toks) AS n_tokens
+      FROM t
+      WHERE len(toks) BETWEEN 20 AND 100000
+        AND list_sum(list_transform(toks, x -> length(x))) / len(toks)
+            BETWEEN 3 AND 10
+        AND len(list_filter(toks, x -> list_contains(
+              ['the','a','and','of','to','in','is'], x))) >= 2
+        AND len(list_distinct(toks)) / len(toks) > 0.2
+    ), ded AS (
+      SELECT text, min(doc_id) AS doc_id, count(*) AS n_copies
+      FROM q GROUP BY text
+    ), kept AS (
+      SELECT ded.doc_id, ded.n_copies, q.lang, q.n_tokens
+      FROM ded JOIN q ON q.doc_id = ded.doc_id
+    ), counts AS (
+      SELECT lang, count(*) AS n FROM kept GROUP BY lang
+    ), w AS (
+      SELECT lang, pow(n, {_TEMP_ALPHA} - 1.0) AS wr FROM counts
+    ), m AS (SELECT max(wr) AS mw FROM w),
+    r AS (
+      SELECT lang, CAST(round(wr / mw * 1000000) AS BIGINT) AS keep_ppm
+      FROM w, m
+    )
+    SELECT k.doc_id, k.lang, k.n_tokens, k.n_copies, r.keep_ppm,
+           {{shard}} AS shard
+    FROM kept k JOIN r USING (lang)
+    WHERE {{hb}} < r.keep_ppm
+    """.replace("{hb}", _hb_sql("k.doc_id", 1_000_000)).replace(
+        "{shard}", _hb_sql("k.doc_id", 8)
+    ),
+)
+def llm_corpus_pipeline_v2(spark, sf_dir):
+    """The full modern corpus-prep recipe as ONE composed Spark plan:
+    planted-dup corpus → Gopher rule gate (word count / mean word length /
+    stop-words / diversity, text_gopher_filter's rules) → exact dedup
+    keeping the lowest id → per-language temperature resampling (α=0.6,
+    sample_temperature's arithmetic) → deterministic 8-way shard
+    assignment for export. Stage order is the scale order: cheap map-side
+    filters FIRST (each survivor avoids the dedup shuffle entirely),
+    dedup's one text-hash shuffle next, then the tiny language-histogram
+    broadcast and a map-side membership test — three shuffles end to end
+    (dedup groupBy, keep-id join, language histogram), none carrying
+    filtered-out rows."""
+    corpus = _docs_with_dups(spark, sf_dir)
+    langs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("orig_id"), "lang"
+    )
+    langd = corpus.join(
+        langs, corpus["doc_id"] % CLONE_OFFSET == langs["orig_id"]
+    ).select("doc_id", "text", "lang")
+    toks = T.tokens("text")
+    base = langd.select("doc_id", "text", "lang", toks.alias("_t"))
+    n = F.size("_t")
+    mean_len = F.aggregate(
+        "_t", F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+    ) / n
+    stop_hits = F.size(
+        F.filter(
+            "_t", lambda x: x.isin("the", "a", "and", "of", "to", "in", "is")
+        )
+    )
+    q = base.filter(
+        n.between(20, 100_000)
+        & mean_len.between(3, 10)
+        & (stop_hits >= 2)
+        & (F.size(F.array_distinct("_t")) / n > 0.2)
+    ).select("doc_id", "text", "lang", n.alias("n_tokens"))
+    ded = q.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    kept = ded.join(
+        q.select(F.col("doc_id").alias("qid"), "lang", "n_tokens"),
+        ded["doc_id"] == F.col("qid"),
+    ).select("doc_id", "n_copies", "lang", "n_tokens")
+    from ..operators.sampling import hash_bucket
+
+    counts = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    w = counts.select(
+        "lang", F.pow("n", F.lit(_TEMP_ALPHA - 1.0)).alias("wr")
+    )
+    m = w.agg(F.max("wr").alias("mw"))
+    rates = w.crossJoin(F.broadcast(m)).select(
+        "lang",
+        F.round(F.col("wr") / F.col("mw") * 1_000_000)
+        .cast("bigint")
+        .alias("keep_ppm"),
+    )
+    return (
+        kept.join(F.broadcast(rates), "lang")
+        .filter(hash_bucket("doc_id", 1_000_000) < F.col("keep_ppm"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "n_copies",
+            "keep_ppm",
+            hash_bucket("doc_id", 8).cast("bigint").alias("shard"),
+        )
+    )
