@@ -1959,10 +1959,14 @@ def llm_corpus_pipeline_v2(spark, sf_dir):
         F.min("doc_id").alias("doc_id"),
         F.count(F.lit(1)).alias("n_copies"),
     )
+    # persisted: referenced by BOTH the language histogram and the final
+    # join — without the cache the whole filter+dedup subtree executes
+    # twice (plan-asserted by the shuffle-budget test). One narrow row
+    # per surviving doc, tiny next to the corpus.
     kept = ded.join(
         q.select(F.col("doc_id").alias("qid"), "lang", "n_tokens"),
         ded["doc_id"] == F.col("qid"),
-    ).select("doc_id", "n_copies", "lang", "n_tokens")
+    ).select("doc_id", "n_copies", "lang", "n_tokens").persist()
     from ..operators.sampling import hash_bucket
 
     counts = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))

@@ -181,3 +181,30 @@ def test_streaming_interval_join_state_is_bounded(spark):
     )
     logical = j._jdf.queryExecution().analyzed().toString()
     assert logical.count("EventTimeWatermark") == 2, logical
+
+
+def test_corpus_pipeline_v2_shuffle_budget(spark):
+    """The composed prep pipeline's surviving-docs subtree must be CACHED
+    and reused (the language-histogram branch re-executing the whole
+    filter+dedup subtree doubles the corpus work), and the number of
+    DISTINCT shuffle exchanges (unique plan_ids — the printed plan
+    repeats the cache-miss subtree under every InMemoryRelation
+    reference) must stay within the documented budget."""
+    import re
+
+    from flink_cdc_msk_spark.plans.llm_pipeline import llm_corpus_pipeline_v2
+
+    plan = (
+        llm_corpus_pipeline_v2(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("InMemoryTableScan") >= 2, "kept-subtree not reused"
+    ids = set()
+    for ln in plan.splitlines():
+        stripped = ln.strip().lstrip("*+-: ").lstrip("(0123456789) ")
+        if stripped.startswith("Exchange") and "SinglePartition" not in ln:
+            m = re.search(r"plan_id=(\d+)", ln)
+            ids.add(m.group(1) if m else ln)
+    assert len(ids) <= 5, f"{len(ids)} distinct shuffle exchanges"
