@@ -80,7 +80,8 @@ _REGISTERED_R3 = frozenset(
         "events_cohort_retention", "text_gopher_filter",
         "join_asof_forward_tolerance", "embedding_ann_recall_gate",
         "dedup_minhash_recall_gate", "scalar_variant_funcs", "scalar_try_funcs", "text_token_runs_udtf", "dedup_simhash_recall_gate",
-        "embedding_lsh_recall_gate", "llm_corpus_pipeline_v2",
+        "embedding_lsh_recall_gate", "llm_corpus_pipeline_v2", "scalar_calendar_funcs",
+        "scalar_regexp_funcs", "streaming_incremental_batches",
     }
 )
 

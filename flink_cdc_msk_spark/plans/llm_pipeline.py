@@ -1992,3 +1992,38 @@ def llm_corpus_pipeline_v2(spark, sf_dir):
             hash_bucket("doc_id", 8).cast("bigint").alias("shard"),
         )
     )
+
+
+@register(
+    "scalar_regexp_funcs",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+a[a-z]*')) AS BIGINT)
+             AS a_words,
+           regexp_extract(text, '([a-z]+)\\s+(table)', 1) AS before_table,
+           regexp_replace(text, '(data|spark)', 'X', 'g') AS masked,
+           CASE WHEN regexp_matches(text, 'stream.*batch')
+                THEN 1 ELSE 0 END AS has_stream_then_batch
+    FROM documents WHERE doc_id % 20 = 0
+    """,
+)
+def scalar_regexp_funcs(spark, sf_dir):
+    """Regexp function family over document text: extract-all with
+    count, group extraction, global replace, and pattern testing — all
+    JVM-regex map-side (Spark and DuckDB both use RE2-ish NFA semantics
+    for this subset; patterns avoid engine-divergent constructs like
+    lookbehind)."""
+    d = _docs(spark, sf_dir)
+    return d.filter(F.col("doc_id") % 20 == 0).select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+a[a-z]*"), F.lit(0)))
+        .cast("bigint")
+        .alias("a_words"),
+        F.regexp_extract("text", r"([a-z]+)\s+(table)", 1).alias(
+            "before_table"
+        ),
+        F.regexp_replace("text", "(data|spark)", "X").alias("masked"),
+        F.when(F.col("text").rlike("stream.*batch"), 1)
+        .otherwise(0)
+        .alias("has_stream_then_batch"),
+    )

@@ -1841,3 +1841,42 @@ def scalar_try_funcs(spark, sf_dir):
             F.expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)"),
         ).alias("prio_digit"),
     )
+
+
+@register(
+    "scalar_calendar_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(round(date_diff('month', DATE '1995-01-01',
+                CAST(o_orderdate AS DATE))
+                + date_sub('day', date_trunc('month',
+                    CAST(o_orderdate AS DATE)), CAST(o_orderdate AS DATE))
+                  / 31.0, 4) AS DOUBLE) AS months_since_epoch_approx,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+             AS month_end,
+           CAST(dayofweek(CAST(o_orderdate AS DATE)) AS INTEGER) AS dow,
+           CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INTEGER) AS woy,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 45 DAY,
+                    '%Y-%m-%d') AS plus_45d
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def scalar_calendar_funcs(spark, sf_dir):
+    """Calendar function family: months_between (fractional, matching
+    DuckDB's month-diff + day-fraction reconstruction), last_day,
+    day-of-week (Spark dayofweek is 1=Sunday, same as DuckDB's
+    dayofweek+1 — reconciled below), ISO week-of-year, interval
+    arithmetic. All map-side literals-in-codegen; the %100 filter pushes
+    to the scan."""
+    (o,) = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        F.round(
+            F.months_between(d, F.lit("1995-01-01").cast("date")), 4
+        ).alias("months_since_epoch_approx"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        (F.dayofweek(d) - 1).cast("int").alias("dow"),
+        F.weekofyear(d).cast("int").alias("woy"),
+        F.date_format(F.date_add(d, 45), "yyyy-MM-dd").alias("plus_45d"),
+    )

@@ -898,3 +898,62 @@ def scalar_variant_funcs(spark, sf_dir):
         F.try_variant_get(v, "$.missing", "bigint").alias("missing_null"),
         F.variant_get(v, "$.k", "string").alias("k_string"),
     )
+
+
+@register(
+    "streaming_incremental_batches",
+    oracle="""
+    SELECT event_type AS key,
+           count(*) AS n,
+           round(sum(value), 2) AS total,
+           CAST(1 AS BIGINT) AS multi_batch
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_incremental_batches(spark, sf_dir):
+    """Cross-micro-batch state accumulation under FORCED incremental
+    processing: the source is split into 8 files and the stream reads
+    them with ``maxFilesPerTrigger=1``, so availableNow runs ≥8
+    micro-batches and the per-key running state (applyInPandasWithState)
+    must accumulate across ALL of them — a single-batch run would pass
+    the other streaming gates trivially; this one cannot. The final
+    per-key row must equal the batch groupBy, and the emitted
+    ``multi_batch`` flag asserts IN-QUERY that >1 distinct batch_id
+    reached the sink (i.e. incremental processing actually happened)."""
+    from ..streaming.materialize import (
+        session_tmpdir,
+        stream_foreach_batch_parquet,
+    )
+    from ..streaming.stateful import running_totals
+
+    ev = _ev(spark, sf_dir).select("event_type", "value")
+    d = session_tmpdir("stream_incr_")
+    ev.repartition(8).write.mode("overwrite").json(f"{d}/src")
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{d}/src")
+    )
+    out = running_totals(stream, key="event_type", value_col="value")
+    scan = stream_foreach_batch_parquet(out, d, output_mode="update")
+    finals = (
+        scan.groupBy("key")
+        .agg(F.max_by(F.struct("n", "total"), "n").alias("s"))
+        .select(
+            "key",
+            F.col("s.n").alias("n"),
+            F.round(F.col("s.total"), 2).alias("total"),
+        )
+    )
+    batches = scan.agg(
+        F.countDistinct("batch_id").alias("n_batches")
+    )
+    return finals.crossJoin(F.broadcast(batches)).select(
+        "key",
+        "n",
+        "total",
+        F.when(F.col("n_batches") > 1, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("multi_batch"),
+    )
