@@ -957,3 +957,51 @@ def streaming_incremental_batches(spark, sf_dir):
         .cast("bigint")
         .alias("multi_batch"),
     )
+
+
+@register(
+    "events_sliding_distinct_users",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) - INTERVAL 5 HOUR AS lo,
+             date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ), grid AS (
+      SELECT g.ws FROM bounds,
+        unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS g(ws)
+    )
+    SELECT strftime(grid.ws, '{TS_FMT_DUCK}') AS window_start,
+           count(DISTINCT e.user_id) AS distinct_users,
+           count(*) AS n_events
+    FROM grid
+    JOIN events e
+      ON e.ts >= grid.ws AND e.ts < grid.ws + INTERVAL 6 HOUR
+    GROUP BY grid.ws
+    """,
+)
+def events_sliding_distinct_users(spark, sf_dir):
+    """Sliding-window DISTINCT aggregation (6h windows, 1h slide):
+    distinct users + event count per overlapping window — the
+    active-users-trend query. Spark's ``window()`` slide replicates each
+    event into its 6 covering windows MAP-SIDE (an Expand, no
+    self-join); the oracle reproduces the same via an hour-grid range
+    join. Epoch-aligned hour windows make the two formulations emit the
+    same window starts. Distinct-agg shuffles once on (window, user)
+    partials then once on window — the standard two-phase distinct."""
+    ev = _ev(spark, sf_dir).select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    w = F.window("ts", "6 hours", "1 hour")
+    return (
+        ev.groupBy(w.alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("distinct_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT).alias("window_start"),
+            "distinct_users",
+            "n_events",
+        )
+    )
