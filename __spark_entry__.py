@@ -82,7 +82,7 @@ _REGISTERED_R3 = frozenset(
         "dedup_minhash_recall_gate", "scalar_variant_funcs", "scalar_try_funcs", "text_token_runs_udtf", "dedup_simhash_recall_gate",
         "embedding_lsh_recall_gate", "llm_corpus_pipeline_v2", "scalar_calendar_funcs",
         "scalar_regexp_funcs", "streaming_incremental_batches",
-        "events_sliding_distinct_users",
+        "events_sliding_distinct_users", "agg_rollup_grouping_id",
     }
 )
 

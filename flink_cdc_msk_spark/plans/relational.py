@@ -1880,3 +1880,43 @@ def scalar_calendar_funcs(spark, sf_dir):
         F.weekofyear(d).cast("int").alias("woy"),
         F.date_format(F.date_add(d, 45), "yyyy-MM-dd").alias("plus_45d"),
     )
+
+
+@register(
+    "agg_rollup_grouping_id",
+    oracle="""
+    SELECT coalesce(r_name, '<all>') AS region_lvl,
+           coalesce(n_name, '<all>') AS nation_lvl,
+           CAST(GROUPING(r_name) AS INTEGER) AS g_region,
+           CAST(GROUPING(n_name) AS INTEGER) AS g_nation,
+           count(*) AS cnt
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup_grouping_id(spark, sf_dir):
+    """ROLLUP with ``grouping()`` disambiguation: a NULL produced by the
+    rollup's subtotal rows is indistinguishable from a NULL in the data
+    unless the grouping indicator says which it is — the classic
+    report-layer trap. Both engines emit the same indicator bits, so the
+    subtotal structure itself is hash-checked, not just the totals."""
+    cu, n, r = _t(spark, sf_dir, "customer", "nation", "region")
+    return (
+        cu.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("<all>")).alias("region_lvl"),
+            F.coalesce("n_name", F.lit("<all>")).alias("nation_lvl"),
+            "g_region",
+            "g_nation",
+            "cnt",
+        )
+    )
