@@ -489,3 +489,33 @@ def test_gtid_resume_filter_cuts_at_set(spark):
         "unknown_uuid_failover",
         "snapshot_no_gtid",
     }
+
+
+def test_gtid_set_parse_property():
+    """Property: for any set of (uuid, interval-list) entries, the parsed
+    per-UUID max equals the max interval end; whitespace/newlines and
+    case are normalized. Mirrors the grammar MySQL SHOW MASTER STATUS
+    emits."""
+    from hypothesis import given, strategies as st
+
+    from flink_cdc_msk_spark.config import parse_gtid_set
+
+    uuids = st.uuids().map(str)
+    intervals = st.lists(
+        st.tuples(st.integers(1, 10**9), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=4,
+    )
+
+    @given(st.dictionaries(uuids, intervals, min_size=1, max_size=5))
+    def check(entries):
+        parts = []
+        want = {}
+        for u, ivs in entries.items():
+            spans = [f"{lo}-{lo + width}" for lo, width in ivs]
+            parts.append(f"{u.upper()}:" + ":".join(spans))
+            want[u.lower()] = max(lo + width for lo, width in ivs)
+        got = parse_gtid_set(", \n".join(parts))
+        assert got == want
+
+    check()
