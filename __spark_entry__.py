@@ -83,6 +83,7 @@ _REGISTERED_R3 = frozenset(
         "embedding_lsh_recall_gate", "llm_corpus_pipeline_v2", "scalar_calendar_funcs",
         "scalar_regexp_funcs", "streaming_incremental_batches",
         "events_sliding_distinct_users", "agg_rollup_grouping_id",
+        "window_nulls_ordering",
     }
 )
 

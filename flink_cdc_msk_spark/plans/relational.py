@@ -1920,3 +1920,51 @@ def agg_rollup_grouping_id(spark, sf_dir):
             "cnt",
         )
     )
+
+
+@register(
+    "window_nulls_ordering",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus,
+           nullable_price,
+           CAST(row_number() OVER (
+             PARTITION BY o_orderstatus
+             ORDER BY nullable_price ASC NULLS LAST, o_orderkey
+           ) AS BIGINT) AS rn_nulls_last,
+           CASE WHEN nullable_price IS NULL THEN 1 ELSE 0 END AS is_null
+    FROM (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE round(o_totalprice, 2) END AS nullable_price
+      FROM orders WHERE o_orderkey % 50 = 0
+    )
+    """,
+)
+def window_nulls_ordering(spark, sf_dir):
+    """Explicit NULL-ordering in window sorts — the cross-engine trap:
+    Spark's default is NULLS FIRST for ASC, DuckDB's is NULLS LAST, so
+    any ranking over a nullable key silently disagrees between engines
+    unless pinned. Both sides here pin ASC NULLS LAST (+ a unique
+    tiebreak so ranks are total); the hash check proves the pinned
+    semantics, not either engine's default."""
+    (o,) = _t(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 50 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.round("o_totalprice", 2))
+        .alias("nullable_price"),
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("nullable_price").asc_nulls_last(), F.col("o_orderkey")
+    )
+    return base.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "nullable_price",
+        F.row_number().over(w).cast("bigint").alias("rn_nulls_last"),
+        F.when(F.col("nullable_price").isNull(), 1)
+        .otherwise(0)
+        .alias("is_null"),
+    )
