@@ -549,3 +549,20 @@ def test_load_tables_memoized_per_session(spark):
     b = load_tables(spark, sf)
     assert a is not b
     assert all(a[t] is b[t] for t in a)
+
+
+def test_memo_caches_key_on_sf_dir(spark):
+    """The table-load and CDC-feed memos key on (session, sf_dir): two
+    scale factors in one session must NOT share entries — a collision
+    would silently serve the wrong data to every query."""
+    from flink_cdc_msk_spark.sources.cdc_sim import synthesize_mysql_events
+    from flink_cdc_msk_spark.sources.tables import load_tables
+
+    a = load_tables(spark, "/root/testdata/sf0.001")["orders"]
+    b = load_tables(spark, "/root/testdata/sf0.01")["orders"]
+    assert a is not b
+    assert a.count() != b.count()
+    fa = synthesize_mysql_events(spark, "/root/testdata/sf0.001")
+    fb = synthesize_mysql_events(spark, "/root/testdata/sf0.01")
+    assert fa is not fb
+    assert fa.count() != fb.count()
