@@ -566,3 +566,32 @@ def test_memo_caches_key_on_sf_dir(spark):
     fb = synthesize_mysql_events(spark, "/root/testdata/sf0.01")
     assert fa is not fb
     assert fa.count() != fb.count()
+
+
+def test_dedup_operators_on_degenerate_corpora(spark):
+    """Edge inputs that break naive set-similarity implementations:
+    empty corpus (no rows anywhere in the pipeline), single doc (no
+    pairs), and an all-identical corpus (every pair qualifies — the
+    maximal-output case; n*(n-1)/2 pairs, jaccard exactly 1.0)."""
+    schema = "doc_id long, text string"
+    empty = spark.createDataFrame([], schema)
+    assert D.jaccard_pairs(empty, 0.8, ngram=3).count() == 0
+    assert D.minhash_lsh_pairs(empty, threshold=0.8, ngram=3).count() == 0
+    assert D.exact_dedup(empty).count() == 0
+
+    single = spark.createDataFrame(
+        [(1, "one two three four five six")], schema
+    )
+    assert D.jaccard_pairs(single, 0.8, ngram=3).count() == 0
+
+    n = 6
+    same = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(n)],
+        schema,
+    )
+    pairs = D.jaccard_pairs(same, 0.8, ngram=3).collect()
+    assert len(pairs) == n * (n - 1) // 2
+    assert all(abs(r.jaccard - 1.0) < 1e-9 for r in pairs)
+    # short docs (< ngram tokens) are dropped, not crashed on
+    shorts = spark.createDataFrame([(1, "a b"), (2, "a b")], schema)
+    assert D.jaccard_pairs(shorts, 0.8, ngram=3).count() == 0
