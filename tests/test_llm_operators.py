@@ -595,3 +595,24 @@ def test_dedup_operators_on_degenerate_corpora(spark):
     # short docs (< ngram tokens) are dropped, not crashed on
     shorts = spark.createDataFrame([(1, "a b"), (2, "a b")], schema)
     assert D.jaccard_pairs(shorts, 0.8, ngram=3).count() == 0
+
+
+def test_similarity_topk_edges(spark):
+    """k larger than the corpus must return all (corpus-1) neighbors, not
+    crash or pad; a query vector identical to a corpus vector ranks that
+    vector first with cosine 1.0 (self-match excluded by id)."""
+    import flink_cdc_msk_spark.operators.similarity as S
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    out = S.brute_force_topk(emb, emb.filter("vec_id = 0"), k=10).collect()
+    assert len(out) == 3  # corpus minus self, k capped by data
+    best = min(out, key=lambda r: r.rank)
+    assert best.vec_id == 1 and abs(best.cos - 1.0) < 1e-6
