@@ -789,13 +789,14 @@ def text_bigram_lm(spark, sf_dir):
       FROM embeddings,
            unnest(generate_series(1, len(embedding))) AS s(i)
     ), m AS (
-      SELECT label, pos, round(avg(x), 6) + 0 AS mx
+      SELECT label, pos,
+             CAST(round(avg(x) * 1000000) AS BIGINT) AS mx
       FROM e GROUP BY label, pos
     )
     SELECT label,
            (SELECT CAST(count(*) AS BIGINT) FROM embeddings v
             WHERE v.label = m.label) AS n_vecs,
-           list(mx ORDER BY pos) AS centroid
+           array_to_string(list(mx ORDER BY pos), ',') AS centroid
     FROM m
     GROUP BY label
     """,
@@ -806,7 +807,12 @@ def embedding_centroid_per_label(spark, sf_dir):
     posexplode → (label, dim) partial-aggregating avg → re-assemble the
     vector ordered by dimension. One shuffle of n·d (label, dim) rows
     with map-side combine — the centroid never exists as unsplittable
-    state, so the same plan holds at any corpus size."""
+    state, so the same plan holds at any corpus size.
+
+    The centroid is rendered as a comma-joined string of micro-unit
+    (×1e6, rounded) integers: integers format identically across engines,
+    so the driver's value hash is exact where raw float formatting (and
+    its array canonicalization) is not."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     from ..operators.similarity import as_double
 
@@ -814,16 +820,19 @@ def embedding_centroid_per_label(spark, sf_dir):
         "label", F.posexplode(as_double("embedding")).alias("pos", "x")
     )
     m = e.groupBy("label", "pos").agg(
-        (F.round(F.avg("x"), 6) + F.lit(0.0)).alias("mx"),
+        F.round(F.avg("x") * 1000000).cast("bigint").alias("mx"),
         F.count(F.lit(1)).alias("cnt"),
     )
     return (
         m.groupBy("label")
         .agg(
             F.max("cnt").alias("n_vecs"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "mx"))),
-                lambda s: s.getField("mx"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+                    lambda s: s.getField("mx").cast("string"),
+                ),
+                ",",
             ).alias("centroid"),
         )
         .select("label", "n_vecs", "centroid")
@@ -917,11 +926,12 @@ def text_tfidf_top_terms(spark, sf_dir):
     oracle="""
     SELECT vec_id,
            round(list_max(list_transform(embedding,
-                 x -> abs(CAST(x AS DOUBLE)))), 6) AS scale_max,
-           list_transform(embedding, x -> CAST(round(
+                 x -> abs(CAST(x AS DOUBLE)))), 6) + 0 AS scale_max,
+           array_to_string(
+             list_transform(embedding, x -> CAST(round(
                  CAST(x AS DOUBLE) * 127 / nullif(list_max(list_transform(
                      embedding, y -> abs(CAST(y AS DOUBLE)))), 0)
-           ) AS BIGINT)) AS q8
+             ) AS BIGINT)), ',') AS q8
     FROM embeddings
     """,
 )
@@ -929,7 +939,10 @@ def embedding_quantize(spark, sf_dir):
     """Symmetric int8 quantization (per-vector absmax scaling) — the
     storage/bandwidth stage of an embedding pipeline. Map-only; the scale
     rides along so dequantization is lossless up to rounding. The absmax
-    is materialized in its own projection (HOF-inlining trap otherwise)."""
+    is materialized in its own projection (HOF-inlining trap otherwise).
+    The int8 codes are emitted as a comma-joined string: integer text is
+    engine-stable, so the driver's canonicalizer/hash handles it where a
+    raw array column would not."""
     from ..operators.similarity import as_double
 
     emb = load_tables(spark, sf_dir)["embeddings"]
@@ -943,11 +956,17 @@ def embedding_quantize(spark, sf_dir):
     )
     return base.select(
         "vec_id",
-        F.round(F.col("_m"), 6).alias("scale_max"),
-        F.transform(
-            "_v",
-            lambda x: F.round(x * 127 / F.nullif(F.col("_m"), F.lit(0.0)))
-            .cast("bigint"),
+        (F.round(F.col("_m"), 6) + F.lit(0.0)).alias("scale_max"),
+        F.array_join(
+            F.transform(
+                "_v",
+                lambda x: F.round(
+                    x * 127 / F.nullif(F.col("_m"), F.lit(0.0))
+                )
+                .cast("bigint")
+                .cast("string"),
+            ),
+            ",",
         ).alias("q8"),
     )
 
