@@ -204,28 +204,69 @@ def binlog_resume_filter(position: str):
     )
 
 
-def parse_gtid_set(gtid_set: str) -> dict[str, int]:
+_GTID_UUID_RE = re.compile(
+    r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+    r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+)
+
+
+def parse_gtid_set(gtid_set: str) -> dict[str, list[tuple[int, int]]]:
     """Parse a MySQL executed-GTID-set string
-    (``uuid:1-100[:105-110],uuid2:1-7``) into {server_uuid: highest
-    covered transaction number}. Interval lists are collapsed to their
-    maximum end: resuming "after this executed set" with a gapped set
-    would need per-interval membership, but gaps in an executed set only
-    occur mid-failover — the resume contract (reference
-    MySQLCDC2AWSMSK.scala:239-240 passes the set straight to the
-    connector) is a contiguous snapshot, and the collapse is documented
-    rather than silently wrong for the exotic case."""
-    covered: dict[str, int] = {}
+    (``uuid:1-100[:105-110],uuid2:1-7``) into {server_uuid: sorted merged
+    [(lo, hi), ...] interval list}. The FULL interval structure is kept —
+    a gapped executed set (``uuid:1-100:105-110``) leaves txns 101-104
+    genuinely uncovered, and :func:`gtid_resume_filter` must replay them
+    (the reference, MySQLCDC2AWSMSK.scala:239-240, passes the set
+    verbatim to the connector and loses nothing; collapsing to the
+    per-UUID max would silently drop the gap on resume).
+
+    The grammar is validated eagerly — a non-UUID server field, a missing
+    interval list, a non-numeric bound, or ``lo > hi`` raises ValueError
+    instead of degrading to an uncut full-topic replay."""
+    covered: dict[str, list[tuple[int, int]]] = {}
     for part in gtid_set.replace("\n", "").split(","):
         part = part.strip()
         if not part:
             continue
         fields = part.split(":")
-        uuid, intervals = fields[0], fields[1:]
-        hi = 0
+        uuid, intervals = fields[0].strip(), fields[1:]
+        if not _GTID_UUID_RE.match(uuid):
+            raise ValueError(
+                f"GTID set part {part!r}: {uuid!r} is not a server UUID"
+            )
+        if not intervals:
+            raise ValueError(
+                f"GTID set part {part!r} has no transaction intervals"
+            )
+        spans = []
         for iv in intervals:
-            end = iv.split("-")[-1]
-            hi = max(hi, int(end))
-        covered[uuid.lower()] = hi
+            bounds = iv.split("-")
+            if len(bounds) > 2 or not all(
+                b.strip().isdigit() for b in bounds
+            ):
+                raise ValueError(
+                    f"GTID set part {part!r}: bad interval {iv!r}"
+                )
+            lo = int(bounds[0])
+            hi = int(bounds[-1])
+            if lo > hi:
+                raise ValueError(
+                    f"GTID set part {part!r}: empty interval {iv!r}"
+                )
+            spans.append((lo, hi))
+        merged = covered.setdefault(uuid.lower(), [])
+        merged.extend(spans)
+    # normalize: sort and merge touching/overlapping intervals per UUID
+    for uuid, spans in covered.items():
+        spans.sort()
+        out = [spans[0]]
+        for lo, hi in spans[1:]:
+            plo, phi = out[-1]
+            if lo <= phi + 1:
+                out[-1] = (plo, max(phi, hi))
+            else:
+                out.append((lo, hi))
+        covered[uuid] = out
     return covered
 
 
@@ -233,9 +274,10 @@ def gtid_resume_filter(gtid_set: str):
     """Column predicate implementing the A5 ``gtid:<set>`` startup as an
     exact cut on the Debezium envelope (``source.gtid`` carries
     ``server_uuid:txno`` per event): keep events whose transaction is NOT
-    covered by the executed set — i.e. txno greater than the set's
-    highest number for that server UUID, and everything from unknown
-    UUIDs (a failed-over primary's new UUID must replay from its start).
+    covered by the executed set — i.e. txno outside every interval of
+    that server UUID's list (gap txns in ``uuid:1-100:105-110`` replay),
+    and everything from unknown UUIDs (a failed-over primary's new UUID
+    must replay from its start).
     Events without a gtid (snapshot rows, non-GTID servers) pass — no
     coordinates to cut on.
 
@@ -249,13 +291,14 @@ def gtid_resume_filter(gtid_set: str):
     ev_gtid = F.get_json_object("value", "$.source.gtid")
     uuid = F.lower(F.substring_index(ev_gtid, ":", 1))
     txno = F.substring_index(ev_gtid, ":", -1).cast("long")
-    if covered:
-        pairs = []
-        for k, v in sorted(covered.items()):
-            pairs.extend([F.lit(k), F.lit(v)])
-        covered_max = F.coalesce(
-            F.element_at(F.create_map(*pairs), uuid), F.lit(-1)
-        )
-    else:
-        covered_max = F.lit(-1)
-    return ev_gtid.isNull() | (txno > covered_max.cast("long"))
+    # Membership is tested per interval (not per-UUID max): a gapped
+    # executed set must replay the gap txns.  The OR chain is tiny —
+    # one between() per merged interval — and folds into a single
+    # codegen'd boolean expression.
+    covered_pred = F.lit(False)
+    for k, spans in sorted(covered.items()):
+        in_spans = F.lit(False)
+        for lo, hi in spans:
+            in_spans = in_spans | txno.between(F.lit(lo), F.lit(hi))
+        covered_pred = covered_pred | ((uuid == F.lit(k)) & in_spans)
+    return ev_gtid.isNull() | ~covered_pred

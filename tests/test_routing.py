@@ -283,10 +283,12 @@ def test_startup_position_mapping():
     }
     # A5: GTID sets don't order against topic offsets — earliest + exact
     # envelope cut (test_gtid_resume_filter_cuts_at_set); unknown grammars
-    # still refuse loudly
-    assert p("gtid:3E11FA47-71CA-11E1-9E33:1-5") == {
+    # still refuse loudly (incl. a truncated non-UUID server field)
+    assert p("gtid:3E11FA47-71CA-11E1-9E33-C80AA9429562:1-5") == {
         "startingOffsets": "earliest"
     }
+    with pytest.raises(ValueError):
+        p("gtid:3E11FA47-71CA-11E1-9E33:1-5")
     with pytest.raises(ValueError):
         p("not-a-position")
 
@@ -430,7 +432,8 @@ def test_binlog_position_grammar_roundtrip(file, pos):
 
 def test_startup_gtid_mapping_and_set_parse():
     """A5 ``gtid:<set>``: earliest + exact envelope cut (like index-less
-    file:pos); interval lists collapse to the per-UUID maximum."""
+    file:pos); the full per-UUID interval structure survives parsing —
+    gaps are NOT collapsed (they must replay on resume)."""
     from flink_cdc_msk_spark.config import (
         parse_gtid_set,
         parse_kafka_startup_position as p,
@@ -443,9 +446,33 @@ def test_startup_gtid_mapping_and_set_parse():
         "3E11FA47-71CA-11E1-9E33-C80AA9429562:1-5:11-20,"
         "aaaabbbb-0000-0000-0000-000000000001:1-7"
     ) == {
-        "3e11fa47-71ca-11e1-9e33-c80aa9429562": 20,
-        "aaaabbbb-0000-0000-0000-000000000001": 7,
+        "3e11fa47-71ca-11e1-9e33-c80aa9429562": [(1, 5), (11, 20)],
+        "aaaabbbb-0000-0000-0000-000000000001": [(1, 7)],
     }
+    # touching/overlapping intervals merge; single-txn intervals parse
+    assert parse_gtid_set(
+        "3E11FA47-71CA-11E1-9E33-C80AA9429562:1-5:6-8:10"
+    ) == {"3e11fa47-71ca-11e1-9e33-c80aa9429562": [(1, 8), (10, 10)]}
+
+
+def test_gtid_set_parse_rejects_malformed():
+    """A bare uuid (no intervals), a non-UUID token, junk bounds, or an
+    empty interval refuse loudly instead of degrading to an uncut
+    full-topic replay."""
+    import pytest
+
+    from flink_cdc_msk_spark.config import parse_gtid_set
+
+    U = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    for bad in (
+        U,                     # no interval list
+        "not-a-uuid:1-5",      # non-UUID server field
+        f"{U}:1-x",            # non-numeric bound
+        f"{U}:9-5",            # empty interval
+        f"{U}:1-5-9",          # too many dashes
+    ):
+        with pytest.raises(ValueError):
+            parse_gtid_set(bad)
 
 
 def test_gtid_resume_filter_cuts_at_set(spark):
@@ -461,6 +488,7 @@ def test_gtid_resume_filter_cuts_at_set(spark):
     rows = [
         (f"{U1}:19", "covered_old"),
         (f"{U1}:20", "covered_edge"),
+        (f"{U1}:7", "gap_txn_replays"),
         (f"{U1.upper()}:21", "next_txn_case_insensitive"),
         (f"{U2}:1", "unknown_uuid_failover"),
         (None, "snapshot_no_gtid"),
@@ -485,6 +513,7 @@ def test_gtid_resume_filter_cuts_at_set(spark):
         ).collect()
     }
     assert kept == {
+        "gap_txn_replays",
         "next_txn_case_insensitive",
         "unknown_uuid_failover",
         "snapshot_no_gtid",
@@ -492,10 +521,12 @@ def test_gtid_resume_filter_cuts_at_set(spark):
 
 
 def test_gtid_set_parse_property():
-    """Property: for any set of (uuid, interval-list) entries, the parsed
-    per-UUID max equals the max interval end; whitespace/newlines and
-    case are normalized. Mirrors the grammar MySQL SHOW MASTER STATUS
-    emits."""
+    """Property: for any set of (uuid, interval-list) entries the parsed
+    structure is sorted, disjoint, non-adjacent, and MEMBERSHIP-exact —
+    probing each generated bound ±1 agrees with the raw spans (so merge
+    normalization never widens or narrows coverage); whitespace/newlines
+    and case are normalized. Mirrors the grammar MySQL SHOW MASTER
+    STATUS emits."""
     from hypothesis import given, strategies as st
 
     from flink_cdc_msk_spark.config import parse_gtid_set
@@ -510,12 +541,23 @@ def test_gtid_set_parse_property():
     @given(st.dictionaries(uuids, intervals, min_size=1, max_size=5))
     def check(entries):
         parts = []
-        want = {}
         for u, ivs in entries.items():
             spans = [f"{lo}-{lo + width}" for lo, width in ivs]
             parts.append(f"{u.upper()}:" + ":".join(spans))
-            want[u.lower()] = max(lo + width for lo, width in ivs)
         got = parse_gtid_set(", \n".join(parts))
-        assert got == want
+        assert set(got) == {u.lower() for u in entries}
+        for u, ivs in entries.items():
+            raw = [(lo, lo + width) for lo, width in ivs]
+            merged = got[u.lower()]
+            # canonical form: sorted, disjoint, gaps of >= 2
+            assert merged == sorted(merged)
+            for (_, phi), (nlo, _) in zip(merged, merged[1:]):
+                assert nlo > phi + 1
+            # membership equivalence at every boundary and its neighbors
+            probes = {p for lo, hi in raw for p in (lo - 1, lo, hi, hi + 1)}
+            for p in probes:
+                want_in = any(lo <= p <= hi for lo, hi in raw)
+                got_in = any(lo <= p <= hi for lo, hi in merged)
+                assert got_in == want_in, (u, p, raw, merged)
 
     check()
