@@ -50,10 +50,16 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query: broadcast queries × stream corpus.
 
-    Output: (query_id, vec_id, cos, rank). The corpus never shuffles; the
-    only exchange is the per-query ranking (partitionBy query_id), whose
-    cardinality is |queries| × |corpus| rows *before* the rank filter —
-    at scale cap the query batch size, or use :func:`ivf_topk`.
+    Output: (query_id, vec_id, cos, rank). Two-phase top-k: scoring is
+    pure Catalyst (broadcast queries, corpus streams — no shuffle), then
+    each corpus partition keeps only its local top-k per query in an
+    Arrow-batched ``mapInPandas`` (still no shuffle), and only those
+    |queries| × partitions × k survivors reach the global ranking
+    exchange. The q×n scored set is never shuffled — the phase-1 prune is
+    exact because any global top-k row is necessarily a local top-k row
+    in its own partition (same (cos desc, id asc) order both phases).
+    For corpora where even the scoring scan is too slow, use
+    :func:`ivf_topk`.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
@@ -65,12 +71,30 @@ def brute_force_topk(
         c.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .select("query_id", "vec_id", "cos")
     )
+
+    def local_topk(batches):
+        import pandas as pd
+
+        best = None
+        for pdf in batches:
+            cur = pdf if best is None else pd.concat((best, pdf))
+            cur = cur.sort_values(
+                ["query_id", "cos", "vec_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            best = cur.groupby("query_id", sort=False).head(k)
+        if best is not None and len(best):
+            yield best
+
+    pruned = scored.mapInPandas(local_topk, scored.schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        pruned.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id",
                 (F.round("cos", 6) + F.lit(0.0)).alias("cos"), "rank")

@@ -208,3 +208,26 @@ def test_corpus_pipeline_v2_shuffle_budget(spark):
             m = re.search(r"plan_id=(\d+)", ln)
             ids.add(m.group(1) if m else ln)
     assert len(ids) <= 5, f"{len(ids)} distinct shuffle exchanges"
+
+
+def test_brute_force_topk_prunes_before_ranking_exchange(spark):
+    """Two-phase top-k: the q×n scored set must be pruned to local
+    top-k per partition (MapInPandas, no shuffle) BEFORE the global
+    ranking exchange — i.e. the only hash exchange in the plan sits
+    ABOVE the MapInPandas node, so the shuffle carries at most
+    queries × partitions × k rows, never the full scored set."""
+    from flink_cdc_msk_spark.operators import similarity as S
+    from flink_cdc_msk_spark.plans.llm_pipeline import load_tables
+
+    emb = load_tables(spark, SF_SMALL)["embeddings"]
+    out = S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    ex = [i for i, ln in enumerate(lines)
+          if "Exchange hashpartitioning" in ln]
+    mp = [i for i, ln in enumerate(lines) if "MapInPandas" in ln]
+    assert len(ex) == 1, f"expected exactly 1 hash exchange:\n{plan}"
+    assert mp, f"no MapInPandas prune stage:\n{plan}"
+    # plan trees print top-down: the exchange (above) must appear on an
+    # EARLIER line than the MapInPandas it consumes
+    assert ex[0] < mp[0], f"exchange below the prune stage:\n{plan}"
