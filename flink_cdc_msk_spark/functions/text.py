@@ -110,3 +110,24 @@ def rolling_fingerprint_sql(expr: str, mod: int = 1_000_000_007) -> str:
         f"list_transform(regexp_split_to_array({expr}, ''), "
         f"c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % {mod})"
     )
+
+
+def md5_hash60(col: Column | str) -> Column:
+    """Engine-portable 60-bit token hash: the first 15 hex digits of the
+    md5 digest, parsed as an integer. md5 is bit-identical everywhere, and
+    both Spark (``conv(.., 16, 10)``) and DuckDB (``CAST('0x..' AS
+    BIGINT)``) parse the hex prefix exactly — so sketches built on this
+    hash (SimHash fingerprints, MinHash signatures) are reproducible
+    across engines, which is what makes them ORACLE-CHECKABLE rather than
+    rows-only. 60 bits keeps the value inside a signed 64-bit long with
+    headroom. Slower than xxhash64 (md5 + string slicing) — use the
+    xxhash64 default for production scale, this for verifiability."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.conv(
+        F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def md5_hash60_sql(expr: str) -> str:
+    """DuckDB oracle twin of :func:`md5_hash60` over SQL column expr."""
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"

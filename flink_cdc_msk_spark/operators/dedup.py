@@ -486,19 +486,32 @@ def minhash_lsh_pairs(
 
 
 def simhash64(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_hash=None,
+    n_bits: int = 64,
 ) -> DataFrame:
-    """→ (id, simhash) 64-bit SimHash per doc.
+    """→ (id, simhash) ``n_bits``-bit SimHash per doc.
 
-    Per token: xxhash64; per bit: +1 if set else -1, summed over tokens;
-    fingerprint bit i = sign of sum. Entirely MAP-SIDE: the token-hash
-    array is materialized once per row (its own projection — referenced 64
-    times, so CollapseProject keeps the boundary), then 64 ``aggregate``
-    passes fold it. No explode, no shuffle (~2× faster than explode +
-    groupBy at sf0.1; avoids an O(total tokens) shuffle at cluster scale)."""
-    hashed = _unit_sets(df, text_col, id_col, 1, hashed=True).select(
-        "id", F.col("toks").alias("th")
-    )
+    Per token: xxhash64 by default, or a pluggable ``token_hash``
+    (Column → Column) — pass :func:`..functions.text.md5_hash60` with
+    ``n_bits=60`` for an engine-portable fingerprint a DuckDB oracle can
+    reproduce bit-for-bit. Per bit: +1 if set else -1, summed over
+    tokens; fingerprint bit i = sign of sum. Entirely MAP-SIDE: the
+    token-hash array is materialized once per row (its own projection —
+    referenced ``n_bits`` times, so CollapseProject keeps the boundary),
+    then ``n_bits`` ``aggregate`` passes fold it. No explode, no shuffle
+    (~2× faster than explode + groupBy at sf0.1; avoids an O(total
+    tokens) shuffle at cluster scale)."""
+    if token_hash is None:
+        hashed = _unit_sets(df, text_col, id_col, 1, hashed=True).select(
+            "id", F.col("toks").alias("th")
+        )
+    else:
+        hashed = _unit_sets(df, text_col, id_col, 1, hashed=False).select(
+            "id", F.transform("toks", token_hash).alias("th")
+        )
 
     def bit_sum(i: int) -> Column:
         return F.aggregate(
@@ -511,10 +524,10 @@ def simhash64(
         )
 
     agg = hashed.select(
-        "id", *[bit_sum(i).alias(f"b{i}") for i in range(64)]
+        "id", *[bit_sum(i).alias(f"b{i}") for i in range(n_bits)]
     )
     fp = None
-    for i in range(64):
+    for i in range(n_bits):
         bit = F.when(
             F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))
@@ -527,14 +540,21 @@ def simhash_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    token_hash=None,
+    n_bits: int = 64,
 ) -> DataFrame:
-    """Pairs with hamming(simhash) <= max_hamming via 4×16-bit banding.
+    """Pairs with hamming(simhash) <= max_hamming via 4-band banding
+    (band width = n_bits/4 — 16 bits for the default 64, 15 for the
+    portable 60-bit variant).
 
     Pigeonhole: any pair within hamming distance 3 agrees exactly on at
-    least one of 4 disjoint 16-bit bands → candidates = bucket-join on
-    band value, then exact bit_count(xor) verify. Linear candidate
+    least one of 4 disjoint bands → candidates = bucket-join on band
+    value, then exact bit_count(xor) verify. Linear candidate
     generation, no cross product."""
-    fps = simhash64(df, text_col, id_col)
+    assert n_bits % 4 == 0 and max_hamming < 4
+    width = n_bits // 4
+    mask = (1 << width) - 1
+    fps = simhash64(df, text_col, id_col, token_hash, n_bits)
     bands = fps.select(
         "id",
         "simhash",
@@ -543,8 +563,8 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
                         .alias("bv"),
                     )
                     for b in range(4)

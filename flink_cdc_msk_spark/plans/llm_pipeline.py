@@ -294,11 +294,29 @@ def dedup_containment(spark, sf_dir):
     )
 
 
-@register("dedup_minhash_lsh")  # engine-specific hashes → rows-only check
+@register(
+    "dedup_minhash_lsh",
+    # Oracle = the EXACT jaccard>=0.8 pair set (dedup_token_jaccard's
+    # oracle shape).  The LSH output is the exact-verified subset of its
+    # banding candidates, so Spark==oracle holds iff banding recall is
+    # 1.0 on this corpus — which the hash match then PROVES each round
+    # (the seeds are pinned, so the candidate set is deterministic; the
+    # paired recall-gate query asserts the same bound in-query).
+    oracle=f"""
+    WITH {_JACCARD_CTES}
+    SELECT id1, id2,
+           round(inter / (s1.sz + s2.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.id = id1
+    JOIN sizes s2 ON s2.id = id2
+    WHERE round(inter / (s1.sz + s2.sz - inter), 6) >= 0.8
+    """,
+)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(32) + 8-band LSH candidates over 3-gram shingles, exact-
-    Jaccard verified at 0.8 — recall vs dedup_token_jaccard measured in
-    pytest; candidate generation is linear in corpus size."""
+    Jaccard verified at 0.8 — candidate generation is linear in corpus
+    size. Oracle-checked against the exact pair set: a green driver row
+    is a banding-recall=1.0 certificate at this scale factor."""
     return D.minhash_lsh_pairs(
         _docs_with_near_dups(spark, sf_dir),
         threshold=0.8,
@@ -308,11 +326,53 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-@register("dedup_simhash")  # engine-specific hashes → rows-only check
+@register(
+    "dedup_simhash",
+    # Full oracle: the fingerprint itself is reproduced in DuckDB — the
+    # token hash is the engine-portable md5-hexparse 60-bit hash
+    # (functions/text.md5_hash60), so both engines compute bit-identical
+    # SimHash fingerprints and therefore the identical hamming<=3 pair
+    # set (the oracle verifies ALL pairs; Spark's banded candidate
+    # generation is exact by pigeonhole, so the sets must agree).
+    oracle=f"""
+    WITH docs AS (
+      {DOCS_WITH_DUPS_SQL}
+    ), tok AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(lower(text), ' '),
+                                       x -> x <> '')) AS toks
+      FROM docs
+    ), th AS (
+      SELECT doc_id,
+             list_transform(toks, s -> {T.md5_hash60_sql('s')}) AS th
+      FROM tok WHERE len(toks) >= 1
+    ), fp AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(generate_series(0, 59), b ->
+               CASE WHEN list_sum(list_transform(th, h ->
+                      CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN CAST(1 AS BIGINT) << b ELSE 0 END))
+               AS BIGINT) AS simhash
+      FROM th
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
 def dedup_simhash(spark, sf_dir):
-    """SimHash-64 banded hamming pairs (distance <= 3) over docs + planted
-    clones (clones land at distance 0)."""
-    return D.simhash_pairs(_docs_with_dups(spark, sf_dir), max_hamming=3)
+    """SimHash banded hamming pairs (distance <= 3) over docs + planted
+    clones (clones land at distance 0). Uses the engine-portable 60-bit
+    md5 token hash so the ENTIRE fingerprint — not just plumbing — is
+    hash-checked against DuckDB; the xxhash64 fast path stays the
+    production default in the operator."""
+    return D.simhash_pairs(
+        _docs_with_dups(spark, sf_dir),
+        max_hamming=3,
+        token_hash=T.md5_hash60,
+        n_bits=60,
+    )
 
 
 # ------------------------------------------------------- similarity search

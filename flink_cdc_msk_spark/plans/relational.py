@@ -1358,31 +1358,74 @@ def join_salted_skew(spark, sf_dir):
     )
 
 
-@register("agg_hll_sketch")  # sketch estimates are engine-specific → rows-only
+@register(
+    "agg_hll_sketch",
+    # Sketch ESTIMATES are engine-specific (Datasketches vs DuckDB HLL),
+    # so the hash-checked output is the exact distinct count plus an
+    # in-query error-bound gate on the estimate: the oracle pins the
+    # exact counts and asserts the gate is TRUE — a green row proves the
+    # sketch machinery ran AND landed within 5% of truth (the recall-gate
+    # pattern; estimates here are deterministic given pinned data+engine).
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS rows_cnt,
+           CAST(count(DISTINCT o_custkey) AS BIGINT)
+             AS distinct_customers,
+           TRUE AS est_within_5pct
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'ALL',
+           CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           TRUE
+    FROM orders
+    """,
+)
 def agg_hll_sketch(spark, sf_dir):
     """Mergeable HLL sketches (Datasketches): per-status sketch of
     distinct customers, unioned across statuses — the at-scale distinct
     pattern: sketches are tiny, partial-aggregate map-side, and REUSABLE
     (store per-partition sketches once, merge for any rollup later,
-    instead of rescanning for every approx_count_distinct). Error bound
-    vs exact asserted in pytest."""
+    instead of rescanning for every approx_count_distinct). The exact
+    distinct count rides along purely as the oracle-checkable error
+    gate on the estimate (also asserted in pytest)."""
     (o,) = _t(spark, sf_dir, "orders")
     per_status = o.groupBy("o_orderstatus").agg(
         F.hll_sketch_agg("o_custkey").alias("sk"),
         F.count(F.lit(1)).alias("rows_cnt"),
+        F.count_distinct("o_custkey").alias("distinct_customers"),
+    )
+    gated = lambda est: (  # noqa: E731
+        F.abs(est.cast("double") / F.col("distinct_customers") - 1.0)
+        <= 0.05
     )
     return per_status.select(
         "o_orderstatus",
         "rows_cnt",
-        F.hll_sketch_estimate("sk").alias("distinct_customers_est"),
+        "distinct_customers",
+        gated(F.hll_sketch_estimate("sk")).alias("est_within_5pct"),
     ).unionByName(
+        # the ALL row MERGES the per-status sketches (the reuse pattern —
+        # no rescan for the rollup); only the exact gate value needs one
+        # 1-row broadcast from a direct distinct
         per_status.agg(
             F.hll_union_agg("sk").alias("u"),
             F.sum("rows_cnt").alias("rows_cnt"),
-        ).select(
+        )
+        .crossJoin(
+            F.broadcast(
+                o.agg(
+                    F.count_distinct("o_custkey").alias(
+                        "distinct_customers"
+                    )
+                )
+            )
+        )
+        .select(
             F.lit("ALL").alias("o_orderstatus"),
             "rows_cnt",
-            F.hll_sketch_estimate("u").alias("distinct_customers_est"),
+            "distinct_customers",
+            gated(F.hll_sketch_estimate("u")).alias("est_within_5pct"),
         )
     )
 

