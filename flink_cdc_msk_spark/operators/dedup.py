@@ -66,6 +66,35 @@ def _unit_sets(
     return base.select("id", F.array_distinct(units).alias("toks"))
 
 
+# Persisted-unit-set memo: jaccard, minhash, simhash and containment all
+# persist the SAME (corpus, ngram, hashed) unit-set plan; persist() eagerly
+# re-ANALYZES the plan each call (~0.6s of higher-order-function analysis
+# at sf0.1 — the dominant plan-build cost), and Spark's cache manager only
+# dedups the STORAGE, not that analysis. Keyed by the analyzed plan's
+# semanticHash, evicted when the owning SparkContext dies (same policy as
+# sources.tables).
+_UNITS_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _unit_sets_persisted(
+    df: DataFrame, text_col: str, id_col: str, ngram: int, hashed: bool
+) -> DataFrame:
+    from ..sources.tables import evict_stale_entries
+
+    app_id = df.sparkSession.sparkContext.applicationId
+    evict_stale_entries(_UNITS_MEMO, app_id)
+    key = (
+        app_id,
+        df._jdf.queryExecution().analyzed().semanticHash(),
+        text_col, id_col, ngram, hashed,
+    )
+    cached = _UNITS_MEMO.get(key)
+    if cached is None:
+        cached = _unit_sets(df, text_col, id_col, ngram, hashed).persist()
+        _UNITS_MEMO[key] = cached
+    return cached
+
+
 def distinct_tokens(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ngram: int = 1, hashed: bool = False,
@@ -153,12 +182,12 @@ def jaccard_pairs(
     are linear in the result, never in the corpus²."""
     # persist the PLAIN unit sets (not the sorted projection): this is the
     # exact logical plan minhash/simhash/containment build for the same
-    # (corpus, ngram) — Spark's cache manager substitutes a persisted plan
-    # into any query containing it, so one materialization serves every
-    # dedup operator in the session. sort_array (needed only for the
-    # prefix index) is a cheap derived projection; the verify joins use
-    # the unsorted arrays — array_intersect doesn't care.
-    units = _unit_sets(df, text_col, id_col, ngram, hashed).persist()
+    # (corpus, ngram) — the memoized handle means one materialization AND
+    # one plan analysis serves every dedup operator in the session.
+    # sort_array (needed only for the prefix index) is a cheap derived
+    # projection; the verify joins use the unsorted arrays —
+    # array_intersect doesn't care.
+    units = _unit_sets_persisted(df, text_col, id_col, ngram, hashed)
     us = units.select(
         "id",
         F.sort_array("toks").alias("toks"),
@@ -429,9 +458,10 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     # one tokenize+shingle pass feeds BOTH the signatures and the verify
-    # join below; persisted because hashed unit arrays are fixed-width and
-    # small next to the corpus text (re-deriving them costs a corpus scan)
-    units = _unit_sets(df, text_col, id_col, ngram, hashed=True).persist()
+    # join below; persisted (memoized handle — shared with jaccard et al.)
+    # because hashed unit arrays are fixed-width and small next to the
+    # corpus text (re-deriving them costs a corpus scan)
+    units = _unit_sets_persisted(df, text_col, id_col, ngram, hashed=True)
     sigs = _signatures_from_units(units, num_hashes)
     band_entries = []
     for b in range(bands):

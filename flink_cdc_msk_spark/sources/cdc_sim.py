@@ -84,6 +84,9 @@ def synthesize_mysql_events(
     if table != "orders":
         raise ValueError("CDC simulation currently synthesizes from orders")
     key = (spark.sparkContext.applicationId, sf_dir, table, with_updates)
+    from .tables import evict_stale_entries
+
+    evict_stale_entries(_FEED_CACHE, key[0])
     cached = _FEED_CACHE.get(key)
     if cached is not None:
         return cached

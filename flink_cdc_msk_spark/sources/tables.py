@@ -33,8 +33,18 @@ TABLES = (
 _CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
 
+def evict_stale_entries(cache: dict, app_id: str) -> None:
+    """Drop memo entries belonging to dead SparkContexts (only one app is
+    live per process, so any other applicationId is unreachable — without
+    eviction a long-lived process restarting sessions accumulates dead
+    plan handles indefinitely)."""
+    for k in [k for k in cache if k[0] != app_id]:
+        del cache[k]
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     key = (spark.sparkContext.applicationId, sf_dir)
+    evict_stale_entries(_CACHE, key[0])
     cached = _CACHE.get(key)
     if cached is not None:
         return dict(cached)
