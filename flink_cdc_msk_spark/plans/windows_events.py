@@ -374,6 +374,68 @@ def streaming_running_totals(spark, sf_dir):
 
 
 @register(
+    "streaming_tws_user_stats",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total,
+           round(min(value), 6) + 0 AS v_min,
+           round(max(value), 6) + 0 AS v_max
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_tws_user_stats(spark, sf_dir):
+    """``transformWithStateInPandas`` (the Spark 4 arbitrary-state API:
+    typed ValueState handles + RocksDB provider) run end-to-end and
+    checked against the batch groupBy — the successor of
+    applyInPandasWithState (``streaming_running_totals``) verified with
+    the same final-row-per-key technique. Requires ``google.protobuf``
+    for the state-server protocol; this repo ships a namespace shim
+    (``google/``) that aliases the machine's cloud-sdk protobuf runtime
+    where no real install exists."""
+    from google.protobuf import descriptor  # noqa: F401 — env gate
+
+    from ..streaming.materialize import (
+        session_tmpdir,
+        stream_foreach_batch_parquet,
+    )
+    from ..streaming.stateful import user_stats_tws
+
+    ev = _ev(spark, sf_dir).select("user_id", "value")
+    d = session_tmpdir("stream_tws_q_")
+    ev.write.mode("overwrite").json(f"{d}/src")
+    stream = spark.readStream.schema("user_id long, value double").json(
+        f"{d}/src"
+    )
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = user_stats_tws(stream)
+        scan = stream_foreach_batch_parquet(out, d, output_mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev)
+    return (
+        scan.groupBy("user_id")
+        .agg(F.max_by(F.struct("n", "total", "v_min", "v_max"), "n").alias("s"))
+        .select(
+            "user_id",
+            F.col("s.n").alias("n"),
+            F.round(F.col("s.total"), 2).alias("total"),
+            (F.round(F.col("s.v_min"), 6) + F.lit(0.0)).alias("v_min"),
+            (F.round(F.col("s.v_max"), 6) + F.lit(0.0)).alias("v_max"),
+        )
+    )
+
+
+@register(
     "streaming_dedup_exact",
     oracle="""
     SELECT event_type,

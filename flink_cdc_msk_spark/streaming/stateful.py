@@ -72,14 +72,15 @@ def user_stats_tws(events: DataFrame, value_col: str = "value") -> DataFrame:
     default HDFS-backed one), which is also the provider you'd run at
     scale — state spills off-heap instead of executor memory.
 
-    ENVIRONMENT GATE: the transformWithState Python worker speaks a
-    protobuf protocol to the state server; this container ships a broken
-    ``google.protobuf`` (no ``descriptor``), so the operator cannot run
-    here and is deliberately NOT a registered query — the arbitrary-state
-    surface is driver-verified through ``running_totals``
-    (applyInPandasWithState, query ``streaming_running_totals``) instead.
-    ``tests/test_streaming.py::test_user_stats_tws`` runs it wherever
-    protobuf is importable.
+    ENVIRONMENT NOTE: the transformWithState Python worker speaks a
+    protobuf protocol to the state server; this container has no real
+    ``google.protobuf`` install, so the repo ships a namespace shim
+    (``google/`` at the repo root) that aliases the machine's cloud-sdk
+    protobuf 4.23 runtime and stubs the ``runtime_version`` check. With
+    the shim the operator runs end-to-end and is REGISTERED as
+    ``streaming_tws_user_stats`` (oracle = the batch groupBy); the
+    env-gated ``tests/test_streaming.py::test_user_stats_tws`` passes
+    wherever protobuf (real or shimmed) is importable.
 
     Emits the cumulative (n, total, min, max) per user each micro-batch;
     after an availableNow run the max-n row per user equals the batch
