@@ -93,6 +93,18 @@ _DRIVER_VERIFIED = frozenset(
 # sweep.  One per changed subsystem.
 _CANARIES = ("q1_pricing_summary", "cdc_route_keys", "dedup_token_jaccard")
 
+# Queries registered late in round 4, AFTER the rotation was set up to
+# clear the round-3 verification backlog.  They sort behind that backlog
+# (but ahead of already-verified queries) so a new registration never
+# displaces a query that has waited longer for its first driver row.
+_NEW_R4 = frozenset(
+    {
+        "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
+        "q9_product_profit", "q11_important_stock",
+        "q16_supplier_part_count", "q20_part_promotion",
+    }
+)
+
 
 def _rotated(mapping: dict) -> dict:
     registry.ensure_loaded()
@@ -101,6 +113,8 @@ def _rotated(mapping: dict) -> dict:
         if name in _CANARIES:
             return 0
         if name in _DRIVER_VERIFIED:
+            return 3
+        if name in _NEW_R4:
             return 2
         return 1
 

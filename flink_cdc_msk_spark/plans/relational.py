@@ -1688,6 +1688,485 @@ def q22_idle_customers(spark, sf_dir):
 
 
 @register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem
+      WHERE l_quantity > 0
+      GROUP BY l_partkey, l_suppkey
+    ),
+    euro AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, unit_cost
+    FROM part
+    JOIN offers ON p_partkey = l_partkey
+    JOIN euro   ON s_suppkey = l_suppkey
+    WHERE p_size <= 15 AND p_type = 'LARGE'
+      AND unit_cost = (
+        SELECT min(o2.unit_cost) FROM offers o2
+        JOIN euro e2 ON e2.s_suppkey = o2.l_suppkey
+        WHERE o2.l_partkey = p_partkey
+      )
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (adapted: no partsupp table in this schema — the
+    supplier×part offer relation is derived from lineitem, unit_cost =
+    min(l_extendedprice/l_quantity) per pair; reference schema has no
+    ps_supplycost either, SURVEY.md §1). The correlated MIN subquery
+    decorrelates into a grouped min over the region-filtered offers,
+    joined back on (partkey, unit_cost) equality. unit_cost stays a raw
+    IEEE double — MIN involves no summation, so it is bit-identical on
+    both engines and the min-equality join is exact (a decimal cast
+    would actually DIVERGE: Spark rounds half-up, DuckDB half-even on
+    double→decimal ties). supplier/
+    nation/region (~100 rows) broadcast; the one big shuffle is the
+    offers groupBy on (l_partkey, l_suppkey) — reused for both the
+    candidate side and the per-part min side."""
+    li, p, s, n, r = _t(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation", "region"
+    )
+    euro = (
+        s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            r.filter(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        li.filter(F.col("l_quantity") > 0)
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("uc"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("uc").alias("unit_cost"))
+    )
+    euro_offers = offers.join(
+        F.broadcast(euro), F.col("s_suppkey") == F.col("l_suppkey")
+    )
+    per_part_min = euro_offers.groupBy(
+        F.col("l_partkey").alias("mpk")
+    ).agg(F.min("unit_cost").alias("min_cost"))
+    return (
+        euro_offers.join(
+            per_part_min,
+            (F.col("l_partkey") == F.col("mpk"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .join(
+            F.broadcast(
+                p.filter((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE"))
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            "unit_cost",
+        )
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           round(CAST(sum(volume) AS DOUBLE), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+               AS volume
+      FROM supplier
+      JOIN lineitem  ON s_suppkey = l_suppkey
+      JOIN orders    ON o_orderkey = l_orderkey
+      JOIN customer  ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                           AND TIMESTAMP '1997-12-31'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7: bi-national shipping volume by year. supplier and both
+    nation aliases broadcast (the nation filter halves each side before
+    the join); the real shuffles are lineitem↔orders on orderkey and
+    orders↔customer on custkey. The disjunctive nation-pair predicate
+    stays above the joins — Catalyst pushes each half into the
+    respective dimension scan via constraint propagation."""
+    s, li, o, cu, n = _t(
+        spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation"
+    )
+    pair = ("NATION_1", "NATION_2")
+    n1 = n.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.filter(
+            F.col("l_shipdate").between(
+                F.lit("1996-01-01").cast("timestamp_ntz"),
+                F.lit("1997-12-31").cast("timestamp_ntz"),
+            )
+        )
+        .join(
+            F.broadcast(
+                s.join(n1, F.col("s_nationkey") == F.col("n1_key")).select(
+                    "s_suppkey", "supp_nation"
+                )
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            cu.join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")).select(
+                "c_custkey", "cust_nation"
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,4)")
+            .alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume").cast("double"), 2).alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+                               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+               AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem  ON p_partkey = l_partkey
+      JOIN supplier  ON s_suppkey = l_suppkey
+      JOIN orders    ON o_orderkey = l_orderkey
+      JOIN customer  ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region    ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                            AND TIMESTAMP '1997-12-31'
+    )
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8: national market share within a region. Every dimension
+    (part-filtered, supplier+nation, customer-nation-region) broadcasts;
+    lineitem↔orders on orderkey is the only large shuffle. Volumes sum
+    as DECIMAL(18,4) (exact, partition-order-independent) and only the
+    final share ratio drops to DOUBLE — the round(…,6) is then stable
+    across engines."""
+    p, li, s, o, cu, n, r = _t(
+        spark, sf_dir, "part", "lineitem", "supplier", "orders",
+        "customer", "nation", "region",
+    )
+    asia_cust = (
+        cu.join(
+            F.broadcast(
+                n.join(
+                    r.filter(F.col("r_name") == "ASIA"),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select(F.col("n_nationkey").alias("cn_key"))
+            ),
+            F.col("c_nationkey") == F.col("cn_key"),
+        ).select("c_custkey")
+    )
+    supp_nation = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"), "n_name")),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    joined = (
+        li.join(
+            F.broadcast(p.filter(F.col("p_type") == "ECONOMY")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(supp_nation), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            o.filter(
+                F.col("o_orderdate").between(
+                    F.lit("1996-01-01").cast("timestamp_ntz"),
+                    F.lit("1997-12-31").cast("timestamp_ntz"),
+                )
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(asia_cust, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+    )
+    vol = joined.select(
+        F.year("o_orderdate").alias("o_year"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,4)")
+        .alias("volume"),
+        "nation",
+    )
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )
+            ).cast("double")
+            / F.sum("volume").cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+    SELECT nation, o_year, round(CAST(sum(amount) AS DOUBLE), 2) AS sum_profit
+    FROM (
+      SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount)
+                  - 0.6 * p_retailprice * l_quantity AS DECIMAL(18,4))
+               AS amount
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN part     ON p_partkey = l_partkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%bolt%'
+    )
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (adapted: no ps_supplycost in this schema — cost is
+    proxied as 0.6·p_retailprice per unit, keeping the
+    profit-by-nation-and-year plan shape intact). part is filtered by the
+    non-anchored LIKE (evaluated in the scan), then part/supplier/nation
+    broadcast into lineitem; lineitem↔orders is the single big shuffle,
+    followed by one map-side-combinable agg on a (25×years)-value key."""
+    li, s, p, o, n = _t(
+        spark, sf_dir, "lineitem", "supplier", "part", "orders", "nation"
+    )
+    joined = (
+        li.join(
+            F.broadcast(p.filter(F.col("p_name").like("%bolt%"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(
+            F.broadcast(
+                s.join(n, F.col("s_nationkey") == F.col("n_nationkey")).select(
+                    "s_suppkey", F.col("n_name").alias("nation")
+                )
+            ),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    return (
+        joined.select(
+            "nation",
+            F.year("o_orderdate").alias("o_year"),
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+            )
+            .cast("decimal(18,4)")
+            .alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount").cast("double"), 2).alias("sum_profit"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH val AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+               AS part_value
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+    FROM val
+    WHERE part_value > (SELECT sum(part_value) * 0.001 FROM val)
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (adapted: stock value per part is derived from
+    lineitem revenue through region-local suppliers — no partsupp in
+    this schema). Grouped value view + uncorrelated scalar threshold
+    subquery: the one-row total broadcasts into a cross join, the val
+    subplan is computed once and reused for both sides. DECIMAL sums
+    make the >-threshold comparison exact on both engines."""
+    li, s, n, r = _t(spark, sf_dir, "lineitem", "supplier", "nation", "region")
+    euro_supp = (
+        s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            r.filter(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(
+            F.broadcast(euro_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .select(
+            "l_partkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,4)")
+            .alias("v"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("v").alias("part_value"))
+    )
+    threshold = val.agg((F.sum("part_value") * 0.001).alias("cut"))
+    return (
+        val.crossJoin(F.broadcast(threshold))
+        .filter(F.col("part_value") > F.col("cut"))
+        .select(
+            "l_partkey", F.col("part_value").cast("double").alias("part_value")
+        )
+    )
+
+
+@register(
+    "q16_supplier_part_count",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'SMALL'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_count(spark, sf_dir):
+    """TPC-H Q16 shape (adapted: the part↔supplier relation comes from
+    lineitem; the "complaints" exclusion subquery keeps its NOT IN form,
+    proxied by negative account balance). NOT IN over a non-nullable key
+    → left-anti broadcast join (s_suppkey is never null here, so anti-join
+    and NOT IN agree). The distinct-count shuffles once on the grouping
+    key with the suppkey attached; part broadcasts."""
+    li, p, s = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    keep = li.join(
+        F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+    )
+    pf = p.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "SMALL")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    return (
+        keep.join(F.broadcast(pf), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_part_promotion",
+    oracle="""
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'red%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(l_quantity) > 50
+      )
+    """,
+)
+def q20_part_promotion(spark, sf_dir):
+    """TPC-H Q20 shape (adapted: the availqty-vs-half-shipped predicate
+    becomes a shipped-quantity threshold per (supplier, part) — no
+    partsupp in this schema, but the nested IN → grouped HAVING →
+    semi-join decorrelation is identical). The inner grouped plan
+    shuffles lineitem once on (suppkey, partkey) after the part LIKE
+    and date filters cut it down; the outer side is a ~20-row
+    supplier×nation×region join probed via left-semi broadcast."""
+    s, n, r, li, p = _t(
+        spark, sf_dir, "supplier", "nation", "region", "lineitem", "part"
+    )
+    promo_supp = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .join(
+            F.broadcast(p.filter(F.col("p_name").like("red%"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            r.filter(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .join(
+            promo_supp, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_name", "n_name")
+    )
+
+
+@register(
     "agg_approx_percentiles",
     oracle="""
     SELECT o_orderstatus,
