@@ -224,8 +224,15 @@ def jaccard_pairs(
         .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
         .distinct()
     )
+    # verify joins: SHUFFLE_HASH hinted on the candidate side. Catalyst's
+    # size estimate for the persisted unit arrays can land under the
+    # broadcast threshold at test scale, and a driver-side broadcast of a
+    # CORPUS-sized relation is exactly wrong at 100 TB (and OOMs a small
+    # driver even at sf0.1). Candidates ≈ output volume — always the
+    # build side; units streams through executor-side partitions.
     verified = (
-        cands.join(
+        cands.hint("shuffle_hash")
+        .join(
             units.select(
                 F.col("id").alias("id1"),
                 F.col("toks").alias("t1"),
@@ -233,6 +240,7 @@ def jaccard_pairs(
             ),
             "id1",
         )
+        .hint("shuffle_hash")
         .join(
             units.select(
                 F.col("id").alias("id2"),
@@ -484,7 +492,13 @@ def minhash_lsh_pairs(
     x = banded.alias("x")
     y = banded.alias("y")
     candidates = (
-        x.join(
+        # MERGE hint: both sides of the bucket self-join are the full
+        # banded relation (n·bands rows — corpus-sized at 100 TB), so
+        # neither may broadcast (Catalyst's stats for the persisted
+        # relation can fall under the threshold at test scale) and a
+        # hash build of a whole side can't spill; sort-merge shuffles
+        # once on the bucket key and spills gracefully.
+        x.hint("merge").join(
             y,
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.bucket") == F.col("y.bucket"))
@@ -498,9 +512,13 @@ def minhash_lsh_pairs(
     # hashed units (identical set sizes modulo 64-bit collisions)
     sets = units
     return (
-        candidates.join(
+        # SHUFFLE_HASH on the candidate side: never broadcast the
+        # corpus-sized unit arrays (see jaccard_pairs verify note)
+        candidates.hint("shuffle_hash")
+        .join(
             sets.withColumnsRenamed({"id": "id1", "toks": "toks1"}), "id1"
         )
+        .hint("shuffle_hash")
         .join(sets.withColumnsRenamed({"id": "id2", "toks": "toks2"}), "id2")
         .withColumn(
             "jaccard",
@@ -605,7 +623,9 @@ def simhash_pairs(
     x = bands.alias("x")
     y = bands.alias("y")
     return (
-        x.join(
+        # MERGE hint: corpus-sized self-join, same rationale as the
+        # minhash bucket join — never broadcast, spillable sort-merge.
+        x.hint("merge").join(
             y,
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.bv") == F.col("y.bv"))

@@ -24,9 +24,16 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
+    # In local mode the driver JVM IS the executor; PySpark's 1g default
+    # heap starves N-thread shuffle-hash builds and broadcast assembly
+    # (a 32-task build wants ~64 MB acquirable per task). Honored only at
+    # JVM launch — a no-op on an already-running session, which is why
+    # the conf lives here and not in per-query code.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         # UTC/ntz everywhere: test parquet uses timestamp_ntz; keeps results
         # independent of the cluster timezone (reference pins serverTimeZone,
         # MySQLCDC2AWSMSK.scala:269 — same concern).

@@ -231,3 +231,24 @@ def test_brute_force_topk_prunes_before_ranking_exchange(spark):
     # plan trees print top-down: the exchange (above) must appear on an
     # EARLIER line than the MapInPandas it consumes
     assert ex[0] < mp[0], f"exchange below the prune stage:\n{plan}"
+
+
+def test_dedup_verify_joins_never_broadcast_corpus(spark):
+    """The jaccard/minhash verify joins bring corpus-sized unit arrays
+    back per candidate. Catalyst's stats estimate for the persisted
+    units can fall under the broadcast threshold at test scale — but a
+    driver-side broadcast of a corpus-sized relation is exactly wrong at
+    100 TB (and OOMs a small driver even at sf0.1). The SHUFFLE_HASH
+    hint must pin both verify joins: no BroadcastHashJoin anywhere in
+    either plan."""
+    from flink_cdc_msk_spark.operators import dedup as D
+    from flink_cdc_msk_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, SF_SMALL)["documents"]
+    for plan_df in (
+        D.jaccard_pairs(docs, 0.8, ngram=3),
+        D.minhash_lsh_pairs(docs, 0.5, ngram=3),
+        D.simhash_pairs(docs, max_hamming=3),
+    ):
+        plan = plan_df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
