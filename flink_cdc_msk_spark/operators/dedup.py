@@ -196,12 +196,14 @@ def jaccard_pairs(
     plen = (
         F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + F.lit(1)
     ).cast("int")
+    # posexplode: carry each prefix unit's 0-based POSITION in the
+    # sorted array — feeds the PPJoin position filter below.
     pref = us.select(
-        "id", "sz", F.explode(F.slice("toks", F.lit(1), plen)).alias("token")
-    )
+        "id", "sz", F.posexplode(F.slice("toks", F.lit(1), plen))
+    ).withColumnsRenamed({"pos": "pos", "col": "token"})
     posting = (
         pref.groupBy("token")
-        .agg(F.collect_list(F.struct("id", "sz")).alias("docs"))
+        .agg(F.collect_list(F.struct("id", "sz", "pos")).alias("docs"))
         .filter(F.size("docs") >= 2)
     )
     if max_token_freq is not None:
@@ -215,11 +217,29 @@ def jaccard_pairs(
     ex = posting.select("docs", F.explode("docs").alias("x")).select(
         "x", F.explode("docs").alias("y")
     )
+    # POSITION FILTER (PPJoin, Xiao et al. WWW'08 Lemma 2): J ≥ τ needs
+    # overlap I ≥ τ·(szx+szy)/(1+τ). For the pair's FIRST common prefix
+    # unit (sorted order), every common unit sits at or after its
+    # position in both arrays, so I ≤ 1 + min(szx−posx−1, szy−posy−1).
+    # Instances where the bound can't reach the requirement are dropped;
+    # the pair still surfaces through its first co-occurrence (where the
+    # bound is valid), so the distinct'd candidate set loses no true
+    # pair — EXACT, like the prefix and size-ratio prunes. The 1e-9
+    # slack keeps float ceil() from over-rounding an exact-integer
+    # requirement (prunes conservatively, never falsely).
+    required = F.ceil(
+        (F.col("x.sz") + F.col("y.sz")) * th / (F.lit(1.0) + th)
+        - F.lit(1e-9)
+    )
+    overlap_bound = F.lit(1) + F.least(
+        F.col("x.sz") - F.col("x.pos") - 1, F.col("y.sz") - F.col("y.pos") - 1
+    )
     cands = (
         ex.filter(
             (F.col("x.id") < F.col("y.id"))
             & (F.col("x.sz") * th <= F.col("y.sz"))
             & (F.col("y.sz") * th <= F.col("x.sz"))
+            & (overlap_bound >= required)
         )
         .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
         .distinct()

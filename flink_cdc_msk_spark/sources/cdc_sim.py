@@ -100,7 +100,13 @@ def synthesize_mysql_events(
         feed = inserts
     else:
         feed = inserts.unionAll(_synthesize_changes(o))
-    feed = feed.persist()
+    # Repartition to the session's parallelism BEFORE persisting: the
+    # feed inherits the source parquet's split count (3 partitions at
+    # sf0.1), which would serialize every downstream Jackson parse onto
+    # 3 cores. A real Kafka topic carries many partitions — this mirrors
+    # that, and the one-time shuffle happens at the same materialization
+    # that pays the to_json rendering.
+    feed = feed.repartition(spark.sparkContext.defaultParallelism).persist()
     _FEED_CACHE[key] = feed
     return feed
 
