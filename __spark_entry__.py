@@ -102,6 +102,8 @@ _NEW_R4 = frozenset(
         "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
         "q9_product_profit", "q11_important_stock",
         "q16_supplier_part_count", "q20_part_promotion",
+        "embedding_kmeans", "dedup_bloom_prefilter",
+        "sample_train_test_split", "streaming_static_enrich",
     }
 )
 

@@ -661,3 +661,84 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def _bloom_bit(text_col, slot: int, m_bits: int):
+    """Engine-portable bloom position: disjoint 8-hex (32-bit) slices of
+    the md5 digest, parsed as integers, mod m — three independent-enough
+    hash functions with no 64-bit multiply (which ANSI mode would
+    overflow) and an exact DuckDB twin (see bloom_bit_sql)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(c.cast("binary")), 1 + 8 * slot, 8), 16, 10
+        ).cast("long"),
+        F.lit(m_bits),
+    )
+
+
+def bloom_bit_sql(expr: str, slot: int, m_bits: int) -> str:
+    """DuckDB twin of :func:`_bloom_bit`."""
+    return (
+        f"CAST(concat('0x', substr(md5({expr}), {1 + 8 * slot}, 8)) "
+        f"AS BIGINT) % {m_bits}"
+    )
+
+
+def bloom_prefilter_dedup(
+    df: DataFrame,
+    ref_filter,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 17,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Exact cross-pool dedup with a distributed Bloom prefilter: which
+    candidate docs (``~ref_filter``) duplicate a reference-pool doc
+    (``ref_filter``)? → (doc_id, ref_id = smallest duplicate ref id).
+
+    The scale pattern: the reference pool renders to a BIT-SET TABLE
+    (distinct bloom positions of its texts — at most ``m_bits`` ints,
+    broadcastable at any corpus size) instead of shipping reference
+    texts. Candidates probe the broadcast bit-set map-side; only docs
+    whose ``num_hashes`` positions are all present (bloom "might
+    contain" — false positives possible, false negatives impossible)
+    reach the exact text equi-join. At 100 TB the prefilter turns a
+    corpus×corpus shuffle into (tiny bit-set broadcast) + (exact join
+    over the ~duplicate-sized survivor set).
+
+    Exactness: the bloom layer only prunes; the final text join makes
+    the output exact, so a DuckDB oracle reproduces it bit-for-bit
+    (and implicitly certifies the no-false-negative property)."""
+    ref = df.filter(ref_filter)
+    cand = df.filter(~ref_filter)
+    slots = list(range(num_hashes))
+    bits = (
+        ref.select(
+            F.explode(
+                F.array(*[_bloom_bit(text_col, j, m_bits) for j in slots])
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    probe = cand.select(
+        F.col(id_col).alias("_pid"),
+        F.posexplode(
+            F.array(*[_bloom_bit(text_col, j, m_bits) for j in slots])
+        ).alias("slot", "bit"),
+    )
+    might = (
+        probe.join(F.broadcast(bits), "bit")
+        .groupBy("_pid")
+        .agg(F.count_distinct("slot").alias("nhit"))
+        .filter(F.col("nhit") == num_hashes)
+        .select("_pid")
+    )
+    survivors = cand.join(
+        might, cand[id_col] == F.col("_pid"), "left_semi"
+    )
+    ref_min = ref.groupBy(text_col).agg(F.min(id_col).alias("ref_id"))
+    return (
+        survivors.join(ref_min, text_col)
+        .select(F.col(id_col).alias("doc_id"), "ref_id")
+    )

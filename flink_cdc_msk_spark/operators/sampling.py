@@ -56,3 +56,34 @@ def stratified_sample(
     for value, p in sorted(fractions.items()):
         pct = F.when(F.col(stratum_col) == value, F.lit(p)).otherwise(pct)
     return df.filter(hash_bucket(id_col) < pct)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: int = 7,
+) -> DataFrame:
+    """Add a deterministic ``split`` column ('train'/'val'/'test') from
+    the salted id bucket. The salt decorrelates the split from any other
+    hash_bucket-based sampling decision on the same ids; same formula,
+    map-side, reproducible on any engine/partitioning/retry."""
+    b = hash_bucket(F.col(id_col) + F.lit(salt))
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+def train_val_test_split_sql(expr: str, train_pct: int = 80,
+                             val_pct: int = 10, salt: int = 7) -> str:
+    """DuckDB oracle twin of :func:`train_val_test_split`'s split expr."""
+    b = hash_bucket_sql(f"({expr} + {salt})")
+    return (
+        f"CASE WHEN {b} < {train_pct} THEN 'train' "
+        f"WHEN {b} < {train_pct + val_pct} THEN 'val' "
+        f"ELSE 'test' END"
+    )

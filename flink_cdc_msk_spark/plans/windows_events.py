@@ -1067,3 +1067,70 @@ def events_sliding_distinct_users(spark, sf_dir):
             "n_events",
         )
     )
+
+
+@register(
+    "streaming_static_enrich",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS window_start,
+           c_mktsegment,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def streaming_static_enrich(spark, sf_dir):
+    """Stream-static dimension enrichment — the standard CDC/event
+    pattern of joining a stream against a slowly-changing dimension
+    table: events file-stream ⋈ broadcast customer dim (re-read per
+    micro-batch, so dimension updates between batches are picked up),
+    then a watermarked tumbling aggregation per market segment. The
+    static side broadcasts (dimensions are small next to the stream);
+    the only stateful operator is the windowed agg. Sentinel event 4h
+    past the corpus max forces every real window final under the 2h
+    watermark (same finality device as streaming_tumbling_counts);
+    the sentinel maps to customer 0, and its own window never emits."""
+    from datetime import timedelta
+
+    from ..streaming.materialize import session_tmpdir, stream_to_parquet
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tabs = load_tables(spark, sf_dir)
+    ev = tabs["events"].select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id", "value"
+    )
+    cust = tabs["customer"].select("c_custkey", "c_mktsegment")
+    d = session_tmpdir("stream_enrich_")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(max_ts + timedelta(hours=4), 0, 0.0)],
+        "ts timestamp, user_id bigint, value double",
+    )
+    ev.unionByName(sentinel).repartition(4).write.parquet(f"{d}/src")
+    stream = spark.readStream.schema(
+        "ts timestamp, user_id bigint, value double"
+    ).parquet(f"{d}/src")
+    enriched = stream.withWatermark("ts", "2 hours").join(
+        F.broadcast(cust), F.col("user_id") == F.col("c_custkey")
+    )
+    agg = (
+        enriched.groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "c_mktsegment",
+            "n",
+            "total_value",
+        )
+    )
+    scan = stream_to_parquet(agg, d)
+    return scan.select(
+        F.date_format("window_start", TS_FMT).alias("window_start"),
+        "c_mktsegment",
+        "n",
+        "total_value",
+    )

@@ -619,3 +619,55 @@ def test_similarity_topk_edges(spark):
     assert len(out) == 3  # corpus minus self, k capped by data
     best = min(out, key=lambda r: r.rank)
     assert best.vec_id == 1 and abs(best.cos - 1.0) < 1e-6
+
+
+def test_kmeans_assign_partition_invariant(spark):
+    """Lloyd rounds must produce identical assignments on any input
+    partitioning — the DECIMAL distance/centroid accumulation claim.
+    Also pins the deterministic init: cluster ids are the k smallest
+    vec_ids, and every vector lands in exactly one cluster."""
+    from flink_cdc_msk_spark.operators.clustering import kmeans_assign
+    from flink_cdc_msk_spark.sources.tables import load_tables
+
+    from tests.conftest import SF_SMALL
+
+    emb = load_tables(spark, SF_SMALL)["embeddings"]
+    a1 = sorted(map(tuple, kmeans_assign(emb, k=4, iters=2).collect()))
+    a2 = sorted(
+        map(tuple, kmeans_assign(emb.repartition(13), k=4, iters=2).collect())
+    )
+    assert a1 == a2
+    assert len(a1) == emb.count()
+    assert {cl for _, cl in a1} <= {0, 1, 2, 3}
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """The bloom layer may pass false positives (killed by the exact
+    join) but must NEVER drop a true duplicate: output equals the plain
+    cross-pool exact join on a corpus where every 3rd candidate text
+    duplicates a reference text."""
+    import flink_cdc_msk_spark.operators.dedup as D
+    from flink_cdc_msk_spark.operators.sampling import hash_bucket
+
+    rows = [(i, f"unique text {i}" if i % 3 else f"shared text {i % 7}")
+            for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ref_filter = hash_bucket("doc_id") < 20
+    got = sorted(
+        map(tuple, D.bloom_prefilter_dedup(docs, ref_filter).collect())
+    )
+    from pyspark.sql import functions as F
+
+    ref = docs.filter(ref_filter).groupBy("text").agg(
+        F.min("doc_id").alias("ref_id")
+    )
+    want = sorted(
+        map(
+            tuple,
+            docs.filter(~ref_filter)
+            .join(ref, "text")
+            .select("doc_id", "ref_id")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
