@@ -97,28 +97,29 @@ _CANARIES = ("q1_pricing_summary", "cdc_route_keys", "dedup_token_jaccard")
 # clear the round-3 verification backlog.  They sort behind that backlog
 # (but ahead of already-verified queries) so a new registration never
 # displaces a query that has waited longer for its first driver row.
-_NEW_R4 = frozenset(
-    {
-        "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
-        "q9_product_profit", "q11_important_stock",
-        "q16_supplier_part_count", "q20_part_promotion",
-        "embedding_kmeans", "dedup_bloom_prefilter",
-        "sample_train_test_split", "streaming_static_enrich",
-    }
+# ORDER matters: front slots left over after the backlog go to the
+# earlier names here — new OPERATOR categories (clustering, bloom dedup,
+# split, stream-static join) outrank additional TPC-H shapes.
+_NEW_R4 = (
+    "embedding_kmeans", "dedup_bloom_prefilter",
+    "sample_train_test_split", "streaming_static_enrich",
+    "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q11_important_stock",
+    "q16_supplier_part_count", "q20_part_promotion",
 )
 
 
 def _rotated(mapping: dict) -> dict:
     registry.ensure_loaded()
 
-    def tier(name: str) -> int:
+    def tier(name: str) -> tuple:
         if name in _CANARIES:
-            return 0
+            return (0, 0)
         if name in _DRIVER_VERIFIED:
-            return 3
+            return (3, 0)
         if name in _NEW_R4:
-            return 2
-        return 1
+            return (2, _NEW_R4.index(name))
+        return (1, 0)
 
     items = sorted(
         enumerate(mapping.items()), key=lambda t: (tier(t[1][0]), t[0])
