@@ -671,3 +671,47 @@ def test_bloom_prefilter_no_false_negatives(spark):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_jaccard_prunes_exact_hypothesis(spark):
+    """Property form of the brute-force comparison: Hypothesis-generated
+    corpora (length-1 docs, identical docs, adversarial overlap shapes)
+    must agree with the O(n²) reference at thresholds that exercise the
+    integral-τ·sz ceil edge and the position-filter bound. Guards all
+    three prunes (prefix, size-ratio, PPJoin position) at once."""
+    import itertools
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    doc = st.lists(
+        st.integers(min_value=0, max_value=7), min_size=1, max_size=8
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        docs=st.lists(doc, min_size=2, max_size=10),
+        threshold=st.sampled_from([0.5, 0.6666666666666666, 0.75, 1.0]),
+    )
+    def run(docs, threshold):
+        rows = [(i, " ".join(f"w{w}" for w in d)) for i, d in enumerate(docs)]
+        corpus = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.id1, r.id2)
+            for r in D.jaccard_pairs(
+                corpus, threshold=threshold, ngram=1, hashed=True
+            ).collect()
+        }
+        sets = {i: set(t.split()) for i, t in rows}
+        want = set()
+        for a, b in itertools.combinations(sorted(sets), 2):
+            j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            if round(j, 6) >= threshold:
+                want.add((a, b))
+        assert got == want
+
+    run()
