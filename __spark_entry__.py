@@ -103,6 +103,7 @@ _CANARIES = ("q1_pricing_summary", "cdc_route_keys", "dedup_token_jaccard")
 _NEW_R4 = (
     "embedding_kmeans", "dedup_bloom_prefilter",
     "sample_train_test_split", "streaming_static_enrich",
+    "source_debezium_jsonl_scan",
     "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
     "q9_product_profit", "q11_important_stock",
     "q16_supplier_part_count", "q20_part_promotion",

@@ -625,3 +625,55 @@ def cdc_schema_drift_rescue(spark, sf_dir):
             "rescued_json"
         ),
     )
+
+
+@register(
+    "source_debezium_jsonl_scan",
+    oracle="""
+    WITH changes AS (
+        SELECT 'c' AS op, 1700000000000 + o_orderkey AS ts_ms FROM orders
+        UNION ALL
+        SELECT 'u', 1700001000000 + o_orderkey
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT 'd', 1700002000000 + o_orderkey
+        FROM orders WHERE o_orderkey % 20 = 0
+    )
+    SELECT op, 'test_db' AS db, 'orders' AS tbl,
+           count(*) AS n, max(ts_ms) AS max_ts
+    FROM changes GROUP BY op
+    """,
+)
+def source_debezium_jsonl_scan(spark, sf_dir):
+    """Custom Python DataSource end-to-end (Spark 4 DataSource API): the
+    synthesized envelope feed is dumped as a multi-file JSONL archive
+    (what a Kafka topic backfill looks like on disk), mounted through
+    ``format("debezium_jsonl")`` — one InputPartition per file, parsed
+    executor-side — and aggregated per op. The oracle reproduces the
+    deterministic feed arithmetic straight from orders, so a green row
+    checks the whole loop: envelope render → JSONL dump → custom-source
+    scan → parse → aggregate. See sources/debezium_source.py for the
+    scale/parallelism contract and why the HOT path stays on from_json."""
+    from ..sources.cdc_sim import synthesize_mysql_events
+    from ..sources.debezium_source import register as register_source
+    from ..streaming.materialize import session_tmpdir
+
+    register_source(spark)
+    d = session_tmpdir("dbz_jsonl_")
+    feed = synthesize_mysql_events(spark, sf_dir)
+    feed.repartition(8).write.mode("overwrite").text(f"{d}/dump")
+    env = (
+        spark.read.format("debezium_jsonl")
+        .option("path", f"{d}/dump")
+        .load()
+        # the text sink writes .txt part files plus _SUCCESS; the source
+        # filters extensions itself, so no glob needed here
+    )
+    return (
+        env.filter(F.col("op") != "__malformed__")
+        .groupBy("op", "db", F.col("table").alias("tbl"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("ts_ms").alias("max_ts"),
+        )
+    )

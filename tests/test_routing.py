@@ -561,3 +561,28 @@ def test_gtid_set_parse_property():
                 assert got_in == want_in, (u, p, raw, merged)
 
     check()
+
+
+def test_debezium_jsonl_source_quarantines_malformed(spark, tmp_path):
+    """The custom Python DataSource must surface unparseable lines as
+    op='__malformed__' rows (route.py's quarantine contract), never
+    drop or crash on them — and must parallelize one partition per
+    file."""
+    from flink_cdc_msk_spark.sources.debezium_source import register
+
+    register(spark)
+    good = '{"op":"c","ts_ms":5,"source":{"db":"d","table":"t"},"before":null,"after":{"k":1}}'
+    (tmp_path / "a.jsonl").write_text(good + "\n{not json}\n")
+    (tmp_path / "b.jsonl").write_text(good + "\n")
+    df = (
+        spark.read.format("debezium_jsonl")
+        .option("path", str(tmp_path))
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r.op == "__malformed__"]
+    assert len(bad) == 1 and bad[0].after_json == "{not json}"
+    ok = [r for r in rows if r.op == "c"]
+    assert all(r.db == "d" and r.table == "t" and r.ts_ms == 5 for r in ok)
+    assert df.rdd.getNumPartitions() == 2
