@@ -192,6 +192,27 @@ def near_dup_pairs_catalyst(
     )
 
 
+def portable_plane_weights(
+    seed: int, t: int, p: int, n_dims: int
+) -> list[float]:
+    """±1 hyperplane weights from md5 parity of ``"{seed}_{t}_{p}_{i}"``
+    — the engine-portable twin of the xxhash64 parity scheme: a DuckDB
+    oracle re-derives the identical weights with its own ``md5()``
+    (see the `embedding_near_dup_lsh` oracle). Computed driver-side
+    (weights are plan constants, ~n_tables·n_planes·n_dims hashes) and
+    inlined as array literals, so the per-row work is ONLY the fold."""
+    import hashlib
+
+    return [
+        1.0
+        if int(
+            hashlib.md5(f"{seed}_{t}_{p}_{i}".encode()).hexdigest()[:8], 16
+        ) % 2 == 0
+        else -1.0
+        for i in range(n_dims)
+    ]
+
+
 def random_hyperplane_buckets(
     df: DataFrame,
     n_planes: int = 8,
@@ -199,6 +220,7 @@ def random_hyperplane_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    portable_dims: int | None = None,
 ) -> DataFrame:
     """Signed-random-projection LSH (cosine LSH) with OR-amplification:
     ``n_tables`` independent hash tables of ``n_planes`` sign bits each —
@@ -209,7 +231,10 @@ def random_hyperplane_buckets(
 
     Hyperplanes are derived deterministically from (seed, table, plane,
     dim) via a hash → no driver-side randomness, identical across
-    runs/executors.
+    runs/executors. With ``portable_dims`` set (the known vector width),
+    weights come from :func:`portable_plane_weights` — md5-parity
+    literals an external SQL engine can re-derive, and the projection
+    is a plain literal-array dot (no per-row hashing at all).
     """
     dims = F.size(F.col(vec_col))
 
@@ -228,15 +253,23 @@ def random_hyperplane_buckets(
     for t in range(n_tables):
         planes = []
         for p in range(n_planes):
-            proj = F.aggregate(
-                F.zip_with(
+            if portable_dims is not None:
+                proj = dot(
                     as_double(vec_col),
-                    F.sequence(F.lit(0), dims - 1),
-                    signed(t, p),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
+                    F.lit(
+                        portable_plane_weights(seed, t, p, portable_dims)
+                    ),
+                )
+            else:
+                proj = F.aggregate(
+                    F.zip_with(
+                        as_double(vec_col),
+                        F.sequence(F.lit(0), dims - 1),
+                        signed(t, p),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
             planes.append(
                 F.when(
                     proj > 0, F.shiftleft(F.lit(1).cast("long"), p)
@@ -263,18 +296,26 @@ def lsh_near_dup_pairs(
     n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    portable_dims: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs restricted to LSH-candidate pairs — the scale path:
     candidate generation shuffles on (table, bucket) keys only (linear in
     corpus × n_tables), then candidates are verified with the exact
-    cosine. No full-matrix broadcast, no O(n²) scan."""
+    cosine. No full-matrix broadcast, no O(n²) scan. ``portable_dims``
+    switches to md5-parity hyperplanes so the whole pipeline (buckets →
+    candidates → cosine verify, all sequential folds) is reproducible in
+    an external SQL engine — the registered query runs this form under a
+    full DuckDB oracle."""
     buckets = random_hyperplane_buckets(
-        corpus, n_planes, n_tables, id_col, vec_col
+        corpus, n_planes, n_tables, id_col, vec_col,
+        portable_dims=portable_dims,
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
     candidates = (
-        a.join(
+        # MERGE hint: corpus-sized self-join (same rationale as the
+        # simhash/minhash band joins — never broadcast, spillable SMJ)
+        a.hint("merge").join(
             b,
             (F.col("a.table") == F.col("b.table"))
             & (F.col("a.bucket") == F.col("b.bucket"))
@@ -287,9 +328,11 @@ def lsh_near_dup_pairs(
         F.col(id_col).alias("id"), as_double(vec_col).alias("v")
     )
     return (
-        candidates.join(
-            vecs.withColumnsRenamed({"id": "id1", "v": "v1"}), "id1"
-        )
+        # SHUFFLE_HASH built on the candidate side — never broadcast the
+        # corpus-sized vector relation (see dedup.py verify-join note)
+        candidates.hint("shuffle_hash")
+        .join(vecs.withColumnsRenamed({"id": "id1", "v": "v1"}), "id1")
+        .hint("shuffle_hash")
         .join(vecs.withColumnsRenamed({"id": "id2", "v": "v2"}), "id2")
         .withColumn("cos", F.round(cosine(F.col("v1"), F.col("v2")), 6))
         .filter(F.col("cos") >= threshold)

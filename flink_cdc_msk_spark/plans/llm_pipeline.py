@@ -422,12 +422,71 @@ def embedding_near_dup(spark, sf_dir):
     return S.near_dup_pairs(_emb(spark, sf_dir), threshold=0.3)
 
 
-@register("embedding_near_dup_lsh")  # approximate → rows-only check
+@register(
+    "embedding_near_dup_lsh",
+    oracle="""
+    WITH w AS (
+      SELECT tt.t, pp.p,
+             list(CASE WHEN CAST(concat('0x',
+                    substr(md5('42_' || tt.t || '_' || pp.p || '_' || d.i),
+                           1, 8)) AS BIGINT) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END ORDER BY d.i) AS wv
+      FROM (SELECT unnest(generate_series(0, 7)) AS t) tt,
+           (SELECT unnest(generate_series(0, 3)) AS p) pp,
+           (SELECT unnest(generate_series(0, 63)) AS i) d
+      GROUP BY tt.t, pp.p
+    ),
+    vecs AS (
+      SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    proj AS (
+      SELECT id, w.t, w.p,
+             list_reduce(list_transform(generate_series(1, 64),
+                                        i -> v[i] * wv[i]),
+                         (a, b) -> a + b) AS pr
+      FROM vecs, w
+    ),
+    buckets AS (
+      SELECT id, t,
+             sum(CASE WHEN pr > 0 THEN 1 << p ELSE 0 END) AS bucket
+      FROM proj GROUP BY id, t
+    ),
+    cands AS (
+      SELECT DISTINCT a.id AS id1, b.id AS id2
+      FROM buckets a
+      JOIN buckets b
+        ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    scored AS (
+      SELECT id1, id2,
+             round(
+               list_reduce(list_transform(generate_series(1, 64),
+                                          i -> x.v[i] * y.v[i]),
+                           (a, b) -> a + b)
+               / (sqrt(list_reduce(list_transform(generate_series(1, 64),
+                                                  i -> x.v[i] * x.v[i]),
+                                   (a, b) -> a + b))
+                  * sqrt(list_reduce(list_transform(generate_series(1, 64),
+                                                    i -> y.v[i] * y.v[i]),
+                                     (a, b) -> a + b))), 6) AS cos
+      FROM cands JOIN vecs x ON x.id = id1 JOIN vecs y ON y.id = id2
+    )
+    SELECT id1, id2, cos FROM scored WHERE cos >= 0.3
+    """,
+)
 def embedding_near_dup_lsh(spark, sf_dir):
     """Random-hyperplane LSH near-dup pairs, 8 OR-amplified tables of 4
-    planes (recall measured in pytest against the exact query)."""
+    planes — run in the PORTABLE form: md5-parity hyperplane literals
+    and sequential-fold projections/cosines, which DuckDB re-derives
+    from first principles (weights CTE → sign buckets → bucket join →
+    fold-cosine verify). A green row hash-checks the ENTIRE approximate
+    pipeline — bucketing included — not just the verified survivors.
+    The recall gate twin still quantifies quality vs the exact query."""
     return S.lsh_near_dup_pairs(
-        _emb(spark, sf_dir), threshold=0.3, n_planes=4, n_tables=8
+        _emb(spark, sf_dir), threshold=0.3, n_planes=4, n_tables=8,
+        portable_dims=64,
     )
 
 
