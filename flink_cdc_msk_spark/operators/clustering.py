@@ -37,21 +37,46 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def kmeans_assign(
-    df: DataFrame,
-    k: int = 4,
-    iters: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """→ (id, cluster) after ``iters`` Lloyd rounds from deterministic
-    init (centroids = the ``k`` smallest-id vectors)."""
-    elems = df.select(
+def _elements(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias(
             "pos", "val"
         ),
     )
+
+
+def _nearest(elems: DataFrame, cent: DataFrame, keep: int = 1) -> DataFrame:
+    """(id, cl[, dist-rank rn]) — DECIMAL-exact squared distance from
+    every element-form vector to every centroid, argmin (or top-``keep``)
+    with the deterministic (dist, cl) tie-break."""
+    dist = (
+        elems.join(F.broadcast(cent), "pos")
+        .groupBy("id", "cl")
+        .agg(
+            F.sum(
+                (
+                    (F.col("val") - F.col("cval"))
+                    * (F.col("val") - F.col("cval"))
+                ).cast("decimal(28,14)")
+            ).alias("dist")
+        )
+    )
+    rn = F.row_number().over(Window.partitionBy("id").orderBy("dist", "cl"))
+    return (
+        dist.withColumn("rn", rn)
+        .filter(F.col("rn") <= keep)
+        .select("id", "cl", "rn")
+    )
+
+
+def lloyd_rounds(
+    elems: DataFrame, k: int, iters: int
+) -> tuple[DataFrame, DataFrame]:
+    """``iters`` deterministic Lloyd rounds over element-form vectors →
+    (assignments (id, cl), centroids (cl, pos, cval)). Init: the k
+    smallest ids. The returned centroids are the ones the returned
+    assignment was computed against (i.e. post-update for iters>1)."""
     cent = elems.filter(F.col("id") < k).select(
         F.col("id").cast("int").alias("cl"),
         "pos",
@@ -59,25 +84,7 @@ def kmeans_assign(
     )
     assign = None
     for it in range(iters):
-        dist = (
-            elems.join(F.broadcast(cent), "pos")
-            .groupBy("id", "cl")
-            .agg(
-                F.sum(
-                    (
-                        (F.col("val") - F.col("cval"))
-                        * (F.col("val") - F.col("cval"))
-                    ).cast("decimal(28,14)")
-                ).alias("dist")
-            )
-        )
-        rn = F.row_number().over(
-            Window.partitionBy("id").orderBy("dist", "cl")
-        )
-        assign = (
-            dist.withColumn("rn", rn).filter(F.col("rn") == 1)
-            .select("id", "cl")
-        )
+        assign = _nearest(elems, cent).select("id", "cl")
         if it < iters - 1:
             cent = (
                 elems.join(assign, "id")
@@ -91,4 +98,78 @@ def kmeans_assign(
                     ).alias("cval")
                 )
             )
+    return assign, cent
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (id, cluster) after ``iters`` Lloyd rounds from deterministic
+    init (centroids = the ``k`` smallest-id vectors)."""
+    assign, _ = lloyd_rounds(_elements(df, id_col, vec_col), k, iters)
     return assign
+
+
+def ivf_topk_exact_repro(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    kmeans_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN in the fully-reproducible form: DECIMAL-exact Lloyd
+    centroids partition the corpus into inverted lists; each query
+    probes its ``nprobe`` nearest centroids (same exact distance +
+    tie-break) and ranks ONLY those cells' vectors by fold-cosine
+    (rounded 6dp, vec_id tie-break). Every stage is bit-identical
+    across engines and partitionings, so the approximate result —
+    including which true neighbors the probe MISSES — carries a DuckDB
+    oracle. → (query_id, vec_id, cos, rank).
+
+    Scale shape: centroid set broadcasts (k·d doubles); the corpus
+    shuffles once on its assigned cell; per-query work is the probed
+    cells only — n·nprobe/n_centroids of the corpus, the IVF contract.
+    ``operators/similarity.py::ivf_topk`` remains the throughput form
+    (float centroids, BLAS-friendly); this form is the correctness
+    anchor the recall gate measures both against."""
+    from .similarity import as_double, cosine
+
+    c_elems = _elements(corpus, id_col, vec_col)
+    assign, cent = lloyd_rounds(c_elems, n_centroids, kmeans_iters)
+    q_elems = _elements(queries, id_col, vec_col)
+    probes = _nearest(q_elems, cent, keep=nprobe).select(
+        F.col("id").alias("query_id"), "cl"
+    )
+    corpus_cells = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double(vec_col).alias("cv")
+    ).join(
+        assign.withColumnsRenamed({"id": "vec_id"}), "vec_id"
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    scored = (
+        probes.join(corpus_cells, "cl")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        # a vector assigned to two probed cells can't duplicate (cells
+        # partition the corpus), so no distinct needed
+        .join(F.broadcast(qvec), "query_id")
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("vec_id")
+        )
+    )
+    return (
+        scored.withColumn("rank", rank)
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )

@@ -490,12 +490,103 @@ def embedding_near_dup_lsh(spark, sf_dir):
     )
 
 
-@register("embedding_ann_ivf")  # approximate → rows-only check
+@register(
+    "embedding_ann_ivf",
+    oracle="""
+    WITH elems AS (
+      SELECT vec_id AS id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings,
+           unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    vecs AS (
+      SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cent0 AS (
+      SELECT CAST(id AS INTEGER) AS cl, pos, val AS cval
+      FROM elems WHERE id < 16
+    ),
+    dist1 AS (
+      SELECT e.id, c.cl,
+             sum(CAST((e.val - c.cval) * (e.val - c.cval)
+                 AS DECIMAL(28,14))) AS dist
+      FROM elems e JOIN cent0 c USING (pos)
+      GROUP BY e.id, c.cl
+    ),
+    asg1 AS (
+      SELECT id, cl FROM (
+        SELECT id, cl,
+               row_number() OVER (PARTITION BY id ORDER BY dist, cl) AS rn
+        FROM dist1
+      ) WHERE rn = 1
+    ),
+    cent1 AS (
+      SELECT a.cl, e.pos,
+             CAST(sum(CAST(e.val AS DECIMAL(24,12))) AS DOUBLE) / count(*)
+               AS cval
+      FROM elems e JOIN asg1 a USING (id)
+      GROUP BY a.cl, e.pos
+    ),
+    dist2 AS (
+      SELECT e.id, c.cl,
+             sum(CAST((e.val - c.cval) * (e.val - c.cval)
+                 AS DECIMAL(28,14))) AS dist
+      FROM elems e JOIN cent1 c USING (pos)
+      GROUP BY e.id, c.cl
+    ),
+    cells AS (
+      SELECT id AS vec_id, cl FROM (
+        SELECT id, cl,
+               row_number() OVER (PARTITION BY id ORDER BY dist, cl) AS rn
+        FROM dist2
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT id AS query_id, cl FROM (
+        SELECT id, cl,
+               row_number() OVER (PARTITION BY id ORDER BY dist, cl) AS rn
+        FROM dist2 WHERE id < 10
+      ) WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id,
+             round(
+               list_reduce(list_transform(generate_series(1, 64),
+                                          i -> x.v[i] * y.v[i]),
+                           (a, b) -> a + b)
+               / (sqrt(list_reduce(list_transform(generate_series(1, 64),
+                                                  i -> x.v[i] * x.v[i]),
+                                   (a, b) -> a + b))
+                  * sqrt(list_reduce(list_transform(generate_series(1, 64),
+                                                    i -> y.v[i] * y.v[i]),
+                                     (a, b) -> a + b))), 6) AS cos
+      FROM probes p
+      JOIN cells c USING (cl)
+      JOIN vecs x ON x.id = p.query_id
+      JOIN vecs y ON y.id = c.vec_id
+      WHERE c.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, cos, rank FROM (
+      SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
 def embedding_ann_ivf(spark, sf_dir):
-    """IVF-style ANN top-k (nprobe=4 of 16 clusters; recall vs exact
-    measured in pytest)."""
+    """IVF-style ANN top-k (nprobe=4 of 16 clusters), run in the
+    fully-reproducible form (operators/clustering.py): DECIMAL-exact
+    Lloyd centroids, exact probe selection, fold-cosine in-cell ranking
+    with deterministic tie-breaks — so the APPROXIMATE result, missed
+    neighbors and all, is hash-checked against a DuckDB oracle that
+    re-derives the whole index from first principles. Recall vs the
+    exact query stays measured by `embedding_ann_recall_gate`."""
+    from ..operators.clustering import ivf_topk_exact_repro
+
     emb = _emb(spark, sf_dir)
-    return S.ivf_topk(
+    return ivf_topk_exact_repro(
         emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, nprobe=4
     )
 
@@ -1820,15 +1911,18 @@ def embedding_ann_recall_gate(spark, sf_dir):
     engine-specific, so the oracle checks (a) the exact top-k pair count
     and (b) an IN-QUERY recall assertion — IVF(nprobe=4/16) must recover
     ≥ 80% of the exact cosine top-5 pairs, or the emitted constant flips
-    and the hash fails. The rows-only ``embedding_ann_ivf`` keeps the
-    pair-level output; this gate makes its quality a driver-checked
-    fact rather than a local test claim."""
+    and the hash fails. ``embedding_ann_ivf`` (now fully oracle-checked)
+    keeps the pair-level output; this gate makes its quality a driver-checked
+    fact rather than a local test claim. Measures the SAME reproducible
+    IVF form the registered ``embedding_ann_ivf`` ships."""
+    from ..operators.clustering import ivf_topk_exact_repro
+
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
     exact = S.brute_force_topk(emb, queries, k=5).select(
         "query_id", "vec_id"
     )
-    approx = S.ivf_topk(
+    approx = ivf_topk_exact_repro(
         emb, queries, k=5, n_centroids=16, nprobe=4
     ).select("query_id", "vec_id")
     hit = exact.join(approx, ["query_id", "vec_id"], "left_semi")
