@@ -104,6 +104,7 @@ _NEW_R4 = (
     "embedding_kmeans", "dedup_bloom_prefilter",
     "sample_train_test_split", "streaming_static_enrich",
     "source_debezium_jsonl_scan",
+    "agg_count_min_heavy_hitters", "sample_weighted_topn",
     "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
     "q9_product_profit", "q11_important_stock",
     "q16_supplier_part_count", "q20_part_promotion",

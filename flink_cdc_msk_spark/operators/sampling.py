@@ -87,3 +87,52 @@ def train_val_test_split_sql(expr: str, train_pct: int = 80,
         f"WHEN {b} < {train_pct + val_pct} THEN 'val' "
         f"ELSE 'test' END"
     )
+
+
+def weighted_sample_keys(
+    id_col: str = "doc_id", weight_col: str = "n_chars"
+) -> Column:
+    """Efraimidis–Spirakis weighted-sampling key, deterministic form:
+    ``ln(u)/w`` with u ∈ (0,1) derived from an md5 slice of the id
+    (engine-portable, no RNG). Taking the top-n keys DESC draws a
+    without-replacement sample where selection probability scales with
+    the weight — the standard one-pass distributed weighted sampler.
+    Rounded to 12 dp so a 1-ulp libm ln() difference between engines
+    can never flip a ranking."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    return F.round(F.log(u) / F.col(weight_col), 12)
+
+
+def weighted_sample_keys_sql(
+    id_expr: str = "doc_id", weight_expr: str = "n_chars"
+) -> str:
+    """DuckDB oracle twin of :func:`weighted_sample_keys`."""
+    h = (
+        f"CAST(concat('0x', substr(md5(CAST({id_expr} AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT)"
+    )
+    return f"round(ln(({h} + 0.5) / 4294967296.0) / {weight_expr}, 12)"
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """Deterministic weight-proportional sample of ``n`` rows.
+    ``orderBy().limit()`` compiles to TakeOrdered — per-partition top-n
+    then a single n-row merge, never a global sort materialization."""
+    return (
+        df.withColumn("_wkey", weighted_sample_keys(id_col, weight_col))
+        .orderBy(F.col("_wkey").desc(), F.col(id_col))
+        .limit(n)
+        .drop("_wkey")
+    )

@@ -133,3 +133,97 @@ def sample_train_test_split(spark, sf_dir):
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@register(
+    "agg_count_min_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) AS token
+      FROM documents
+    ),
+    exact AS (SELECT token, count(*) AS exact_n FROM toks GROUP BY token),
+    probes AS (
+      SELECT token, exact_n FROM exact
+      ORDER BY exact_n DESC, token LIMIT 20
+    ),
+    rr AS (SELECT unnest(generate_series(0, 2)) AS r),
+    sk AS (
+      SELECT rr.r AS row,
+             CAST(concat('0x', substr(md5(token), 1 + 8 * rr.r, 8))
+                  AS BIGINT) % 1024 AS bucket,
+             count(*) AS c
+      FROM toks CROSS JOIN rr
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT p.token, min(sk.c) AS est
+      FROM probes p
+      CROSS JOIN rr
+      JOIN sk ON sk.row = rr.r
+             AND sk.bucket = CAST(concat('0x',
+                   substr(md5(p.token), 1 + 8 * rr.r, 8)) AS BIGINT) % 1024
+      GROUP BY p.token
+    )
+    SELECT p.token, p.exact_n, e.est,
+           CAST(e.est >= p.exact_n AS INTEGER) AS lower_bound_ok
+    FROM probes p JOIN est e USING (token)
+    """,
+)
+def agg_count_min_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch heavy-hitter estimation (k=3 rows × m=1024
+    buckets): the sketch is a bounded (row, bucket, c) relation — fixed
+    k·m size at ANY corpus scale — and estimates are a broadcast probe
+    + min over rows. Portable md5-slice hashes let DuckDB re-derive the
+    sketch bit-for-bit, so the CMS one-sided guarantee (est ≥ exact,
+    asserted per row in `lower_bound_ok`) is a hash-checked fact, not a
+    claim. Probes = the exact top-20 tokens (deterministic order)."""
+    from ..functions.text import tokens
+    from ..operators.sketch import cms_estimate, cms_sketch
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(F.explode(tokens("text")).alias("token"))
+    sketch = cms_sketch(toks, k=3, m=1024)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    probes = exact.orderBy(
+        F.col("exact_n").desc(), F.col("token")
+    ).limit(20)
+    est = cms_estimate(sketch, probes.select("token"), k=3, m=1024)
+    return probes.join(est, "token").select(
+        "token",
+        "exact_n",
+        "est",
+        (F.col("est") >= F.col("exact_n")).cast("int").alias(
+            "lower_bound_ok"
+        ),
+    )
+
+
+_WKEY_SQL = (
+    "round(ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),"
+    " 1, 8)) AS BIGINT) + 0.5) / 4294967296.0) / n_chars, 12)"
+)
+
+
+@register(
+    "sample_weighted_topn",
+    oracle=f"""
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               ORDER BY {_WKEY_SQL} DESC, doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 100
+    """,
+)
+def sample_weighted_topn(spark, sf_dir):
+    """Deterministic weight-proportional sampling (Efraimidis–Spirakis
+    one-pass keys, weight = n_chars): top-100 by the portable
+    ``round(ln(u)/w, 12)`` key. Compiles to TakeOrdered — per-partition
+    top-n then a 100-row merge, no global sort, no RNG; the DuckDB
+    oracle re-derives the identical sample."""
+    from ..operators.sampling import weighted_sample
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return weighted_sample(docs, 100).select("doc_id", "source", "n_chars")
