@@ -715,3 +715,37 @@ def test_jaccard_prunes_exact_hypothesis(spark):
         assert got == want
 
     run()
+
+
+def test_cms_never_underestimates_under_forced_collisions(spark):
+    """CMS one-sided error: with m small enough to force heavy bucket
+    collisions, estimates must still never fall below the true count
+    (min over rows can only overcount), and at least one probe must
+    actually overcount — otherwise the collision regime wasn't
+    exercised and the test proves nothing."""
+    from flink_cdc_msk_spark.operators.sketch import cms_estimate, cms_sketch
+    from pyspark.sql import functions as F
+
+    rows = [(f"tok{i % 50}",) for i in range(2000)]
+    toks = spark.createDataFrame(rows, "token string")
+    sketch = cms_sketch(toks, k=2, m=16)  # 50 tokens into 16 buckets
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    est = cms_estimate(sketch, exact.select("token"), k=2, m=16)
+    joined = exact.join(est, "token").collect()
+    assert len(joined) == 50
+    assert all(r.est >= r.n for r in joined)
+    assert any(r.est > r.n for r in joined)
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """A row whose weight dwarfs the rest must always be selected
+    (its E-S key → 0⁻, the maximum), and the sample is identical
+    across partitionings."""
+    from flink_cdc_msk_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 10 if i != 7 else 10_000_000) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = {r.doc_id for r in weighted_sample(df, 20).collect()}
+    assert 7 in got and len(got) == 20
+    got2 = {r.doc_id for r in weighted_sample(df.repartition(17), 20).collect()}
+    assert got == got2
