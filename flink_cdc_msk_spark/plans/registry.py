@@ -44,6 +44,7 @@ def load_all() -> None:
     from . import windows_events  # noqa: F401
     from . import llm_pipeline  # noqa: F401
     from . import llm_extras  # noqa: F401
+    from . import analytics_extras  # noqa: F401
 
 
 _loaded = False

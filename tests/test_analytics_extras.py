@@ -1,0 +1,169 @@
+"""Behavioral tests for the round-4c analytics operators beyond the
+oracle gate: cascade-consistency of the hypertable rollup, balance of
+the equi-depth histogram, locality of the Z-order layout, and recall of
+PQ/ADC ANN against the exact L2 ranking.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cdc_msk_spark.plans.registry import QUERIES, ensure_loaded
+from tests.conftest import SF_ORACLE
+
+ensure_loaded()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+
+
+def test_rollup_cascade_is_consistent(spark):
+    """Each coarser resolution must re-aggregate the finer one exactly:
+    summing the minute rows up to their hour equals the hour rows."""
+    out = QUERIES["events_hypertable_rollup"](spark, SF_ORACLE).cache()
+    minute = out.filter(F.col("resolution") == "minute")
+    hour = out.filter(F.col("resolution") == "hour")
+    rolled = (
+        minute.groupBy(
+            F.date_format(
+                F.date_trunc("hour", F.to_timestamp("window_start")),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("total_value"), 4).alias("tv"),
+        )
+    )
+    joined = rolled.join(
+        hour.select(
+            "window_start",
+            "event_type",
+            F.col("n").alias("hn"),
+            F.round("total_value", 4).alias("htv"),
+        ),
+        ["window_start", "event_type"],
+    )
+    assert joined.count() == hour.count()
+    bad = joined.filter(
+        (F.col("n") != F.col("hn")) | (F.col("tv") != F.col("htv"))
+    )
+    assert bad.count() == 0
+    out.unpersist()
+
+
+def test_equi_depth_buckets_are_balanced(spark):
+    """Decile histogram: 10 buckets, each within 2% of n/10 (exact
+    percentile boundaries; slack only for boundary-tie mass)."""
+    out = QUERIES["agg_equi_depth_histogram"](spark, SF_ORACLE).collect()
+    assert len(out) == 10
+    total = sum(r["n"] for r in out)
+    for r in out:
+        assert abs(r["n"] - total / 10) <= total * 0.02, r
+    # bucket ranges must not overlap: sorted by bucket, hi <= next lo
+    rows = sorted(out, key=lambda r: r["bucket"])
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] <= b["lo"]
+
+
+def test_zorder_files_cover_bounded_rectangles(spark):
+    """Every Z-order file must span at most a 32x64 rectangle of the
+    256x256 key space (9 trailing bits cut -> 2^9 curve cells; the
+    Morton property bounds each file's bounding box), versus the
+    full-width 256-wide stripes a single-dimension sort would give."""
+    out = QUERIES["layout_zorder_stats"](spark, SF_ORACLE).collect()
+    assert len(out) > 1
+    for r in out:
+        assert r["x_hi"] - r["x_lo"] <= 31, r
+        assert r["y_hi"] - r["y_lo"] <= 63, r
+
+
+def test_pq_adc_rerank_recall_vs_exact(spark, emb):
+    """PQ shortlist (ADC top-100) + exact re-rank must recover most
+    true neighbors: recall@10 vs the exact L2 top-10 >= 0.7 on the
+    sf0.01 corpus (8x8 codebooks, shortlist = 20% of corpus)."""
+    from flink_cdc_msk_spark.operators.clustering import (
+        pq_adc_rerank_topk,
+    )
+
+    pq = pq_adc_rerank_topk(emb, emb.filter(F.col("vec_id") < 10), k=10)
+    got = {(r["query_id"], r["vec_id"]) for r in pq.collect()}
+    exact = _exact_l2_topk(spark, emb, nq=10, k=10)
+    hits = len(got & exact)
+    assert hits / len(exact) >= 0.7, hits
+
+
+def test_pq_rerank_exactness_on_shortlist(spark, emb):
+    """Re-ranked results must carry TRUE exact L2 distances: every
+    returned (query, vec) pair's dist equals the brute-force distance
+    (the approximation can only drop candidates, never mis-score
+    them)."""
+    from flink_cdc_msk_spark.operators.clustering import (
+        pq_adc_rerank_topk,
+    )
+
+    pq = pq_adc_rerank_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=5
+    ).collect()
+    v = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+    for r in pq:
+        d = sum(
+            (a - b) * (a - b)
+            for a, b in zip(v[r["query_id"]], v[r["vec_id"]])
+        )
+        assert abs(d - r["dist"]) < 1e-6, r
+
+
+def _exact_l2_topk(spark, emb, nq, k):
+    from pyspark.sql.window import Window
+
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = v.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "d",
+            F.aggregate(
+                F.zip_with(
+                    "v", "qv", lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy("d", "vec_id")
+    )
+    top = pairs.withColumn("rn", rn).filter(F.col("rn") <= k)
+    return {(r["query_id"], r["vec_id"]) for r in top.collect()}
+
+
+def test_zscore_flags_are_extreme_values(spark):
+    """Every flagged event must sit beyond 2.5 sample stddevs of its
+    type's mean (recomputed independently with Spark's built-ins,
+    loose tolerance for the pop-vs-float path)."""
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    out = QUERIES["events_anomaly_zscore"](spark, SF_ORACLE)
+    stats = ev.groupBy("event_type").agg(
+        F.mean("value").alias("mu"),
+        F.stddev_pop("value").alias("sd"),
+    )
+    joined = out.join(stats, "event_type").withColumn(
+        "z2", (F.col("value") - F.col("mu")) / F.col("sd")
+    )
+    bad = joined.filter(F.abs("z2") < 2.45)
+    assert bad.count() == 0
+    assert out.count() > 0
