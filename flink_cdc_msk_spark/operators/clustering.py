@@ -145,8 +145,12 @@ def pq_adc_topk(
     (query, subspace, code) → distance LUT (n_queries·m·ksub rows) and
     sum per (query, vector). Distances stay DECIMAL-exact end-to-end so
     ranking ties break identically on any engine or partitioning."""
-    c_elems = _elements(corpus, id_col, vec_col)
-    q_elems = _elements(queries, id_col, vec_col)
+    # The element relation feeds every subspace's Lloyd rounds, encode
+    # and LUT — persist it once or the plan re-derives it from the scan
+    # ~8x per subspace (66 scans observed unpersisted). CacheManager
+    # dedupes by canonicalized plan across calls.
+    c_elems = _elements(corpus, id_col, vec_col).persist()
+    q_elems = _elements(queries, id_col, vec_col).persist()
     parts = []
     for s in range(m):
         lo, hi = s * sub_dim, (s + 1) * sub_dim

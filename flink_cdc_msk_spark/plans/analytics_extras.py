@@ -61,12 +61,17 @@ def events_hypertable_rollup(spark, sf_dir):
         "event_type",
         F.col("value").cast("decimal(18,6)").alias("v"),
     )
+    # persist() makes the cascade REAL in the physical plan: without it
+    # Spark recomputes each union branch from the raw scan (3 scans, 6
+    # shuffles); with it the hour/day branches re-aggregate the cached
+    # minute/hour outputs (InMemoryTableScan). CacheManager dedupes by
+    # canonicalized plan, so repeated calls share one cache entry.
     minute = base.groupBy("bucket", "event_type").agg(
         F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
-    )
+    ).persist()
     hour = minute.groupBy(
         F.date_trunc("hour", "bucket").alias("bucket"), "event_type"
-    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv")).persist()
     day = hour.groupBy(
         F.date_trunc("day", "bucket").alias("bucket"), "event_type"
     ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
