@@ -106,8 +106,8 @@ _NEW_R4 = (
     "source_debezium_jsonl_scan",
     "agg_count_min_heavy_hitters", "sample_weighted_topn",
     "embedding_pq_adc_topk", "events_hypertable_rollup",
-    "layout_zorder_stats", "agg_equi_depth_histogram",
-    "events_anomaly_zscore",
+    "streaming_hypertable_rollup", "layout_zorder_stats",
+    "agg_equi_depth_histogram", "events_anomaly_zscore",
     "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
     "q9_product_profit", "q11_important_stock",
     "q16_supplier_part_count", "q20_part_promotion",

@@ -30,21 +30,21 @@ _ROLLUP_RES_SQL = """
     FROM base GROUP BY date_trunc('{res}', m), event_type"""
 
 
-@register(
-    "events_hypertable_rollup",
-    oracle=(
-        """
+_ROLLUP_ORACLE = (
+    """
     WITH base AS (
       SELECT date_trunc('minute', ts) AS m, event_type,
              CAST(value AS DECIMAL(18,6)) AS v
       FROM events
     )"""
-        + " UNION ALL ".join(
-            _ROLLUP_RES_SQL.format(res=r, fmt=TS_FMT_DUCK)
-            for r in ("minute", "hour", "day")
-        )
-    ),
+    + " UNION ALL ".join(
+        _ROLLUP_RES_SQL.format(res=r, fmt=TS_FMT_DUCK)
+        for r in ("minute", "hour", "day")
+    )
 )
+
+
+@register("events_hypertable_rollup", oracle=_ROLLUP_ORACLE)
 def events_hypertable_rollup(spark, sf_dir):
     """Hypertable-style continuous-aggregate cascade: one scan feeds a
     minute-grain rollup, and each coarser grain re-aggregates the next
@@ -69,6 +69,13 @@ def events_hypertable_rollup(spark, sf_dir):
     minute = base.groupBy("bucket", "event_type").agg(
         F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
     ).persist()
+    return _cascade_render(minute)
+
+
+def _cascade_render(minute: DataFrame) -> DataFrame:
+    """minute-grain (bucket, event_type, n, sv-decimal) → the rendered
+    three-resolution union, re-aggregating each coarser grain from the
+    next finer one."""
     hour = minute.groupBy(
         F.date_trunc("hour", "bucket").alias("bucket"), "event_type"
     ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv")).persist()
@@ -90,6 +97,70 @@ def events_hypertable_rollup(spark, sf_dir):
         .unionAll(render(hour, "hour"))
         .unionAll(render(day, "day"))
     )
+
+
+@register("streaming_hypertable_rollup", oracle=_ROLLUP_ORACLE)
+def streaming_hypertable_rollup(spark, sf_dir):
+    """The hypertable rollup maintained INCREMENTALLY through real
+    Structured Streaming — the continuous-aggregate pattern: each
+    micro-batch (maxFilesPerTrigger=1 over a 6-file copy of events, so
+    ≥6 batches; asserted in-query) folds its rows into minute-grain
+    partials inside ``foreachBatch``, writing to a batch_id-keyed
+    directory (overwrite ⇒ a retried batch replaces itself instead of
+    double-counting — additive merges are retry-UNSAFE without this).
+    The materialized minute store is then cascaded to hour/day exactly
+    like the batch query, and the whole three-resolution output equals
+    the batch oracle bit-for-bit because partials sum as DECIMAL (exact
+    addition commutes with any micro-batch split). At scale this is the
+    streaming ingest path of a time-series store: per-batch work is
+    proportional to the batch, never to history."""
+    import glob
+
+    from ..streaming.materialize import session_tmpdir
+
+    ev = load_tables(spark, sf_dir)["events"]
+    base_dir = session_tmpdir("stream_rollup")
+    src = f"{base_dir}/src"
+    ev.repartition(6).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    store = f"{base_dir}/minute_store"
+
+    def maintain(bdf: DataFrame, batch_id: int) -> None:
+        part = (
+            bdf.select(
+                F.date_trunc("minute", "ts").alias("bucket"),
+                "event_type",
+                F.col("value").cast("decimal(18,6)").alias("v"),
+            )
+            .groupBy("bucket", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+        )
+        part.write.mode("overwrite").parquet(f"{store}/batch={batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(maintain)
+        .option("checkpointLocation", f"{base_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    n_batches = len(glob.glob(f"{store}/batch=*"))
+    if n_batches < 2:
+        raise ValueError(
+            f"expected incremental maintenance, got {n_batches} batches"
+        )
+    minute = (
+        spark.read.parquet(store)
+        .groupBy("bucket", "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+        .persist()
+    )
+    return _cascade_render(minute)
 
 
 # --------------------------------------------------- equi-depth histogram

@@ -151,6 +151,55 @@ def _exact_l2_topk(spark, emb, nq, k):
     return {(r["query_id"], r["vec_id"]) for r in top.collect()}
 
 
+def test_zorder_interleave_matches_python_reference(spark):
+    """The codegen Morton interleave must equal the bit-twiddling
+    reference for a dense grid of (x, y) — 37x37 points covering the
+    full 8-bit range including the 0/255 edges."""
+    from flink_cdc_msk_spark.plans.analytics_extras import (
+        _z_interleave_col,
+    )
+
+    pts = [(x, y) for x in range(0, 256, 7) for y in range(0, 256, 7)]
+    pts += [(255, 255), (0, 255), (255, 0)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn(
+            "z", _z_interleave_col(F.col("x"), F.col("y"))
+        ).collect()
+    }
+
+    def ref(x, y):
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert all(got[(x, y)] == ref(x, y) for x, y in pts)
+    # bijectivity over the sampled grid
+    assert len(set(got.values())) == len(pts)
+
+
+def test_streaming_rollup_equals_batch_rollup(spark):
+    """The foreachBatch-maintained rollup must equal the single-pass
+    batch rollup exactly — DECIMAL partials make the micro-batch split
+    invisible."""
+    batch = {
+        tuple(r)
+        for r in QUERIES["events_hypertable_rollup"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    stream = {
+        tuple(r)
+        for r in QUERIES["streaming_hypertable_rollup"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    assert batch == stream
+
+
 def test_zscore_flags_are_extreme_values(spark):
     """Every flagged event must sit beyond 2.5 sample stddevs of its
     type's mean (recomputed independently with Spark's built-ins,

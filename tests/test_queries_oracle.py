@@ -96,8 +96,17 @@ def test_query_matches_oracle(spark, duck, name):
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY or ["__all_oracle_backed__"])
 def test_rows_only_queries_run(spark, name):
+    """Weak rows-only gate for queries without an oracle. Currently the
+    parameter set is EMPTY by design — every registered query carries a
+    DuckDB oracle — so the test degenerates to asserting exactly that."""
+    if name == "__all_oracle_backed__":
+        assert not ROWS_ONLY
+        return
     df = QUERIES[name](spark, SF_ORACLE)
     assert df.count() >= 0
     assert df.columns
