@@ -108,6 +108,8 @@ _NEW_R4 = (
     "embedding_pq_adc_topk", "events_hypertable_rollup",
     "streaming_hypertable_rollup", "layout_zorder_stats",
     "agg_equi_depth_histogram", "events_anomaly_zscore",
+    "events_cep_pattern", "events_top_paths", "graph_pagerank_copurchase",
+    "agg_kmv_theta_ops", "layout_bucketed_join",
     "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
     "q9_product_profit", "q11_important_stock",
     "q16_supplier_part_count", "q20_part_promotion",

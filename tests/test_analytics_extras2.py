@@ -1,0 +1,83 @@
+"""Round-4d operator properties the oracle sweep can't see: strict
+contiguity of CEP matches (verified independently against the raw event
+stream), PageRank mass conservation, the KMV estimator actually taking
+its sketch path, and path-mining counts against a pandas recomputation.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from flink_cdc_msk_spark.plans.analytics_extras2 import (
+    agg_kmv_theta_ops,
+    events_cep_pattern,
+    events_top_paths,
+    graph_pagerank_copurchase,
+)
+from tests.conftest import SF_ORACLE, SF_SMALL
+
+
+def test_cep_matches_are_strictly_contiguous(spark):
+    """Every (view, click, purchase) match must have EXACTLY one event —
+    the matched click — strictly between its endpoints for that user:
+    the property that distinguishes CEP `next` from funnel
+    `followedBy`, checked against the raw stream, not the window."""
+    matches = events_cep_pattern(spark, SF_SMALL)
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("t")
+    )
+    between = (
+        matches.join(ev, "user_id")
+        .filter((F.col("t") > F.col("start_ts")) & (F.col("t") < F.col("end_ts")))
+        .groupBy("user_id", "start_event_id")
+        .agg(F.count(F.lit(1)).alias("n_between"))
+    )
+    bad = between.filter(F.col("n_between") != 1).count()
+    assert bad == 0
+    # and the pattern does fire on this corpus
+    assert matches.count() > 0
+
+
+def test_top_paths_match_pandas_recomputation(spark):
+    pdf = pd.read_parquet(f"{SF_SMALL}/events.parquet")[
+        ["user_id", "ts", "event_id", "event_type"]
+    ].sort_values(["user_id", "ts", "event_id"])
+    counts: dict[str, int] = {}
+    for _, g in pdf.groupby("user_id"):
+        types = g["event_type"].tolist()
+        for i in range(len(types) - 2):
+            p = ">".join(types[i : i + 3])
+            counts[p] = counts.get(p, 0) + 1
+    expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r["path"], r["n"])
+        for r in events_top_paths(spark, SF_SMALL).collect()
+    ]
+    assert got == expected
+
+
+def test_pagerank_conserves_mass(spark):
+    """Symmetric edges ⇒ no dangling mass: total rank stays at N (the
+    uniform-start fixed-point sum) through every iteration."""
+    ranks = graph_pagerank_copurchase(spark, SF_SMALL)
+    agg = ranks.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("rank").alias("total")
+    ).collect()[0]
+    assert agg["n"] > 0
+    assert abs(agg["total"] - agg["n"]) < 1e-4 * agg["n"]
+    assert ranks.filter(F.col("rank") <= 0.15).count() == 0
+
+
+def test_kmv_takes_sketch_path_and_stays_in_gate(spark):
+    rows = {r["set_name"]: r for r in agg_kmv_theta_ops(spark, SF_ORACLE).collect()}
+    assert set(rows) == {"urgent", "low", "union", "intersection"}
+    # the corpus is big enough that the estimator path (not the exact
+    # fallback) is what the oracle hash actually verified — and the sets
+    # genuinely differ, so the union/intersection algebra is non-trivial
+    for s in ("urgent", "low", "union"):
+        assert rows[s]["exact_n"] > 256
+        assert rows[s]["est_n"] != rows[s]["exact_n"]
+    assert rows["union"]["exact_n"] > rows["urgent"]["exact_n"]
+    assert rows["intersection"]["exact_n"] < rows["low"]["exact_n"]
+    assert all(r["within_20pct"] for r in rows.values())
