@@ -473,3 +473,158 @@ def layout_bucketed_join(spark, sf_dir):
             f"bucketed join must not shuffle: {n_exchanges} exchanges"
         )
     return out
+
+
+# ------------------------------------------------------- streaming CEP
+
+_CEP_ORACLE = f"""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, ts,
+             lead(event_type, 1) OVER w AS t1,
+             lead(event_type, 2) OVER w AS t2,
+             lead(ts, 2)         OVER w AS ts2,
+             lead(event_id, 2)   OVER w AS eid2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id AS start_event_id, eid2 AS end_event_id,
+           strftime(ts,  '{TS_FMT_DUCK}') AS start_ts,
+           strftime(ts2, '{TS_FMT_DUCK}') AS end_ts
+    FROM seq
+    WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+      AND ts2 <= ts + INTERVAL 1 DAY
+    """
+
+
+@register("streaming_cep_pattern", oracle=_CEP_ORACLE)
+def streaming_cep_pattern(spark, sf_dir):
+    """The strict-contiguity CEP pattern as a TRUE streaming operator:
+    per-user NFA state (the last two events — constant width) carried
+    across micro-batches via ``applyInPandasWithState``, matches emitted
+    the moment the third event lands — Flink's keyed CEP operator shape.
+    The feed replays the corpus as 6 MONOTONIC TIME SLABS (file mtimes
+    forced increasing so the file source's mtime ordering is
+    deterministic; maxFilesPerTrigger=1 ⇒ one slab per micro-batch,
+    asserted ≥2 in-query) — per-key arrival is therefore time-ordered,
+    the same in-order-after-watermark assumption Flink CEP makes.
+    Cross-batch contiguity is REAL: a user's window spanning two slabs
+    is matched only because the automaton state survived the batch
+    boundary (property pinned with crafted slabs in
+    tests/test_analytics_extras2.py).  Output equals the batch CEP
+    oracle exactly.
+
+    Slab assignment uses a global ntile — feed SIMULATION (standing in
+    for an ordered Kafka topic), not operator work; the operator itself
+    shuffles once on user_id per batch and keeps O(1) state per key."""
+    import glob as _glob
+    import os
+
+    from ..streaming.cep import TS_FULL, cep_strict_triple
+    from ..streaming.materialize import (
+        session_tmpdir,
+        stream_foreach_batch_parquet,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_format("ts", TS_FULL).alias("tss"),
+    )
+    d = session_tmpdir("stream_cep_")
+    src = f"{d}/src"
+    n_slabs = 6
+    slabbed = ev.withColumn(
+        "slab",
+        F.ntile(n_slabs).over(
+            Window.orderBy("tss", "event_id")
+        ),
+    )
+    for s in range(1, n_slabs + 1):
+        (
+            slabbed.filter(F.col("slab") == s)
+            .drop("slab")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .json(f"{src}/s{s:02d}")
+        )
+    # the file source orders by modification time: force strictly
+    # increasing mtimes so slab order == time order on any filesystem
+    base = os.stat(src).st_mtime
+    for s in range(1, n_slabs + 1):
+        for f in _glob.glob(f"{src}/s{s:02d}/part-*.json"):
+            os.utime(f, (base + s, base + s))
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, event_type string, tss string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(f"{src}/s*")
+    )
+    out = cep_strict_triple(stream)
+    scan = stream_foreach_batch_parquet(out, d, output_mode="update")
+    n_batches = len(_glob.glob(f"{d}/out/batch_id=*"))
+    if n_batches < 2:
+        raise ValueError(
+            f"expected incremental slab replay, got {n_batches} batches"
+        )
+    return scan.select(
+        "user_id", "start_event_id", "end_event_id", "start_ts", "end_ts"
+    )
+
+
+# ------------------------------------------- partition-pruned layout
+
+@register(
+    "layout_partition_pruning",
+    oracle=f"""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE date_trunc('day', ts) BETWEEN DATE '2024-01-10'
+                                    AND DATE '2024-01-12'
+    GROUP BY 1, 2
+    """,
+)
+def layout_partition_pruning(spark, sf_dir):
+    """Hive-partitioned data-lake layout, driver-visible: the events
+    stream is written ``partitionBy(day)`` and re-read with a 3-day
+    predicate — the scan must PRUNE to 3 of the 30 partition
+    directories, asserted in-query from the executed plan's
+    PartitionFilters (so a green row certifies the layout actually
+    prunes, not just that the filter computes).  At 100 TB this is the
+    difference between scanning 3 days and scanning a month; the same
+    day column is what a streaming ingest would partition its sink by.
+    The write is layout SETUP (once per corpus, like the bucketed
+    tables); the measured query is the pruned read + small aggregate."""
+    import re as _re
+
+    from ..streaming.materialize import session_tmpdir
+
+    ev = load_tables(spark, sf_dir)["events"]
+    d = session_tmpdir("part_layout_")
+    (
+        ev.withColumn("day", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(f"{d}/events_by_day")
+    )
+    scan = spark.read.parquet(f"{d}/events_by_day").filter(
+        F.col("day").between("2024-01-10", "2024-01-12")
+    )
+    out = (
+        scan.groupBy(
+            F.date_format("day", "yyyy-MM-dd").alias("day"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    if not m or "day" not in m.group(1):
+        raise ValueError("expected the day predicate to prune partitions")
+    return out

@@ -1,0 +1,87 @@
+"""Streaming CEP: the strict-contiguity pattern automaton
+(``plans/analytics_extras2.events_cep_pattern``) run as a TRUE streaming
+operator — per-key NFA state carried across micro-batches via
+``applyInPandasWithState``, the Spark form of Flink's keyed CEP operator
+(the reference ecosystem's flagship feature; its own pipeline is
+stateless, SURVEY.md A36, so this lives in the Part-B closure).
+
+State per user is the last TWO events (type, time, id) — constant-width,
+exactly what a strict-contiguity ``begin.next.next`` NFA needs; matches
+are emitted the moment the third event arrives.  Correctness requires
+per-key time-ordered arrival across batches (Flink's CEP makes the same
+in-order assumption after watermark alignment); the feed builder in the
+registered query replays the corpus as monotonic time slabs to honor it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+CEP_OUT_SCHEMA = (
+    "user_id bigint, start_event_id bigint, end_event_id bigint, "
+    "start_ts string, end_ts string"
+)
+# previous-previous and previous event per user; '' / -1 = empty slots
+CEP_STATE_SCHEMA = (
+    "t1 string, s1 string, i1 bigint, t2 string, s2 string, i2 bigint"
+)
+
+TS_FULL = "yyyy-MM-dd HH:mm:ss.SSSSSS"  # lexicographically time-ordered
+
+
+def cep_strict_triple(
+    events: DataFrame,
+    pattern: tuple[str, str, str] = ("view", "click", "purchase"),
+    within_days: int = 1,
+) -> DataFrame:
+    """events(user_id, event_id, event_type, tss) → matches of
+    ``pattern[0] → pattern[1] → pattern[2]`` with NO intervening event
+    for that user and ``end - start <= within_days``.
+
+    ``tss`` must be the microsecond-resolution formatted timestamp
+    (TS_FULL) so plain string comparison is time order — the automaton
+    never parses times except for the window bound."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    p0, p1, p2 = pattern
+    bound = pd.Timedelta(days=within_days)
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        t1, s1, i1, t2, s2, i2 = (
+            state.get if state.exists else ("", "", -1, "", "", -1)
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        # per-key in-batch order: strings sort as time (TS_FULL)
+        batch = batch.sort_values(["tss", "event_id"])
+        out: list[tuple] = []
+        uid = key_tuple[0]
+        for r in batch.itertuples(index=False):
+            if (
+                t1 == p0
+                and t2 == p1
+                and r.event_type == p2
+                and pd.to_datetime(r.tss) <= pd.to_datetime(s1) + bound
+            ):
+                out.append((uid, i1, r.event_id, s1[:19], r.tss[:19]))
+            t1, s1, i1 = t2, s2, i2
+            t2, s2, i2 = r.event_type, r.tss, r.event_id
+        state.update((t1, s1, i1, t2, s2, i2))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id",
+                "start_event_id",
+                "end_event_id",
+                "start_ts",
+                "end_ts",
+            ],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        CEP_OUT_SCHEMA,
+        CEP_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -81,3 +81,63 @@ def test_kmv_takes_sketch_path_and_stays_in_gate(spark):
     assert rows["union"]["exact_n"] > rows["urgent"]["exact_n"]
     assert rows["intersection"]["exact_n"] < rows["low"]["exact_n"]
     assert all(r["within_20pct"] for r in rows.values())
+
+
+def test_streaming_cep_state_crosses_batch_boundary(spark, tmp_path):
+    """Two hand-built slabs: user 1's view+click arrive in slab 1, the
+    purchase in slab 2 — the match REQUIRES the automaton state to
+    survive the micro-batch boundary.  User 2 has an intervening error
+    event, which must kill the strict-contiguity match."""
+    import json
+    import os
+
+    from flink_cdc_msk_spark.streaming.cep import cep_strict_triple
+    from flink_cdc_msk_spark.streaming.materialize import (
+        stream_foreach_batch_parquet,
+    )
+
+    src = tmp_path / "src"
+    slab1 = [
+        {"user_id": 1, "event_id": 10, "event_type": "view",
+         "tss": "2024-01-01 10:00:00.000000"},
+        {"user_id": 1, "event_id": 11, "event_type": "click",
+         "tss": "2024-01-01 10:05:00.000000"},
+        {"user_id": 2, "event_id": 20, "event_type": "view",
+         "tss": "2024-01-01 10:00:00.000000"},
+        {"user_id": 2, "event_id": 21, "event_type": "click",
+         "tss": "2024-01-01 10:05:00.000000"},
+        {"user_id": 2, "event_id": 22, "event_type": "error",
+         "tss": "2024-01-01 10:06:00.000000"},
+    ]
+    slab2 = [
+        {"user_id": 1, "event_id": 12, "event_type": "purchase",
+         "tss": "2024-01-01 10:10:00.000000"},
+        {"user_id": 2, "event_id": 23, "event_type": "purchase",
+         "tss": "2024-01-01 10:10:00.000000"},
+    ]
+    for i, slab in enumerate((slab1, slab2), start=1):
+        p = src / f"s{i:02d}"
+        p.mkdir(parents=True)
+        f = p / "data.json"
+        f.write_text("\n".join(json.dumps(r) for r in slab))
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, event_type string, tss string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(f"{src}/s*")
+    )
+    out = cep_strict_triple(stream)
+    scan = stream_foreach_batch_parquet(
+        out, str(tmp_path / "mat"), output_mode="update"
+    )
+    rows = scan.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["user_id"], r["start_event_id"], r["end_event_id"]) == (1, 10, 12)
+    assert r["start_ts"] == "2024-01-01 10:00:00"
+    assert r["end_ts"] == "2024-01-01 10:10:00"
+    # and it genuinely ran as two micro-batches
+    assert (tmp_path / "mat" / "out" / "batch_id=1").exists()
