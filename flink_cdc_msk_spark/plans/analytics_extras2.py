@@ -250,6 +250,92 @@ _KMV_K = 256
 _KMV_SALTS = 64  # two-phase min-k fan-in on the Spark side
 _KMV_RANGE = float(2**60)  # md5_hash60 values are uniform on [0, 2^60)
 
+def _kmv_urgent():
+    return F.col("o_orderpriority") == "1-URGENT"
+
+
+def _kmv_low():
+    return F.col("o_orderpriority") == "5-LOW"
+
+
+def _kmv_hashes(od: DataFrame) -> DataFrame:
+    """orders → distinct (grp, h) per tracked set (urgent/low/union)."""
+    tagged = (
+        od.filter(_kmv_urgent())
+        .select(F.lit("urgent").alias("grp"), "o_custkey")
+        .unionAll(
+            od.filter(_kmv_low()).select(F.lit("low").alias("grp"), "o_custkey")
+        )
+        .unionAll(
+            od.filter(_kmv_urgent() | _kmv_low()).select(
+                F.lit("union").alias("grp"), "o_custkey"
+            )
+        )
+    )
+    return tagged.select(
+        "grp", md5_hash60(F.col("o_custkey").cast("string")).alias("h")
+    ).distinct()
+
+
+def _kmv_finish(
+    od: DataFrame, hashes: DataFrame, cand: DataFrame
+) -> DataFrame:
+    """Render the 4-row sketch-vs-exact output.  ``cand`` is any (grp, h)
+    relation that provably CONTAINS each set's k smallest distinct hashes
+    (duplicates allowed — e.g. the union of per-batch sketch partials);
+    ``hashes`` is the full distinct hash relation, used only for the
+    exact counts the accuracy gate compares against."""
+    exact = hashes.groupBy("grp").agg(F.count(F.lit(1)).alias("exact_n"))
+    w_grp = Window.partitionBy("grp").orderBy("h")
+    kth = (
+        cand.distinct()
+        .withColumn("rn", F.row_number().over(w_grp))
+        .join(F.broadcast(exact), "grp")
+        .filter(F.col("rn") == F.least(F.lit(_KMV_K), F.col("exact_n")))
+        .select("grp", "h")
+    )
+    est = (
+        exact.join(kth, "grp")
+        .select(
+            "grp",
+            "exact_n",
+            F.when(
+                F.col("exact_n") <= _KMV_K,
+                F.col("exact_n").cast("double"),
+            )
+            .otherwise(
+                F.lit(float(_KMV_K - 1)) / (F.col("h") / F.lit(_KMV_RANGE))
+            )
+            .alias("est_n"),
+        )
+        .persist()
+    )
+    inter_exact = (
+        od.filter(_kmv_urgent())
+        .select("o_custkey")
+        .intersect(od.filter(_kmv_low()).select("o_custkey"))
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    inter_est = est.agg(
+        F.sum(
+            F.when(F.col("grp") == "union", -F.col("est_n")).otherwise(
+                F.col("est_n")
+            )
+        ).alias("est_n")
+    )
+    inter = inter_exact.crossJoin(inter_est).select(
+        F.lit("intersection").alias("grp"), "exact_n", "est_n"
+    )
+    return est.unionAll(inter).select(
+        F.col("grp").alias("set_name"),
+        "exact_n",
+        F.round("est_n", 4).alias("est_n"),
+        (
+            F.abs(F.col("est_n") - F.col("exact_n")) / F.col("exact_n")
+            <= 0.2
+        ).alias("within_20pct"),
+    )
+
 
 def _kmv_oracle() -> str:
     h = md5_hash60_sql("CAST(o_custkey AS VARCHAR)")
@@ -324,23 +410,7 @@ def agg_kmv_theta_ops(spark, sf_dir):
     The oracle ranks directly (same result, single window) — the
     two-phase refactor is the 100 TB form of the identical selection."""
     od = load_tables(spark, sf_dir)["orders"]
-    urgent = F.col("o_orderpriority") == "1-URGENT"
-    low = F.col("o_orderpriority") == "5-LOW"
-    tagged = (
-        od.filter(urgent)
-        .select(F.lit("urgent").alias("grp"), "o_custkey")
-        .unionAll(
-            od.filter(low).select(F.lit("low").alias("grp"), "o_custkey")
-        )
-        .unionAll(
-            od.filter(urgent | low).select(
-                F.lit("union").alias("grp"), "o_custkey"
-            )
-        )
-    )
-    hashes = tagged.select(
-        "grp", md5_hash60(F.col("o_custkey").cast("string")).alias("h")
-    ).distinct().persist()
+    hashes = _kmv_hashes(od).persist()
     # phase 1: k smallest per (grp, salt) — bounded fan-in per task
     w_salt = Window.partitionBy("grp", F.pmod("h", F.lit(_KMV_SALTS))).orderBy(
         "h"
@@ -350,58 +420,7 @@ def agg_kmv_theta_ops(spark, sf_dir):
         .filter(F.col("rn") <= _KMV_K)
         .drop("rn")
     )
-    # phase 2: global k-th smallest (or n-th when n < k) over survivors
-    w_grp = Window.partitionBy("grp").orderBy("h")
-    exact = hashes.groupBy("grp").agg(F.count(F.lit(1)).alias("exact_n"))
-    kth = (
-        survivors.withColumn("rn", F.row_number().over(w_grp))
-        .join(F.broadcast(exact), "grp")
-        .filter(F.col("rn") == F.least(F.lit(_KMV_K), F.col("exact_n")))
-        .select("grp", "h")
-    )
-    est = (
-        exact.join(kth, "grp")
-        .select(
-            "grp",
-            "exact_n",
-            F.when(
-                F.col("exact_n") <= _KMV_K,
-                F.col("exact_n").cast("double"),
-            )
-            .otherwise(
-                F.lit(float(_KMV_K - 1)) / (F.col("h") / F.lit(_KMV_RANGE))
-            )
-            .alias("est_n"),
-        )
-        .persist()
-    )
-    urgent_cust = od.filter(urgent).select("o_custkey")
-    low_cust = od.filter(low).select("o_custkey")
-    inter_exact = urgent_cust.intersect(low_cust).agg(
-        F.count(F.lit(1)).alias("exact_n")
-    )
-    inter_est = est.agg(
-        F.sum(
-            F.when(F.col("grp") == "union", -F.col("est_n")).otherwise(
-                F.col("est_n")
-            )
-        ).alias("est_n")
-    )
-    inter = (
-        inter_exact.crossJoin(inter_est)
-        .select(
-            F.lit("intersection").alias("grp"), "exact_n", "est_n"
-        )
-    )
-    return est.unionAll(inter).select(
-        F.col("grp").alias("set_name"),
-        "exact_n",
-        F.round("est_n", 4).alias("est_n"),
-        (
-            F.abs(F.col("est_n") - F.col("exact_n")) / F.col("exact_n")
-            <= 0.2
-        ).alias("within_20pct"),
-    )
+    return _kmv_finish(od, hashes, survivors)
 
 
 # --------------------------------------- bucketed co-located join (driver-visible)
@@ -628,3 +647,119 @@ def layout_partition_pruning(spark, sf_dir):
     if not m or "day" not in m.group(1):
         raise ValueError("expected the day predicate to prune partitions")
     return out
+
+
+# ------------------------------------------------ EWMA smoothing fold
+
+_EWMA_ALPHA = 0.25  # exact binary fraction: 0.25/0.75 are exact doubles
+
+
+@register(
+    "events_ewma_smoothing",
+    oracle=f"""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(list_reduce(list(value ORDER BY ts, event_id),
+                             (acc, x) -> {_EWMA_ALPHA} * x
+                                         + {1 - _EWMA_ALPHA} * acc), 6)
+             AS ewma
+    FROM events GROUP BY user_id
+    """,
+)
+def events_ewma_smoothing(spark, sf_dir):
+    """Exponentially-weighted moving average per user (α=0.25, seeded
+    with the first observation — pandas ``ewm(adjust=False)``
+    semantics), computed as a Catalyst ``aggregate`` fold over the
+    time-sorted per-user value array: ONE shuffle on user_id, then the
+    recurrence runs map-side, O(events per user) — the same
+    fold-the-sorted-array shape as the funnel automaton, with state
+    bounded by per-user activity, never corpus size.  Bit-reproducible
+    against DuckDB's ``list_reduce``: both engines execute the IDENTICAL
+    sequential chain of IEEE multiply-adds in the identical order (the
+    sort key is total: time then event_id), and α is an exact binary
+    fraction, so the doubles agree to the last bit before the final
+    round(6)."""
+    from ..streaming.cep import TS_FULL
+
+    ev = load_tables(spark, sf_dir)["events"]
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.date_format("ts", TS_FULL).alias("tss"),
+                F.col("event_id").alias("eid"),
+                F.col("value").alias("v"),
+            )
+        )
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), arr.alias("seq")
+    )
+    ewma = F.aggregate(
+        F.slice("seq", F.lit(2), F.size("seq") - 1),
+        F.element_at("seq", 1)["v"],
+        lambda acc, x: F.lit(_EWMA_ALPHA) * x["v"]
+        + F.lit(1 - _EWMA_ALPHA) * acc,
+    )
+    return per_user.select(
+        "user_id", "n_events", F.round(ewma, 6).alias("ewma")
+    )
+
+
+@register("streaming_kmv_sketch_merge", oracle=_kmv_oracle())
+def streaming_kmv_sketch_merge(spark, sf_dir):
+    """The KMV theta sketch maintained INCREMENTALLY through Structured
+    Streaming — the property that justifies sketches at 100 TB: each
+    micro-batch (maxFilesPerTrigger=1 over a 6-file replay of orders,
+    ≥2 batches asserted in-query) computes its own k-smallest-hash
+    partial inside ``foreachBatch`` and writes it to a batch_id-keyed
+    store (overwrite ⇒ retry-idempotent).  The final sketch is the
+    min-k of the UNION of partials, which equals the min-k of the whole
+    corpus EXACTLY (KMV merge is associative and lossless: any hash in
+    the true min-k is in its batch's min-k) — so the streaming estimate
+    is bit-identical to the batch query's and shares its oracle.  The
+    exact counts the gate compares against are verification scaffolding
+    computed from the batch table, not from stream state."""
+    import glob as _glob
+
+    from ..streaming.materialize import session_tmpdir
+
+    od = load_tables(spark, sf_dir)["orders"].select(
+        "o_custkey", "o_orderpriority"
+    )
+    d = session_tmpdir("stream_kmv_")
+    src = f"{d}/src"
+    od.repartition(6).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    store = f"{d}/partials"
+
+    def maintain(bdf: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("grp").orderBy("h")
+        partial = (
+            _kmv_hashes(bdf)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _KMV_K)
+            .drop("rn")
+        )
+        partial.write.mode("overwrite").parquet(
+            f"{store}/batch={batch_id}"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(maintain)
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    n_batches = len(_glob.glob(f"{store}/batch=*"))
+    if n_batches < 2:
+        raise ValueError(
+            f"expected incremental sketch maintenance, got {n_batches}"
+        )
+    merged = spark.read.parquet(store).select("grp", "h")
+    return _kmv_finish(od, _kmv_hashes(od), merged)
