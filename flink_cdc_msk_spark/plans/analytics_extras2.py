@@ -140,6 +140,30 @@ _PR_ITERS = 5
 _PR_DAMP = 0.85
 
 
+def _copurchase_edges(li: DataFrame) -> DataFrame:
+    """lineitem → symmetric distinct (src, dst) part co-purchase edges
+    (parts linked when they ship in the same order)."""
+    li = li.select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d")
+        )
+        .distinct()
+    )
+    return pairs.select(
+        F.col("s").alias("src"), F.col("d").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("d").alias("src"), F.col("s").alias("dst"))
+    )
+
+
 def _pr_oracle() -> str:
     """Unrolled PageRank iterations as chained CTEs — same exact-decimal
     contribution accumulation as the Spark loop."""
@@ -192,26 +216,8 @@ def graph_pagerank_copurchase(spark, sf_dir):
     so the oracle's unrolled-CTE iterations produce identical doubles.
     Symmetric edges mean no dangling-mass term (every node has out-
     degree ≥ 1)."""
-    li = load_tables(spark, sf_dir)["lineitem"].select(
-        "l_orderkey", "l_partkey"
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d")
-        )
-        .distinct()
-    )
-    edges = pairs.select(
-        F.col("s").alias("src"), F.col("d").alias("dst")
-    ).unionAll(
-        pairs.select(F.col("d").alias("src"), F.col("s").alias("dst"))
+    edges = _copurchase_edges(
+        load_tables(spark, sf_dir)["lineitem"]
     ).persist()
     deg = edges.groupBy(F.col("src").alias("part_id")).agg(
         F.count(F.lit(1)).alias("deg")
@@ -763,3 +769,126 @@ def streaming_kmv_sketch_merge(spark, sf_dir):
         )
     merged = spark.read.parquet(store).select("grp", "h")
     return _kmv_finish(od, _kmv_hashes(od), merged)
+
+
+# ------------------------------------- BFS hops (recursive-CTE parity)
+
+_BFS_MAX_HOPS = 4
+
+
+@register(
+    "graph_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (
+      SELECT s AS src, d AS dst FROM pairs
+      UNION ALL SELECT d, s FROM pairs
+    ),
+    seed AS (
+      SELECT DISTINCT l_partkey AS p FROM lineitem
+      WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)
+    ),
+    bfs AS (
+      SELECT p AS part_id, 0 AS hops FROM seed
+      UNION
+      SELECT e.dst, b.hops + 1 FROM bfs b
+      JOIN edges e ON e.src = b.part_id
+      WHERE b.hops < {_BFS_MAX_HOPS}
+    )
+    SELECT part_id, CAST(min(hops) AS INTEGER) AS hops
+    FROM bfs GROUP BY part_id
+    """,
+)
+def graph_bfs_hops(spark, sf_dir):
+    """Breadth-first shortest hop count from a seed set (the parts of
+    the first order) over the co-purchase graph, capped at 4 hops — the
+    WITH RECURSIVE query shape.  Spark has no recursive CTE; the engine
+    emulates it with the standard bounded relaxation loop (each round
+    joins the current distance relation to the edges and re-minimizes —
+    after k rounds every node within k hops carries its exact BFS
+    distance), which is precisely how iterative graph engines compile
+    recursive queries onto a dataflow runtime.  The DuckDB oracle runs
+    a REAL recursive CTE, so a green row proves the emulation equals
+    the native recursion.  All-integer arithmetic — nothing to round.
+    Scale notes: edges persist once and every round reuses the cached
+    relation; at 100 TB the refinement is frontier-delta expansion
+    (join only nodes whose distance changed) — same results, less work
+    per round; the seed lookup is a broadcast 1-row aggregate, never a
+    driver collect."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    edges = _copurchase_edges(li).persist()
+    min_order = li.agg(F.min("l_orderkey").alias("mk"))
+    seed = (
+        li.join(
+            F.broadcast(min_order), F.col("l_orderkey") == F.col("mk")
+        )
+        .select(F.col("l_partkey").alias("part_id"))
+        .distinct()
+    )
+    dist = seed.select("part_id", F.lit(0).alias("hops"))
+    for _ in range(_BFS_MAX_HOPS):
+        expanded = dist.join(
+            edges, dist["part_id"] == edges["src"]
+        ).select(F.col("dst").alias("part_id"), (F.col("hops") + 1).alias("hops"))
+        dist = (
+            dist.unionAll(expanded)
+            .groupBy("part_id")
+            .agg(F.min("hops").alias("hops"))
+            .persist()
+        )
+    return dist.select("part_id", F.col("hops").cast("int").alias("hops"))
+
+
+# ---------------------------------------- multi-format source round-trip
+
+@register(
+    "source_multiformat_roundtrip",
+    oracle="""
+    SELECT fmt, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           round(sum(value), 2) AS total_value
+    FROM events
+    CROSS JOIN (SELECT unnest(['csv', 'orc', 'parquet']) AS fmt)
+    GROUP BY fmt
+    """,
+)
+def source_multiformat_roundtrip(spark, sf_dir):
+    """Source-format surface: the same event rows written to CSV and ORC
+    and read back through each reader, aggregated next to the original
+    parquet scan — one output row per format.  A green row is a LOSSLESS
+    ROUND-TRIP certificate for every format (Java's shortest-round-trip
+    double rendering means even the CSV text path reproduces the exact
+    doubles; any loss would flip the value hash).  Scale note: both
+    writes and all three scans are plain distributed jobs; the CSV read
+    takes an explicit schema — inference would scan the data twice."""
+    from ..streaming.materialize import session_tmpdir
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id", "event_type", "value"
+    )
+    d = session_tmpdir("multifmt_")
+    ev.write.mode("overwrite").option("header", "true").csv(f"{d}/csv")
+    ev.write.mode("overwrite").orc(f"{d}/orc")
+    csv = (
+        spark.read.schema("event_id long, event_type string, value double")
+        .option("header", "true")
+        .csv(f"{d}/csv")
+    )
+    orc = spark.read.orc(f"{d}/orc")
+
+    def agg(df: DataFrame, fmt: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.sum("event_id").alias("id_sum"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ).select(F.lit(fmt).alias("fmt"), "n", "n_types", "id_sum", "total_value")
+
+    return agg(csv, "csv").unionAll(agg(orc, "orc")).unionAll(
+        agg(ev, "parquet")
+    )
