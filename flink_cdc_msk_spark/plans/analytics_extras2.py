@@ -892,3 +892,30 @@ def source_multiformat_roundtrip(spark, sf_dir):
     return agg(csv, "csv").unionAll(agg(orc, "orc")).unionAll(
         agg(ev, "parquet")
     )
+
+
+# --------------------------------------------- LATERAL correlated top-n
+
+_LATERAL_SQL = """
+    SELECT c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+"""
+
+
+@register("join_lateral_topn", oracle=_LATERAL_SQL)
+def join_lateral_topn(spark, sf_dir):
+    """SQL-frontend parity: a correlated LATERAL subquery with ORDER BY
+    LIMIT (each customer's two largest orders) run through ``spark.sql``
+    verbatim — the IDENTICAL SQL text is the DuckDB oracle.  Catalyst
+    decorrelates the lateral limit into a per-key window under the hood
+    (DomainJoin → partitioned rank), so the executed plan is the same
+    scale-safe shape as ``window_topk_per_group``: one shuffle on the
+    correlation key, no per-customer re-execution of the inner query."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
