@@ -141,3 +141,26 @@ def test_streaming_cep_state_crosses_batch_boundary(spark, tmp_path):
     assert r["end_ts"] == "2024-01-01 10:10:00"
     # and it genuinely ran as two micro-batches
     assert (tmp_path / "mat" / "out" / "batch_id=1").exists()
+
+
+def test_ewma_matches_pandas_reference(spark):
+    """Third implementation: pandas ewm(adjust=False, alpha=0.25) over
+    the same per-user time-ordered series must reproduce the engine's
+    fold (the oracle only proves Spark==DuckDB; this catches a shared
+    misunderstanding of the recurrence in both twins)."""
+    from flink_cdc_msk_spark.plans.analytics_extras2 import (
+        events_ewma_smoothing,
+    )
+
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in events_ewma_smoothing(spark, SF_SMALL).collect()
+    }
+    pdf = pd.read_parquet(f"{SF_SMALL}/events.parquet")[
+        ["user_id", "ts", "event_id", "value"]
+    ].sort_values(["user_id", "ts", "event_id"])
+    for uid, g in pdf.groupby("user_id"):
+        ref = g["value"].ewm(alpha=0.25, adjust=False).mean().iloc[-1]
+        n, ewma = got[uid]
+        assert n == len(g)
+        assert abs(ewma - round(ref, 6)) < 1e-9, uid
