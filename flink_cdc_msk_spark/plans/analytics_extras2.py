@@ -209,7 +209,12 @@ def graph_pagerank_copurchase(spark, sf_dir):
     destination; ranks persist per round so round i+1 reads a cached
     relation, not a 5-deep recomputed lineage.  Scale shape: edges
     partition by src once and every iteration reuses that shuffle;
-    per-round state is one (node, rank) row per node.  Bit-reproducible
+    per-round state is one (node, rank) row per node.  CacheManager
+    dedupes persist() by canonicalized plan, so repeated calls in one
+    session reuse the same cache entries instead of accumulating new
+    ones (unpersisting mid-lineage would force exponential recomputation
+    of the iteration chain — the known iterative-dataflow trade-off).
+    Bit-reproducible
     across engines: each contribution rank/deg is ONE IEEE division cast
     to DECIMAL(28,14), the per-destination sum is exact decimal (order-
     independent), and the damping step is a single IEEE multiply-add —
@@ -815,7 +820,8 @@ def graph_bfs_hops(spark, sf_dir):
     a REAL recursive CTE, so a green row proves the emulation equals
     the native recursion.  All-integer arithmetic — nothing to round.
     Scale notes: edges persist once and every round reuses the cached
-    relation; at 100 TB the refinement is frontier-delta expansion
+    relation (CacheManager dedupes repeated calls — see
+    graph_pagerank_copurchase); at 100 TB the refinement is frontier-delta expansion
     (join only nodes whose distance changed) — same results, less work
     per round; the seed lookup is a broadcast 1-row aggregate, never a
     driver collect."""
