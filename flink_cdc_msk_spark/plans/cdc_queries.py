@@ -677,3 +677,107 @@ def source_debezium_jsonl_scan(spark, sf_dir):
             F.max("ts_ms").alias("max_ts"),
         )
     )
+
+
+@register(
+    "streaming_cdc_join_view",
+    oracle="""
+    WITH changes AS (
+        SELECT o_orderkey, o_custkey, 'c' AS op,
+               1700000000000 + o_orderkey AS ts_ms
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'u', 1700001000000 + o_orderkey
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey, NULL, 'd', 1700002000000 + o_orderkey
+        FROM orders WHERE o_orderkey % 20 = 0
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_orderkey ORDER BY ts_ms DESC) AS rn
+      FROM changes
+    )
+    SELECT r.o_orderkey, r.o_custkey,
+           CAST(c.c_nationkey AS BIGINT) AS c_nationkey, r.op, r.ts_ms
+    FROM ranked r LEFT JOIN customer c ON r.o_custkey = c.c_custkey
+    WHERE r.rn = 1 AND r.op <> 'd'
+    """,
+)
+def streaming_cdc_join_view(spark, sf_dir):
+    """Incremental maintenance of a JOIN VIEW (the Materialize-style IVM
+    shape): the materialized table is ``orders latest-state ⋈ customer``,
+    and every micro-batch maintains it by enriching ONLY the batch's
+    changed keys (broadcast dimension join inside the sink's transform
+    hook) before the bucket-merge — the view is never recomputed from
+    the full fact stream, so per-batch work is proportional to the
+    batch while the view stays exactly consistent: deletes tombstone
+    enriched rows, updates re-enrich, and the live view must equal the
+    oracle's declarative join over the compacted feed.  The replay is
+    deliberately HOSTILE: one file per micro-batch in arbitrary order
+    (≥2 batches asserted in-query), so per-key events may arrive out of
+    order — ``retain_tombstones=True`` makes the merged state the global
+    latest-per-key regardless of batch splits, which the oracle hash then
+    proves."""
+    import glob as _glob
+
+    from ..sources.tables import load_tables
+    from ..streaming.compaction import (
+        ParquetUpsertSink,
+        start_compaction_stream,
+    )
+    from ..streaming.materialize import session_tmpdir
+    from ..streaming.pipeline import (
+        snapshot_then_stream_paths,
+        stream_lines_from_directory,
+    )
+
+    cust = load_tables(spark, sf_dir)["customer"].select(
+        "c_custkey", F.col("c_nationkey").cast("bigint").alias("c_nationkey")
+    )
+
+    def enrich(changes):
+        keyed = changes.withColumn(
+            "o_custkey",
+            F.try_element_at("payload", F.lit("o_custkey")).cast("bigint"),
+        )
+        return keyed.join(
+            F.broadcast(cust),
+            keyed["o_custkey"] == cust["c_custkey"],
+            "left",
+        ).drop("c_custkey")
+
+    events = synthesize_mysql_events(spark, sf_dir)
+    d = session_tmpdir("cdc_join_view_")
+    snapshot_then_stream_paths(events, f"{d}/src")
+    stream = stream_lines_from_directory(
+        spark, f"{d}/src", max_files_per_trigger=1
+    )
+    # tombstone retention: the feed files replay in ARBITRARY order
+    # (maxFilesPerTrigger=1 over one distributed write), so a key's delete
+    # can precede its create across batches — retained tombstones make the
+    # final state order-independent (global latest per key); the live view
+    # filters them at read time.
+    sink = ParquetUpsertSink(
+        f"{d}/view",
+        ["o_orderkey"],
+        num_buckets=8,
+        transform=enrich,
+        retain_tombstones=True,
+    )
+    q = start_compaction_stream(stream, sink, f"{d}/ckpt", available_now=True)
+    q.awaitTermination(300)
+    n_batches = len(
+        _glob.glob(f"{d}/ckpt/commits/*")
+    )
+    if n_batches < 2:
+        raise ValueError(
+            f"expected incremental view maintenance, got {n_batches} batches"
+        )
+    view = spark.read.parquet(f"{d}/view").filter(F.col("op") != "d")
+    return view.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        "o_custkey",
+        "c_nationkey",
+        "op",
+        "ts_ms",
+    )

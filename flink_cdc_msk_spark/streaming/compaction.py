@@ -63,11 +63,34 @@ class ParquetUpsertSink:
     keeps the simple full-rewrite (fine for small state)."""
 
     def __init__(
-        self, path: str, pk_cols: list[str], num_buckets: int | None = None
+        self,
+        path: str,
+        pk_cols: list[str],
+        num_buckets: int | None = None,
+        transform=None,
+        retain_tombstones: bool = False,
     ):
+        """``transform`` (optional): a DataFrame→DataFrame applied to each
+        batch's latest-per-key changes BEFORE the merge — this is the
+        incremental-view-maintenance hook (e.g. broadcast-join a dimension
+        so the materialized state is the ENRICHED view; work stays
+        proportional to the batch, the view is never recomputed from
+        scratch).  Must be deterministic and key-preserving; deletes pass
+        through it too, so enrichment joins must be left joins.
+
+        ``retain_tombstones=False`` (default) drops deleted keys at merge
+        time — correct ONLY under the per-key in-order arrival a keyed
+        Kafka topic guarantees (an out-of-order earlier image arriving
+        after the delete would silently resurrect the key).
+        ``retain_tombstones=True`` keeps op='d' rows as tombstones, making
+        the final state ORDER-INDEPENDENT (global latest per key, however
+        the batches were split); readers filter ``op != 'd'`` for the
+        live view, and at scale a TTL compaction retires old tombstones."""
         self.path = path
         self.pk_cols = pk_cols
         self.num_buckets = num_buckets
+        self.transform = transform
+        self.retain_tombstones = retain_tombstones
 
     def _bucket(self) -> F.Column:
         return F.pmod(
@@ -80,6 +103,8 @@ class ParquetUpsertSink:
         changes = latest_per_key(
             parse_change_events(batch, self.pk_cols), self.pk_cols
         )
+        if self.transform is not None:
+            changes = self.transform(changes)
         if self.num_buckets is None:
             self._merge_full(spark, changes)
         else:
@@ -122,7 +147,11 @@ class ParquetUpsertSink:
             if current is None
             else latest_per_key(current.unionByName(changes), self.pk_cols)
         )
-        live = merged.filter(F.col("op") != "d")
+        live = (
+            merged
+            if self.retain_tombstones
+            else merged.filter(F.col("op") != "d")
+        )
         # stage to a NEW dir (the plan still reads the live table), then swap
         stage = f"{self.path}__stage"
         live.write.mode("overwrite").parquet(stage)
@@ -144,7 +173,11 @@ class ParquetUpsertSink:
                 ).unionByName(changes),
                 self.pk_cols,
             )
-        live = merged.filter(F.col("op") != "d")
+        live = (
+            merged
+            if self.retain_tombstones
+            else merged.filter(F.col("op") != "d")
+        )
         try:
             # stage ONLY the touched buckets, then swap each bucket dir in:
             # replaced buckets point at the staged write; a touched bucket

@@ -164,3 +164,38 @@ def test_ewma_matches_pandas_reference(spark):
         n, ewma = got[uid]
         assert n == len(g)
         assert abs(ewma - round(ref, 6)) < 1e-9, uid
+
+
+def test_tombstone_retention_survives_out_of_order_delete(spark, tmp_path):
+    """A late-arriving earlier image after a delete must NOT resurrect the
+    key when tombstones are retained — and the default in-order mode
+    documents exactly this hazard (it would resurrect)."""
+    import json as _json
+
+    from pyspark.sql import functions as F2
+
+    from flink_cdc_msk_spark.streaming.compaction import ParquetUpsertSink
+
+    def env(op, key, ts):
+        return _json.dumps(
+            {
+                "before": {"o_orderkey": key} if op == "d" else None,
+                "after": {"o_orderkey": key} if op != "d" else None,
+                "source": {"db": "test_db", "table": "orders"},
+                "op": op,
+                "ts_ms": ts,
+            }
+        )
+
+    for retain, expect_live in ((True, 0), (False, 1)):
+        path = str(tmp_path / f"state_{retain}")
+        sink = ParquetUpsertSink(
+            path, ["o_orderkey"], retain_tombstones=retain
+        )
+        sink(spark.createDataFrame([(env("c", 1, 1),)], "value string"), 0)
+        sink(spark.createDataFrame([(env("d", 1, 3),)], "value string"), 1)
+        # the late batch: an UPDATE whose ts predates the delete
+        sink(spark.createDataFrame([(env("u", 1, 2),)], "value string"), 2)
+        state = spark.read.parquet(path)
+        live = state.filter(F2.col("op") != "d").count()
+        assert live == expect_live, f"retain_tombstones={retain}"
