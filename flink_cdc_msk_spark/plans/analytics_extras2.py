@@ -925,3 +925,88 @@ def join_lateral_topn(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+# ------------------------------------- cogrouped applyInPandas surface
+
+@register(
+    "pandas_cogroup_reconcile",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                    * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+                AS BIGINT) AS computed_scaled,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey % 10 = 0
+    GROUP BY o_orderkey, o_totalprice
+    """,
+)
+def pandas_cogroup_reconcile(spark, sf_dir):
+    """COGROUPED ``applyInPandas`` — the one grouped-UDF API the rest of
+    the surface doesn't exercise: orders and lineitem are each grouped
+    on the order key and the pairs of pandas frames meet in one Python
+    function, which re-derives the order's price from its line items
+    (the TPC-H consistency identity Σ extprice·(1−disc)·(1+tax)) next
+    to the stored total.  Arithmetic is integer-scaled cents×pct×pct —
+    exact, so the output is hash-stable regardless of pandas summation
+    order and the oracle reproduces it bit-for-bit with DECIMAL-free
+    BIGINT math.  Scale shape: both sides shuffle ONCE on the cogroup
+    key and stream through Arrow in per-key batches; memory is bounded
+    by the largest single order, never the table."""
+    import pandas as pd
+
+    # every 10th order: cogroup costs one Python call per KEY, so the
+    # demonstration samples the keyspace (pushdown-filtered on both scans)
+    # — the API surface and the exact arithmetic are what's under test
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = t["lineitem"].filter(F.col("l_orderkey") % 10 == 0).select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_tax"
+    )
+
+    def reconcile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                columns=[
+                    "o_orderkey",
+                    "totalprice_cents",
+                    "computed_scaled",
+                    "n_items",
+                ]
+            )
+        ep = (right["l_extendedprice"] * 100).round().astype("int64")
+        d = (right["l_discount"] * 100).round().astype("int64")
+        tx = (right["l_tax"] * 100).round().astype("int64")
+        comp = int((ep * (100 - d) * (100 + tx)).sum())
+        row = left.iloc[0]
+        return pd.DataFrame(
+            [
+                [
+                    int(row["o_orderkey"]),
+                    int(round(row["o_totalprice"] * 100)),
+                    comp,
+                    len(right),
+                ]
+            ],
+            columns=[
+                "o_orderkey",
+                "totalprice_cents",
+                "computed_scaled",
+                "n_items",
+            ],
+        )
+
+    return (
+        orders.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(
+            reconcile,
+            "o_orderkey bigint, totalprice_cents bigint, "
+            "computed_scaled bigint, n_items bigint",
+        )
+    )
