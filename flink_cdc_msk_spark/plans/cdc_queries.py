@@ -746,7 +746,10 @@ def streaming_cdc_join_view(spark, sf_dir):
             "left",
         ).drop("c_custkey")
 
-    events = synthesize_mysql_events(spark, sf_dir)
+    # bound the replay to 6 files → 6 micro-batches: the multi-batch,
+    # out-of-order property under test is preserved while the number of
+    # state merges stays constant across scale factors
+    events = synthesize_mysql_events(spark, sf_dir).repartition(6)
     d = session_tmpdir("cdc_join_view_")
     snapshot_then_stream_paths(events, f"{d}/src")
     stream = stream_lines_from_directory(
