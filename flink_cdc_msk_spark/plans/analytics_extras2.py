@@ -1010,3 +1010,133 @@ def pandas_cogroup_reconcile(spark, sf_dir):
             "computed_scaled bigint, n_items bigint",
         )
     )
+
+
+# -------------------------------------------- mode / 3VL / bitwise
+
+@register(
+    "agg_mode_per_group",
+    oracle="""
+    SELECT event_type, mode_user, CAST(n AS BIGINT) AS n
+    FROM (
+      SELECT event_type, user_id AS mode_user, count(*) AS n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY count(*) DESC, user_id) AS rn
+      FROM events GROUP BY event_type, user_id
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode_per_group(spark, sf_dir):
+    """Deterministic MODE per group (the most frequent user per event
+    type, smallest user on ties) — built as count + per-group rank
+    rather than the engines' native ``mode()`` aggregates, whose
+    tie-breaking is implementation-defined and would flake the hash.
+    Two shuffles: the (type, user) count (map-side partial) and the
+    per-type rank over the already-aggregated counts."""
+    ev = load_tables(spark, sf_dir)["events"]
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n"), "user_id"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("user_id").alias("mode_user"), "n")
+    )
+
+
+@register(
+    "scalar_three_valued_in",
+    oracle="""
+    WITH sample AS (
+      SELECT o_custkey FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    nullset AS (
+      SELECT nullif(c_custkey, (SELECT min(c_custkey) FROM customer
+                                WHERE c_nationkey = 3)) AS k
+      FROM customer WHERE c_nationkey = 3
+    ),
+    cleanset AS (
+      SELECT c_custkey AS k FROM customer WHERE c_nationkey = 3
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM sample
+       WHERE o_custkey IN (SELECT k FROM nullset)) AS n_in_nullset,
+      (SELECT CAST(count(*) AS BIGINT) FROM sample
+       WHERE o_custkey NOT IN (SELECT k FROM nullset)) AS n_notin_nullset,
+      (SELECT CAST(count(*) AS BIGINT) FROM sample
+       WHERE o_custkey NOT IN (SELECT k FROM cleanset)) AS n_notin_cleanset
+    """,
+)
+def scalar_three_valued_in(spark, sf_dir):
+    """Three-valued IN / NOT IN semantics in FILTER context — the classic
+    SQL trap: ``NOT IN`` over a subquery containing a NULL keeps NO rows
+    (UNKNOWN is not TRUE), so ``n_notin_nullset`` must be 0 while the
+    clean-set variant keeps everything outside the set.  The NULLed
+    element is the set's own minimum, so the NULL is guaranteed present
+    at every scale factor; Spark compiles the NOT IN to a null-aware
+    anti-join and both engines follow ANSI here.
+
+    ENGINE-PARITY NOTE (found while building this query): in PROJECTION
+    context Spark renders ``x IN (subquery-with-NULL)`` as false where
+    ANSI (and DuckDB) say UNKNOWN/NULL — e.g. ``SELECT 5 IN (SELECT
+    CAST(NULL AS BIGINT))`` is ``false`` in Spark 4, ``NULL`` in DuckDB.
+    Filter context is unaffected (UNKNOWN and FALSE both drop the row),
+    which is why this query asserts the semantics through counts."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH sample AS (
+          SELECT o_custkey FROM orders WHERE o_orderkey % 100 = 0
+        ),
+        nullset AS (
+          SELECT nullif(c_custkey, (SELECT min(c_custkey) FROM customer
+                                    WHERE c_nationkey = 3)) AS k
+          FROM customer WHERE c_nationkey = 3
+        ),
+        cleanset AS (
+          SELECT c_custkey AS k FROM customer WHERE c_nationkey = 3
+        )
+        SELECT
+          (SELECT count(*) FROM sample
+           WHERE o_custkey IN (SELECT k FROM nullset)) AS n_in_nullset,
+          (SELECT count(*) FROM sample
+           WHERE o_custkey NOT IN (SELECT k FROM nullset))
+             AS n_notin_nullset,
+          (SELECT count(*) FROM sample
+           WHERE o_custkey NOT IN (SELECT k FROM cleanset))
+             AS n_notin_cleanset
+        """
+    )
+
+
+@register(
+    "scalar_bitwise_funcs",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS low_byte,
+           CAST(xor(event_id, user_id) AS BIGINT) AS xored,
+           CAST(bit_count(event_id) AS INTEGER) AS pop,
+           event_id << 2 AS shl,
+           event_id >> 3 AS shr
+    FROM events WHERE event_id % 50 = 0
+    """,
+)
+def scalar_bitwise_funcs(spark, sf_dir):
+    """Bitwise scalar family over 64-bit ids: AND-mask, XOR, popcount,
+    shifts — the primitives the Z-order/SimHash operators build on,
+    exposed as a named surface.  Pure codegen expressions, map-side
+    only."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.filter(F.col("event_id") % 50 == 0).select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("event_id").bitwiseXOR(F.col("user_id")).alias("xored"),
+        F.bit_count("event_id").alias("pop"),
+        F.shiftleft("event_id", 2).alias("shl"),
+        F.shiftright("event_id", 3).alias("shr"),
+    )
