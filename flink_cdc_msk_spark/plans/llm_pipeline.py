@@ -2259,3 +2259,107 @@ def scalar_regexp_funcs(spark, sf_dir):
         .otherwise(0)
         .alias("has_stream_then_batch"),
     )
+
+
+# ------------------------------------- streaming near-dup ingest gate
+
+_ND_SLABS = 4
+
+
+def _neardup_ingest_oracle() -> str:
+    """Unrolled replay of the streaming filter's admission semantics:
+    per slab, drop docs near-dup to anything ALREADY ADMITTED (greedy
+    across slabs), then within the slab keep only docs with no lower-id
+    surviving near-dup (the filter's batch-internal closed form)."""
+    rounds = ["a0 AS (SELECT CAST(NULL AS BIGINT) AS id WHERE false)"]
+    for k in range(1, _ND_SLABS + 1):
+        rounds.append(f"""
+    surv{k} AS (
+      SELECT s.id FROM slabs s WHERE s.slab = {k} AND NOT EXISTS (
+        SELECT 1 FROM pairs p JOIN a{k - 1} a
+          ON (p.id1 = s.id AND p.id2 = a.id)
+          OR (p.id2 = s.id AND p.id1 = a.id))
+    ),
+    adm{k} AS (
+      SELECT x.id FROM surv{k} x WHERE NOT EXISTS (
+        SELECT 1 FROM pairs p JOIN surv{k} y ON p.id1 = y.id
+        WHERE p.id2 = x.id)
+    ),
+    a{k} AS (SELECT id FROM a{k - 1} UNION ALL SELECT id FROM adm{k})""")
+    return f"""
+    WITH {_JACCARD_CTES},
+    slabs AS (
+      SELECT doc_id AS id,
+             ntile({_ND_SLABS}) OVER (ORDER BY doc_id) AS slab
+      FROM docs
+    ),
+    {','.join(rounds)}
+    SELECT id AS doc_id FROM a{_ND_SLABS}
+    """
+
+
+@register("streaming_neardup_ingest", oracle=_neardup_ingest_oracle())
+def streaming_neardup_ingest(spark, sf_dir):
+    """The cross-batch streaming NEAR-dup filter run end-to-end as a
+    driver-visible query — the training-data ingest gate beyond
+    dropDuplicatesWithinWatermark: every micro-batch signatures its docs
+    (map-side MinHash), band-joins them against the PERSISTENT store of
+    everything already admitted (unbounded lookback), verifies
+    candidates with exact hashed-unit Jaccard, dedups within the batch,
+    and appends the survivors' signatures.  The corpus replays as 4
+    doc_id-ordered slabs (forced mtimes ⇒ deterministic batch order,
+    ≥2 batches asserted in-query).  The oracle REPLAYS the exact
+    admission semantics — greedy across slabs over admitted docs,
+    closed-form within each slab — as 4 unrolled SQL rounds over the
+    exact jaccard≥0.8 pair set, so a green row certifies BOTH the
+    banding recall (a missed candidate would admit a dup) and the
+    cross-batch state machinery, with no convergence assumption."""
+    import glob as _glob
+    import os
+
+    from ..streaming.dedup_stream import (
+        StreamingNearDupFilter,
+        start_near_dup_stream,
+    )
+    from ..streaming.materialize import session_tmpdir
+    from pyspark.sql.window import Window
+
+    docs = _docs_with_near_dups(spark, sf_dir).select("doc_id", "text")
+    d = session_tmpdir("neardup_ingest_")
+    src = f"{d}/src"
+    slabbed = docs.withColumn(
+        "slab", F.ntile(_ND_SLABS).over(Window.orderBy("doc_id"))
+    )
+    for s in range(1, _ND_SLABS + 1):
+        (
+            slabbed.filter(F.col("slab") == s)
+            .drop("slab")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .json(f"{src}/s{s:02d}")
+        )
+    base = os.stat(src).st_mtime
+    for s in range(1, _ND_SLABS + 1):
+        for f in _glob.glob(f"{src}/s{s:02d}/part-*.json"):
+            os.utime(f, (base + s, base + s))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(f"{src}/s*")
+    )
+    filt = StreamingNearDupFilter(
+        f"{d}/store",
+        f"{d}/out",
+        threshold=0.8,
+        num_hashes=32,
+        bands=8,
+        ngram=3,
+    )
+    q = start_near_dup_stream(stream, filt, f"{d}/ckpt", available_now=True)
+    q.awaitTermination(300)
+    n_batches = len(_glob.glob(f"{d}/store/batch_id=*"))
+    if n_batches < 2:
+        raise ValueError(
+            f"expected incremental ingest, got {n_batches} batches"
+        )
+    return spark.read.parquet(f"{d}/out").select("doc_id")
