@@ -1140,3 +1140,60 @@ def scalar_bitwise_funcs(spark, sf_dir):
         F.shiftleft("event_id", 2).alias("shl"),
         F.shiftright("event_id", 3).alias("shr"),
     )
+
+
+# ---------------------------------------------- schema-evolution scan
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+    SELECT batch, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           round(sum(coalesce(o_totalprice, 0)), 2) AS price_sum,
+           CAST(count(o_totalprice) AS BIGINT) AS n_with_price
+    FROM (
+      SELECT 'v1' AS batch, o_orderkey,
+             CAST(NULL AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT 'v2', o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 1
+    ) GROUP BY batch
+    """,
+)
+def source_schema_evolution(spark, sf_dir):
+    """Schema evolution on the lake: two parquet batches written with
+    DIFFERENT schemas (v1 lacks the price column; v2 adds it) are read
+    back through ONE ``mergeSchema`` scan — the widened schema NULL-fills
+    the missing column for old files, which the per-batch aggregates
+    then prove (v1 has rows but zero non-null prices).  This is the
+    append-only schema-drift story for a 100 TB ingest: old files are
+    never rewritten; the scan reconciles.  The oracle models the same
+    widening with an explicit NULL-filled union."""
+    from ..streaming.materialize import session_tmpdir
+
+    od = load_tables(spark, sf_dir)["orders"]
+    d = session_tmpdir("schema_evo_")
+    (
+        od.filter(F.col("o_orderkey") % 2 == 0)
+        .select(F.lit("v1").alias("batch"), "o_orderkey")
+        .write.mode("overwrite")
+        .parquet(f"{d}/lake/b1")
+    )
+    (
+        od.filter(F.col("o_orderkey") % 2 == 1)
+        .select(F.lit("v2").alias("batch"), "o_orderkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(f"{d}/lake/b2")
+    )
+    scan = spark.read.option("mergeSchema", "true").parquet(
+        f"{d}/lake/b1", f"{d}/lake/b2"
+    )
+    return scan.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.round(F.sum(F.coalesce("o_totalprice", F.lit(0.0))), 2).alias(
+            "price_sum"
+        ),
+        F.count("o_totalprice").alias("n_with_price"),
+    )
