@@ -29,6 +29,34 @@ CEP_STATE_SCHEMA = (
 TS_FULL = "yyyy-MM-dd HH:mm:ss.SSSSSS"  # lexicographically time-ordered
 
 
+def advance_automaton(prev_state, uid, batch, pattern, within_days):
+    """The PURE per-key NFA step: ((t1,s1,i1,t2,s2,i2) state, a pandas
+    batch of (event_id, event_type, tss)) → (new state, emitted match
+    tuples).  Factored out of the streaming closure so the cross-batch
+    property — any split of a stream into batches yields the same
+    concatenated matches as one pass — is testable without a stream
+    (hypothesis test in tests/test_analytics_extras2.py)."""
+    import pandas as pd
+
+    p0, p1, p2 = pattern
+    bound = pd.Timedelta(days=within_days)
+    t1, s1, i1, t2, s2, i2 = prev_state
+    # per-key in-batch order: strings sort as time (TS_FULL)
+    batch = batch.sort_values(["tss", "event_id"])
+    out: list[tuple] = []
+    for r in batch.itertuples(index=False):
+        if (
+            t1 == p0
+            and t2 == p1
+            and r.event_type == p2
+            and pd.to_datetime(r.tss) <= pd.to_datetime(s1) + bound
+        ):
+            out.append((uid, i1, r.event_id, s1[:19], r.tss[:19]))
+        t1, s1, i1 = t2, s2, i2
+        t2, s2, i2 = r.event_type, r.tss, r.event_id
+    return (t1, s1, i1, t2, s2, i2), out
+
+
 def cep_strict_triple(
     events: DataFrame,
     pattern: tuple[str, str, str] = ("view", "click", "purchase"),
@@ -44,29 +72,13 @@ def cep_strict_triple(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    p0, p1, p2 = pattern
-    bound = pd.Timedelta(days=within_days)
-
     def fn(key_tuple, pdfs, state: GroupState):
-        t1, s1, i1, t2, s2, i2 = (
-            state.get if state.exists else ("", "", -1, "", "", -1)
-        )
+        prev = state.get if state.exists else ("", "", -1, "", "", -1)
         batch = pd.concat(list(pdfs), ignore_index=True)
-        # per-key in-batch order: strings sort as time (TS_FULL)
-        batch = batch.sort_values(["tss", "event_id"])
-        out: list[tuple] = []
-        uid = key_tuple[0]
-        for r in batch.itertuples(index=False):
-            if (
-                t1 == p0
-                and t2 == p1
-                and r.event_type == p2
-                and pd.to_datetime(r.tss) <= pd.to_datetime(s1) + bound
-            ):
-                out.append((uid, i1, r.event_id, s1[:19], r.tss[:19]))
-            t1, s1, i1 = t2, s2, i2
-            t2, s2, i2 = r.event_type, r.tss, r.event_id
-        state.update((t1, s1, i1, t2, s2, i2))
+        new_state, out = advance_automaton(
+            prev, key_tuple[0], batch, pattern, within_days
+        )
+        state.update(new_state)
         yield pd.DataFrame(
             out,
             columns=[

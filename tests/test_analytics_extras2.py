@@ -199,3 +199,79 @@ def test_tombstone_retention_survives_out_of_order_delete(spark, tmp_path):
         state = spark.read.parquet(path)
         live = state.filter(F2.col("op") != "d").count()
         assert live == expect_live, f"retain_tombstones={retain}"
+
+
+def test_cep_automaton_split_invariance_property():
+    """Hypothesis: for ANY time-ordered event stream and ANY split into
+    micro-batches, threading the automaton state across batches yields
+    exactly the single-pass matches, which equal a brute-force scan for
+    strictly-consecutive (view, click, purchase) triples within the
+    window — the property that makes the streaming CEP query equal its
+    batch oracle regardless of slab boundaries."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flink_cdc_msk_spark.streaming.cep import advance_automaton
+
+    types = ["view", "click", "purchase", "error"]
+    events_strategy = st.lists(
+        st.tuples(st.sampled_from(types), st.integers(0, 3_000_000)),
+        min_size=0,
+        max_size=30,
+    )
+
+    def mk_batch(rows):
+        return pd.DataFrame(
+            rows, columns=["event_id", "event_type", "tss"]
+        )
+
+    @settings(max_examples=150, deadline=None)
+    @given(events=events_strategy, data=st.data())
+    def run(events, data):
+        # build a time-ordered stream with unique (tss, event_id)
+        rows = []
+        t0 = pd.Timestamp("2024-01-01")
+        acc = 0
+        for i, (etype, gap_s) in enumerate(events):
+            acc += gap_s
+            ts = t0 + pd.Timedelta(seconds=acc)
+            rows.append((i, etype, ts.strftime("%Y-%m-%d %H:%M:%S.%f")))
+        # brute force: strictly consecutive triples within 1 day
+        expected = []
+        for i in range(len(rows) - 2):
+            (ia, ta, sa), (_, tb, _), (ic, tc, sc) = (
+                rows[i], rows[i + 1], rows[i + 2],
+            )
+            if (
+                ta == "view" and tb == "click" and tc == "purchase"
+                and pd.to_datetime(sc)
+                <= pd.to_datetime(sa) + pd.Timedelta(days=1)
+            ):
+                expected.append((7, ia, ic, sa[:19], sc[:19]))
+        # single pass
+        state0 = ("", "", -1, "", "", -1)
+        _, single = advance_automaton(
+            state0, 7, mk_batch(rows), ("view", "click", "purchase"), 1
+        )
+        assert single == expected
+        # arbitrary contiguous split into batches
+        cuts = sorted(
+            data.draw(
+                st.lists(
+                    st.integers(0, len(rows)), min_size=0, max_size=4
+                )
+            )
+        )
+        state, out = state0, []
+        prev = 0
+        for c in cuts + [len(rows)]:
+            state, emitted = advance_automaton(
+                state, 7, mk_batch(rows[prev:c]),
+                ("view", "click", "purchase"), 1,
+            )
+            out.extend(emitted)
+            prev = c
+        assert out == expected
+
+    run()
