@@ -2363,3 +2363,64 @@ def streaming_neardup_ingest(spark, sf_dir):
             f"expected incremental ingest, got {n_batches} batches"
         )
     return spark.read.parquet(f"{d}/out").select("doc_id")
+
+
+@register(
+    "llm_dataset_card",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_tokens
+      FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(n_tokens), 2) AS mean_tokens,
+           round(median(n_chars), 1) AS median_chars,
+           round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                 / count(*), 4) AS en_share,
+           CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+             AS n_exact_dups
+    FROM base
+    """,
+)
+def llm_dataset_card(spark, sf_dir):
+    """The DATASET CARD in one row — the corpus-level summary a training
+    run records before touching the data: document / language / source
+    counts, token totals and means (whitespace tokenization, matching
+    text_token_stats), median document length (rounded to 1dp — an even-count median can
+    land on .5, where bigint casts truncate vs round differently across
+    engines), English share, and the
+    exact-duplicate count (docs minus distinct content fingerprints).
+    One scan, two aggregates (the global stats and the distinct-md5
+    count share the shuffle-free map side); every output is rounded or
+    integral so the card is hash-stable.  At 100 TB this is the cheap
+    pre-flight before the expensive pipeline stages — and its numbers
+    feed directly into sampling temperatures and dedup budgets."""
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("n_tokens"),
+        F.md5("text").alias("fp"),
+    )
+    return base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 2).alias("mean_tokens"),
+        F.round(F.median("n_chars"), 1).alias("median_chars"),
+        F.round(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("en_share"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_exact_dups"),
+    )
