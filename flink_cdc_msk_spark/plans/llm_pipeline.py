@@ -2424,3 +2424,39 @@ def llm_dataset_card(spark, sf_dir):
         ).alias("en_share"),
         (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_exact_dups"),
     )
+
+
+_BPE_PAT = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+@register(
+    "text_bpe_regex_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                AS BIGINT) AS n_ws_tokens,
+           round(len(regexp_extract_all(text, '{_BPE_PAT}'))
+                 / len(list_filter(string_split(text, ' '), t -> t <> '')),
+                 4) AS fertility
+    FROM documents
+    """,
+)
+def text_bpe_regex_tokens(spark, sf_dir):
+    """Token counting with a BPE-style PRE-TOKENIZER regex (the GPT-2
+    pattern family: letter runs, digit runs, punctuation runs, each with
+    optional leading space — restricted to ASCII classes so Java regex
+    and RE2 agree byte-for-byte, pinned by the oracle hash on every doc)
+    next to the whitespace count, plus the fertility ratio between them
+    — the number a tokenizer-budget estimate actually needs.  Map-side
+    regexp_extract_all; no shuffle."""
+    d = _docs(spark, sf_dir)
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), 0))
+    n_ws = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    return d.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        n_ws.alias("n_ws_tokens"),
+        F.round(n_bpe / n_ws, 4).alias("fertility"),
+    )
