@@ -38,13 +38,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # 50 rows, in dict order).  With >50 registered queries we rotate:
 # queries already hash-verified by the driver in an earlier round move to
 # the back so every query earns a driver row across rounds.  The set
-# below is the union of green rows across CORRECTNESS_r01–r03
-# (93 names).  NOT listed (therefore tier 0, front of the sweep):
-#   - the 35 round-3 registrations never driver-checked,
-#   - embedding_centroid_per_label / embedding_quantize (FAILED in r3 on
-#     array-column canonicalization; outputs now string-serialized),
-#   - the no_oracle rows re-worked to deterministic oracles this round,
-#   - anything newly registered in round 4.
+# below is the union of green rows across CORRECTNESS_r01–r03 (93 names).
+# Tier order: canaries (3) → tier-1 backlog (everything neither verified
+# nor in _NEW_R4 — oldest unverified first) → _NEW_R4 in listed order →
+# verified.
+#
+# ROUND-5 MAINTENANCE (do this FIRST): add CORRECTNESS_r04's green names
+# to _DRIVER_VERIFIED and fold _NEW_R4's then-verified entries away, so
+# the r5 sweep spends all 50 slots on still-unverified registrations.
 _DRIVER_VERIFIED = frozenset(
     {
         # r1/r2 greens
