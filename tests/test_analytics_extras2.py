@@ -275,3 +275,33 @@ def test_cep_automaton_split_invariance_property():
         assert out == expected
 
     run()
+
+
+def test_kmv_merge_lossless_property():
+    """The lemma streaming_kmv_sketch_merge rests on: the k smallest
+    distinct hashes of a union equal the k smallest of the union of
+    per-chunk k-smallest partials, for ANY chunking — KMV merge is
+    lossless. Hypothesis drives random value multisets and splits."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    K = 8
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        values=st.lists(st.integers(0, 10_000), min_size=0, max_size=120),
+        n_chunks=st.integers(1, 6),
+        data=st.data(),
+    )
+    def run(values, n_chunks, data):
+        chunks = [[] for _ in range(n_chunks)]
+        for v in values:
+            chunks[data.draw(st.integers(0, n_chunks - 1))].append(v)
+        direct = sorted(set(values))[:K]
+        partials = []
+        for c in chunks:
+            partials.extend(sorted(set(c))[:K])
+        merged = sorted(set(partials))[:K]
+        assert merged == direct
+
+    run()
