@@ -118,6 +118,7 @@ _NEW_R4 = (
     "agg_mode_per_group", "scalar_three_valued_in", "scalar_bitwise_funcs",
     "streaming_neardup_ingest", "source_schema_evolution",
     "llm_dataset_card", "text_bpe_regex_tokens",
+    "streaming_watermark_late_drop",
     "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
     "q9_product_profit", "q11_important_stock",
     "q16_supplier_part_count", "q20_part_promotion",

@@ -1134,3 +1134,103 @@ def streaming_static_enrich(spark, sf_dir):
         "n",
         "total_value",
     )
+
+
+@register(
+    "streaming_watermark_late_drop",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE date_trunc('day', ts) = DATE '2024-01-05'
+    GROUP BY 1, 2
+    """,
+)
+def streaming_watermark_late_drop(spark, sf_dir):
+    """Watermark EXCLUSION proven against the oracle — every other
+    streaming query equals its full-batch twin; this one must NOT: the
+    replay is (1) all of 2024-01-05, (2) a sentinel 4h past the day's
+    max that finalizes and EVICTS every real window at that batch's end,
+    then (3) LATE clones of the day's hour-2 events (shifted ids, same
+    timestamps).  Spark's aggregation merges late rows as long as the
+    window state is alive and only DROPS them once the watermark has
+    evicted the window — eviction runs at batch end, so the late slab
+    must trail the eviction batch (measured: a 2-slab replay silently
+    double-counts).  The query asserts ≥3 micro-batches AND
+    numRowsDroppedByWatermark ≥ 1 from the query progress, and the
+    oracle aggregates only the real day — if the clones leaked, hour-2
+    counts would double and the hash would go red."""
+    import glob as _glob
+    import os
+    from datetime import timedelta
+
+    from ..streaming.materialize import session_tmpdir
+    from ..streaming.windows import tumbling_counts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ev(spark, sf_dir).select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    day = ev.filter(F.to_date("ts") == "2024-01-05")
+    late_clones = day.filter(F.hour("ts") == 2).select(
+        "ts",
+        (F.col("event_id") + 10_000_000).alias("event_id"),
+        "event_type",
+        "value",
+    )
+    max_ts = day.agg(F.max("ts")).first()[0]  # 1-row bound lookup
+    sentinel = spark.createDataFrame(
+        [(max_ts + timedelta(hours=4), -1, "__sentinel__", 0.0)],
+        "ts timestamp, event_id long, event_type string, value double",
+    )
+    d = session_tmpdir("late_drop_")
+    src = f"{d}/src"
+    day.coalesce(1).write.mode("overwrite").parquet(f"{src}/s01")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(f"{src}/s02")
+    late_clones.coalesce(1).write.mode("overwrite").parquet(f"{src}/s03")
+    base = os.stat(src).st_mtime
+    for s in (1, 2, 3):
+        for f in _glob.glob(f"{src}/s{s:02d}/part-*.parquet"):
+            os.utime(f, (base + s, base + s))
+    stream = (
+        spark.readStream.schema(
+            "ts timestamp, event_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/s*")
+    )
+    out = tumbling_counts(
+        stream.drop("event_id"), window="1 hour", watermark="2 hours"
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", f"{d}/out")
+        .option("checkpointLocation", f"{d}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    progress = q.recentProgress
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+         if p["stateOperators"] else 0)
+        for p in progress
+    )
+    n_batches = len(_glob.glob(f"{d}/ckpt/commits/*"))
+    if n_batches < 3:
+        raise ValueError(f"expected >=3 micro-batches, got {n_batches}")
+    if dropped < 1:
+        raise ValueError("watermark dropped nothing - late rows leaked")
+    scan = spark.read.parquet(f"{d}/out")
+    return scan.filter(F.col("event_type") != "__sentinel__").select(
+        F.date_format("window_start", TS_FMT).alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
