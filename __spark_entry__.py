@@ -43,9 +43,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # nor in _NEW_R4 — oldest unverified first) → _NEW_R4 in listed order →
 # verified.
 #
-# ROUND-5 MAINTENANCE (do this FIRST): add CORRECTNESS_r04's green names
-# to _DRIVER_VERIFIED and fold _NEW_R4's then-verified entries away, so
-# the r5 sweep spends all 50 slots on still-unverified registrations.
+# ROUND-5 MAINTENANCE: DONE — CORRECTNESS_r04's 50 green names are folded
+# in below and _NEW_R4's then-verified entries (kmeans, bloom_prefilter,
+# train_test_split, static_enrich) removed, so the r5 front-50 is exactly
+# 3 canaries + the 38-query backlog + 9 oldest verified re-verifies.
+# ROUND-6 MAINTENANCE (do this FIRST next round): same fold with
+# CORRECTNESS_r05's green names.
 _DRIVER_VERIFIED = frozenset(
     {
         # r1/r2 greens
@@ -84,6 +87,29 @@ _DRIVER_VERIFIED = frozenset(
         "text_lang_id", "text_pack_sequences", "text_pii_scrub",
         "text_quality_score", "text_repetition", "text_tfidf_top_terms",
         "text_token_stats", "text_top_terms", "window_range_frame",
+        # r4 greens (CORRECTNESS_r04.json — 50/50 hash-verified; the three
+        # canaries were already listed above)
+        "agg_approx_percentiles", "agg_hll_sketch", "agg_rollup_grouping_id",
+        "cdc_schema_drift_rescue", "dedup_bloom_prefilter",
+        "dedup_minhash_lsh", "dedup_minhash_recall_gate", "dedup_simhash",
+        "dedup_simhash_recall_gate", "embedding_ann_ivf",
+        "embedding_ann_recall_gate", "embedding_centroid_per_label",
+        "embedding_kmeans", "embedding_lsh_recall_gate",
+        "embedding_near_dup_lsh", "embedding_quantize",
+        "events_cohort_retention", "events_funnel_conversion",
+        "events_resample_gapfill", "events_sliding_distinct_users",
+        "join_asof_forward_tolerance", "llm_corpus_pipeline_v2",
+        "multimodal_resize", "q13_order_count_distribution",
+        "q15_top_supplier", "q17_small_quantity_revenue", "q21_last_shipper",
+        "q22_idle_customers", "q4_priority_late_exists", "sample_temperature",
+        "sample_train_test_split", "scalar_calendar_funcs",
+        "scalar_map_funcs", "scalar_regexp_funcs", "scalar_try_funcs",
+        "scalar_variant_funcs", "streaming_incremental_batches",
+        "streaming_interval_join", "streaming_left_outer_interval_join",
+        "streaming_static_enrich", "streaming_tws_user_stats",
+        "text_edit_distance_pairs", "text_gopher_filter",
+        "text_segment_dedup", "text_token_runs_udtf",
+        "unpivot_price_components", "window_nulls_ordering",
     }
 )
 
@@ -102,8 +128,6 @@ _CANARIES = ("q1_pricing_summary", "cdc_route_keys", "dedup_token_jaccard")
 # earlier names here — new OPERATOR categories (clustering, bloom dedup,
 # split, stream-static join) outrank additional TPC-H shapes.
 _NEW_R4 = (
-    "embedding_kmeans", "dedup_bloom_prefilter",
-    "sample_train_test_split", "streaming_static_enrich",
     "source_debezium_jsonl_scan",
     "agg_count_min_heavy_hitters", "sample_weighted_topn",
     "embedding_pq_adc_topk", "events_hypertable_rollup",
