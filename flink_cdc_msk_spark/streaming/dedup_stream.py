@@ -16,6 +16,15 @@ store:
 At scale the store is the natural bottleneck — it is read via its band
 columns only (narrow projection) and grows by admitted docs only. The
 band join is linear in batch×store collision count, never batch×store.
+
+Verify state: admitted docs' hashed unit-sets are persisted as a sidecar
+table (``<store_path>_sets``, one (id, toks) row per admitted doc) at the
+same time as their band rows.  Step 3 joins candidates against that
+sidecar directly — per-batch verify work is O(candidate pairs) plus a
+columnar (id, toks) scan, NOT a re-tokenization (explode + groupBy over
+every admitted doc's text) whose cost would grow with the corpus.  At
+cluster scale the sidecar can additionally be bucketed by id so the
+candidate join co-locates without a shuffle.
 """
 
 from __future__ import annotations
@@ -63,8 +72,9 @@ class StreamingNearDupFilter:
     """foreachBatch target: admit only docs that are not near-dups of any
     previously admitted doc (or of an earlier doc in the same batch).
 
-    ``store_path`` holds (id, band, bucket) rows of admitted docs —
-    the only state; ``out_path`` accumulates admitted (id, text) rows.
+    ``store_path`` holds (id, band, bucket) rows of admitted docs and
+    ``<store_path>_sets`` their hashed unit-sets (the verify state);
+    ``out_path`` accumulates admitted (id, text) rows.
     """
 
     def __init__(
@@ -79,6 +89,7 @@ class StreamingNearDupFilter:
         id_col: str = "doc_id",
     ):
         self.store_path = store_path
+        self.sets_path = store_path + "_sets"
         self.out_path = out_path
         self.threshold = threshold
         self.num_hashes = num_hashes
@@ -88,15 +99,24 @@ class StreamingNearDupFilter:
         self.id_col = id_col
 
     def _jaccard_ok(self, pairs: DataFrame, sets1: DataFrame, sets2: DataFrame) -> DataFrame:
-        """pairs(id1,id2) → those with jaccard >= threshold (near-dups)."""
+        """pairs(id1,id2) → those with jaccard >= threshold (near-dups).
+
+        The ratio is rounded to 6 decimals before the compare so the
+        admit/reject boundary is bit-identical to the batch operator
+        (jaccard_pairs) and the DuckDB oracle, both of which round — an
+        exact jaccard in [threshold - 5e-7, threshold) must classify the
+        same way everywhere."""
         return (
             pairs.join(
                 sets1.withColumnsRenamed({"id": "id1", "toks": "toks1"}), "id1"
             )
             .join(sets2.withColumnsRenamed({"id": "id2", "toks": "toks2"}), "id2")
             .filter(
-                F.size(F.array_intersect("toks1", "toks2"))
-                / F.size(F.array_union("toks1", "toks2"))
+                F.round(
+                    F.size(F.array_intersect("toks1", "toks2"))
+                    / F.size(F.array_union("toks1", "toks2")),
+                    6,
+                )
                 >= self.threshold
             )
             .select("id1", "id2")
@@ -118,15 +138,15 @@ class StreamingNearDupFilter:
         # already holds the failed attempt's output, and without the
         # exclusion every doc would match itself and be rejected.
         store = _read_or_none(spark, self.store_path)
-        admitted_docs = _read_or_none(spark, self.out_path)
+        stored_sets = _read_or_none(spark, self.sets_path)
         if store is not None:
             store = store.filter(F.col("batch_id") != F.lit(batch_id))
-        if admitted_docs is not None:
-            admitted_docs = admitted_docs.filter(
+        if stored_sets is not None:
+            stored_sets = stored_sets.filter(
                 F.col("batch_id") != F.lit(batch_id)
             )
         dup_vs_store = None
-        if store is not None and admitted_docs is not None:
+        if store is not None and stored_sets is not None:
             cand = (
                 banded.alias("n")
                 .join(
@@ -137,16 +157,15 @@ class StreamingNearDupFilter:
                 .select(F.col("n.id").alias("id1"), F.col("s.id").alias("id2"))
                 .distinct()
             )
-            stored_sets = _unit_sets(
-                admitted_docs,
-                self.text_col,
-                self.id_col,
-                self.ngram,
-                hashed=True,
-            )
-            dup_vs_store = self._jaccard_ok(cand, sets, stored_sets).select(
-                F.col("id1").alias("id")
-            )
+            # Verify against the PERSISTED unit-sets — the join touches
+            # only candidate ids' rows, so per-batch verify work is
+            # O(candidates), independent of how much has been admitted.
+            # (Before round 5 this re-ran _unit_sets over every admitted
+            # doc's text each batch — O(corpus) per batch, the one
+            # 100 TB scale-killer the round-4 audit found.)
+            dup_vs_store = self._jaccard_ok(
+                cand, sets, stored_sets.select("id", "toks")
+            ).select(F.col("id1").alias("id"))
 
         survivors = (
             batch.join(
@@ -182,20 +201,22 @@ class StreamingNearDupFilter:
             "left_anti",
         ).cache()
 
-        # --- persist: admitted docs + their band rows (reuse the already-
-        # computed banded signatures — no third signature pass). Each batch
-        # owns a batch_id= subdirectory written with overwrite semantics,
-        # so a RETRIED batch replaces its own prior output instead of
-        # appending duplicate docs/band rows (foreachBatch gives
-        # at-least-once invocation; idempotent writes restore effective
-        # exactly-once).
+        # --- persist: admitted docs + their band rows + their hashed
+        # unit-sets (reuse the already-computed banded/sets frames — no
+        # extra tokenization pass). Each batch owns a batch_id=
+        # subdirectory written with overwrite semantics, so a RETRIED
+        # batch replaces its own prior output instead of appending
+        # duplicate docs/band/set rows (foreachBatch gives at-least-once
+        # invocation; idempotent writes restore effective exactly-once).
         admitted.write.mode("overwrite").parquet(
             f"{self.out_path}/batch_id={batch_id}"
         )
-        banded.join(
-            admitted.select(F.col(self.id_col).alias("id")), "id"
-        ).write.mode("overwrite").parquet(
+        admitted_ids = admitted.select(F.col(self.id_col).alias("id"))
+        banded.join(admitted_ids, "id").write.mode("overwrite").parquet(
             f"{self.store_path}/batch_id={batch_id}"
+        )
+        sets.join(admitted_ids, "id").write.mode("overwrite").parquet(
+            f"{self.sets_path}/batch_id={batch_id}"
         )
 
         for df in (admitted, sets, banded, batch):

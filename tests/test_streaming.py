@@ -434,6 +434,52 @@ def test_near_dup_filter_batch_retry_is_idempotent(spark, tmpdir):
     assert sorted(r.doc_id for r in out.collect()) == [1, 2]
     store = spark.read.parquet(f"{tmpdir}/r_store")
     assert store.count() == store.dropDuplicates(["id", "band", "bucket"]).count()
+    sets = spark.read.parquet(f"{tmpdir}/r_store_sets")
+    assert sorted(r.id for r in sets.select("id").collect()) == [1, 2]
+
+
+def test_near_dup_verify_reads_persisted_sets_not_corpus(spark, tmpdir):
+    """The round-4 audit's one scale-killer: cross-batch Jaccard verify
+    must run against the PERSISTED unit-set sidecar, never by
+    re-tokenizing the admitted corpus (O(corpus) per batch at 100 TB).
+    Proof is behavioral: after batch 0, replace the admitted doc's TEXT
+    in out_path with garbage while leaving the sidecar intact — a
+    batch-1 near-dup of the original text must still be rejected, which
+    is only possible if verify never touches out_path text."""
+    from flink_cdc_msk_spark.streaming.dedup_stream import (
+        StreamingNearDupFilter,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the cat watches from the warm stone wall near the gate"
+    )
+    filt = StreamingNearDupFilter(
+        f"{tmpdir}/v_store", f"{tmpdir}/v_out", threshold=0.7
+    )
+    filt(
+        spark.createDataFrame([(1, base)], "doc_id long, text string"),
+        batch_id=0,
+    )
+    # corrupt the admitted TEXT on disk (ids unchanged)
+    garbled = spark.createDataFrame(
+        [(1, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii")],
+        "doc_id long, text string",
+    )
+    garbled.write.mode("overwrite").parquet(f"{tmpdir}/v_out/batch_id=0")
+    filt(
+        spark.createDataFrame(
+            [(2, base + " zz yy"), (3, "entirely new content about "
+             "columnar shuffle formats and adaptive execution plans")],
+            "doc_id long, text string",
+        ),
+        batch_id=1,
+    )
+    admitted = sorted(
+        r.doc_id for r in spark.read.parquet(f"{tmpdir}/v_out").collect()
+    )
+    # 2 rejected via the sidecar sets (garbled text would have admitted it)
+    assert admitted == [1, 3]
 
 
 def test_user_stats_tws_if_protobuf_available(spark, tmp_path):
