@@ -494,13 +494,19 @@ def layout_bucketed_join(spark, sf_dir):
             F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
         )
     )
-    plan = out._jdf.queryExecution().sparkPlan().toString()
+    # executedPlan, not sparkPlan: EnsureRequirements inserts Exchange
+    # nodes only in the former (sparkPlan would vacuously count zero).
+    # Count SHUFFLE exchanges specifically — "Exchange hashpartitioning"
+    # is ShuffleExchangeExec's render; a bare "Exchange" substring would
+    # also match BroadcastExchange and any future node containing the
+    # word, silently weakening (or falsely tripping) the certificate.
+    plan = out._jdf.queryExecution().executedPlan().toString()
     if "SortMergeJoin" not in plan:
         raise ValueError("expected a sort-merge join over buckets")
-    n_exchanges = plan.count("Exchange")
-    if n_exchanges > 1:
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    if n_shuffles > 1:
         raise ValueError(
-            f"bucketed join must not shuffle: {n_exchanges} exchanges"
+            f"bucketed join must not shuffle: {n_shuffles} shuffle exchanges"
         )
     return out
 

@@ -2426,7 +2426,15 @@ def llm_dataset_card(spark, sf_dir):
     )
 
 
-_BPE_PAT = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+# Whitespace is the EXPLICIT class [ \t\n\x0B\f\r], not \s: Java's \s is
+# exactly that set while RE2's \s excludes \x0B — with \s a vertical tab
+# in any document would silently break the Spark/DuckDB byte parity the
+# oracle hash certifies.  Spelling the class out makes the two engines'
+# semantics identical by construction.
+_BPE_WS = r" \t\n\x0B\f\r"
+_BPE_PAT = (
+    rf" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9{_BPE_WS}]+|[{_BPE_WS}]+"
+)
 
 
 @register(
@@ -2446,8 +2454,10 @@ _BPE_PAT = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
 def text_bpe_regex_tokens(spark, sf_dir):
     """Token counting with a BPE-style PRE-TOKENIZER regex (the GPT-2
     pattern family: letter runs, digit runs, punctuation runs, each with
-    optional leading space — restricted to ASCII classes so Java regex
-    and RE2 agree byte-for-byte, pinned by the oracle hash on every doc)
+    optional leading space — restricted to ASCII classes, whitespace
+    spelled out as [ \\t\\n\\x0B\\f\\r] since Java's \\s and RE2's \\s
+    disagree on vertical tab, so Java regex and RE2 agree byte-for-byte,
+    pinned by the oracle hash on every doc)
     next to the whitespace count, plus the fertility ratio between them
     — the number a tokenizer-budget estimate actually needs.  Map-side
     regexp_extract_all; no shuffle."""

@@ -43,17 +43,23 @@ def advance_automaton(prev_state, uid, batch, pattern, within_days):
     t1, s1, i1, t2, s2, i2 = prev_state
     # per-key in-batch order: strings sort as time (TS_FULL)
     batch = batch.sort_values(["tss", "event_id"])
+    # parse the whole batch's timestamps ONCE (vectorized); the scalar
+    # loop below only compares pre-parsed values.  The carried-in state
+    # slots are the only per-call scalar parses.
+    ts_parsed = pd.to_datetime(batch["tss"]).tolist()
+    d1 = pd.to_datetime(s1) if s1 else None
+    d2 = pd.to_datetime(s2) if s2 else None
     out: list[tuple] = []
-    for r in batch.itertuples(index=False):
+    for r, rts in zip(batch.itertuples(index=False), ts_parsed):
         if (
-            t1 == p0
+            t1 == p0  # implies slot 1 is filled, so d1 is parsed
             and t2 == p1
             and r.event_type == p2
-            and pd.to_datetime(r.tss) <= pd.to_datetime(s1) + bound
+            and rts <= d1 + bound
         ):
             out.append((uid, i1, r.event_id, s1[:19], r.tss[:19]))
-        t1, s1, i1 = t2, s2, i2
-        t2, s2, i2 = r.event_type, r.tss, r.event_id
+        t1, s1, i1, d1 = t2, s2, i2, d2
+        t2, s2, i2, d2 = r.event_type, r.tss, r.event_id, rts
     return (t1, s1, i1, t2, s2, i2), out
 
 
