@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Build the sf1-equivalent working set used by PERF.md §10/§15/§18.
+
+10 key-shifted replicas of the sf0.1 tables, written to --out (default
+/tmp/sfx1) with explicit parquet ROW_GROUP_SIZE so Spark gets splittable
+scans (DuckDB's default packs 50k docs into ONE row group → 1-task scan,
+the §10 layout lesson).  Replica construction:
+
+- documents: doc_id + r·10_000 (stays below the planted-variant offsets
+  CLONE_OFFSET=1M / NEAR_OFFSET=2M), text gains a per-replica tag token
+  so replicas are distinct docs (cross-replica near-dup pairs still
+  appear — §10's caveat — but both engines bear the identical workload).
+- embeddings: vec_id + r·10_000; first dimension shifted by r·0.01 so
+  replicas don't create exact distance ties (tie-break semantics would
+  otherwise dominate the top-k compare).
+- events: event_id + r·10_000_000, user_id + r·10_000 — per-user
+  sequences stay intact inside each replica, so sessionization/CEP
+  semantics scale by user count, not sequence length.
+- remaining 7 TPC-H-ish tables: copied as-is (they are not the scaling
+  subject; queries that join them still resolve).
+
+Deterministic: pure SQL over the source files, no randomness.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+
+import duckdb
+
+REPLICAS = 10
+DOC_STEP = 10_000
+EVENT_STEP = 10_000_000
+USER_STEP = 10_000
+
+
+def build(src: str, out: str, replicas: int = REPLICAS) -> None:
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    rng = f"range({replicas})"
+
+    con.execute(
+        f"""
+        COPY (
+          SELECT d.doc_id + r.range * {DOC_STEP} AS doc_id,
+                 d.text || ' rep' || r.range AS text,
+                 d.lang, d.source,
+                 d.n_chars + 4 + len(CAST(r.range AS VARCHAR)) AS n_chars
+          FROM '{src}/documents.parquet' d CROSS JOIN {rng} r
+          ORDER BY doc_id
+        ) TO '{out}/documents.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 5000)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT e.vec_id + r.range * {DOC_STEP} AS vec_id,
+                 list_prepend(e.embedding[1] + r.range * 0.01,
+                              e.embedding[2:]) AS embedding,
+                 e.label
+          FROM '{src}/embeddings.parquet' e CROSS JOIN {rng} r
+          ORDER BY vec_id
+        ) TO '{out}/embeddings.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 2000)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT e.event_id + r.range * {EVENT_STEP} AS event_id,
+                 e.ts,
+                 e.user_id + r.range * {USER_STEP} AS user_id,
+                 e.event_type, e.value, e.props
+          FROM '{src}/events.parquet' e CROSS JOIN {rng} r
+          ORDER BY user_id, ts
+        ) TO '{out}/events.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 100000)
+        """
+    )
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem"):
+        shutil.copyfile(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/sfx1")
+    ap.add_argument("--replicas", type=int, default=REPLICAS)
+    a = ap.parse_args()
+    build(a.src, a.out, a.replicas)
+    print(f"built {a.out} from {a.src} x{a.replicas}")
