@@ -23,7 +23,9 @@ so it can carry a DuckDB oracle.
 
 Scale shape: the element relation is n·d rows; each round shuffles it
 once against a k·d broadcast and once on the vector id (n·k distance
-rows). For production-size corpora the assignment step would swap to
+rows). Product quantization runs ALL m subspaces through one banded
+plan (subspace id as a key column) — stage count is independent of m.
+For production-size corpora the assignment step would swap to
 the blocked-BLAS ``mapInPandas`` kernel `operators/similarity.py` uses
 for `embedding_near_dup` (same plumbing, ~d× less shuffle weight) at
 the cost of float-associativity reproducibility; this form is the
@@ -46,13 +48,30 @@ def _elements(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+def _banded(elems: DataFrame, sub_dim: int) -> DataFrame:
+    """(id, pos, val) → (s, id, pos, val): subspace id + subspace-local
+    position.  Carrying the subspace as a KEY COLUMN lets every
+    per-subspace stage of product quantization run in ONE relational
+    plan instead of m sequential Python-loop pipelines — same shuffle
+    volume, 1/m the stage count (the old loop form spent ~15 s of its
+    ~16 s wall at the scaled working set on stage scheduling barriers,
+    PERF.md §18)."""
+    return elems.select(
+        (F.col("pos") / sub_dim).cast("int").alias("s"),
+        "id",
+        (F.col("pos") % sub_dim).alias("pos"),
+        "val",
+    )
+
+
 def _dist_table(elems: DataFrame, cent: DataFrame) -> DataFrame:
-    """(id, cl, dist) — DECIMAL-exact squared distance from every
-    element-form vector to every centroid (exact addition, so the value
-    is partition-order independent and cross-engine reproducible)."""
+    """(s, id, cl, dist) — DECIMAL-exact squared distance from every
+    element-form vector to every centroid of its subspace ``s`` (exact
+    addition, so the value is partition-order independent and
+    cross-engine reproducible)."""
     return (
-        elems.join(F.broadcast(cent), "pos")
-        .groupBy("id", "cl")
+        elems.join(F.broadcast(cent), ["s", "pos"])
+        .groupBy("s", "id", "cl")
         .agg(
             F.sum(
                 (
@@ -65,37 +84,43 @@ def _dist_table(elems: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 def _nearest(elems: DataFrame, cent: DataFrame, keep: int = 1) -> DataFrame:
-    """(id, cl[, dist-rank rn]) — DECIMAL-exact squared distance from
-    every element-form vector to every centroid, argmin (or top-``keep``)
-    with the deterministic (dist, cl) tie-break."""
+    """(s, id, cl[, dist-rank rn]) — DECIMAL-exact squared distance from
+    every element-form vector to every same-subspace centroid, argmin
+    (or top-``keep``) with the deterministic (dist, cl) tie-break."""
     dist = _dist_table(elems, cent)
-    rn = F.row_number().over(Window.partitionBy("id").orderBy("dist", "cl"))
+    rn = F.row_number().over(
+        Window.partitionBy("s", "id").orderBy("dist", "cl")
+    )
     return (
         dist.withColumn("rn", rn)
         .filter(F.col("rn") <= keep)
-        .select("id", "cl", "rn")
+        .select("s", "id", "cl", "rn")
     )
 
 
 def lloyd_rounds(
     elems: DataFrame, k: int, iters: int
 ) -> tuple[DataFrame, DataFrame]:
-    """``iters`` deterministic Lloyd rounds over element-form vectors →
-    (assignments (id, cl), centroids (cl, pos, cval)). Init: the k
-    smallest ids. The returned centroids are the ones the returned
-    assignment was computed against (i.e. post-update for iters>1)."""
+    """``iters`` deterministic Lloyd rounds over banded element-form
+    vectors (s, id, pos, val) — every subspace advances in the same
+    relational plan → (assignments (s, id, cl), centroids
+    (s, cl, pos, cval)). Init: the k smallest ids per subspace. The
+    returned centroids are the ones the returned assignment was
+    computed against (i.e. post-update for iters>1).  Single-space
+    callers pass a constant ``s`` (see kmeans_assign)."""
     cent = elems.filter(F.col("id") < k).select(
+        "s",
         F.col("id").cast("int").alias("cl"),
         "pos",
         F.col("val").alias("cval"),
     )
     assign = None
     for it in range(iters):
-        assign = _nearest(elems, cent).select("id", "cl")
+        assign = _nearest(elems, cent).select("s", "id", "cl")
         if it < iters - 1:
             cent = (
-                elems.join(assign, "id")
-                .groupBy("cl", "pos")
+                elems.join(assign, ["s", "id"])
+                .groupBy("s", "cl", "pos")
                 .agg(
                     (
                         F.sum(F.col("val").cast("decimal(24,12)")).cast(
@@ -117,8 +142,9 @@ def kmeans_assign(
 ) -> DataFrame:
     """→ (id, cluster) after ``iters`` Lloyd rounds from deterministic
     init (centroids = the ``k`` smallest-id vectors)."""
-    assign, _ = lloyd_rounds(_elements(df, id_col, vec_col), k, iters)
-    return assign
+    elems = _elements(df, id_col, vec_col).withColumn("s", F.lit(0))
+    assign, _ = lloyd_rounds(elems, k, iters)
+    return assign.select("id", "cl")
 
 
 def pq_adc_topk(
@@ -142,39 +168,35 @@ def pq_adc_topk(
     encoded corpus is m codes per vector — the ~64× compression that
     lets a 100 TB embedding corpus's index live in executor memory. The
     ADC scan never touches raw corpus vectors: codes join a broadcast
-    (query, subspace, code) → distance LUT (n_queries·m·ksub rows) and
-    sum per (query, vector). Distances stay DECIMAL-exact end-to-end so
-    ranking ties break identically on any engine or partitioning."""
-    # The element relation feeds every subspace's Lloyd rounds, encode
-    # and LUT — persist it once or the plan re-derives it from the scan
-    # ~8x per subspace (66 scans observed unpersisted). CacheManager
-    # dedupes by canonicalized plan across calls.
-    c_elems = _elements(corpus, id_col, vec_col).persist()
-    q_elems = _elements(queries, id_col, vec_col).persist()
-    parts = []
-    for s in range(m):
-        lo, hi = s * sub_dim, (s + 1) * sub_dim
-        in_band = (F.col("pos") >= lo) & (F.col("pos") < hi)
-        sub_c = c_elems.filter(in_band).select(
-            "id", (F.col("pos") - lo).alias("pos"), "val"
-        )
-        sub_q = q_elems.filter(in_band).select(
-            "id", (F.col("pos") - lo).alias("pos"), "val"
-        )
-        codes, cent = lloyd_rounds(sub_c, ksub, kmeans_iters)
-        lut = _dist_table(sub_q, cent).select(
-            F.col("id").alias("query_id"), "cl", "dist"
-        )
-        parts.append(
-            codes.join(F.broadcast(lut), "cl").select(
-                "query_id", F.col("id").alias("vec_id"), "dist"
-            )
-        )
-    from functools import reduce
-
+    (subspace, query, code) → distance LUT (n_queries·m·ksub rows) and
+    sum per (query, vector). Every subspace advances through the SAME
+    banded plan (subspace = key column, not a Python loop) — m× fewer
+    stages, and the m codebook trainings parallelize inside each stage
+    instead of running serially. Distances stay DECIMAL-exact
+    end-to-end so ranking ties break identically on any engine or
+    partitioning."""
+    # The banded element relation feeds the Lloyd rounds, the encode and
+    # the LUT — persist it once or the plan re-derives it from the scan
+    # per reference. CacheManager dedupes by canonicalized plan.
+    # s < m: dims beyond m·sub_dim are outside the quantized prefix
+    # (same semantics as the old per-subspace slicing loop)
+    c_elems = (
+        _banded(_elements(corpus, id_col, vec_col), sub_dim)
+        .filter(F.col("s") < m)
+        .persist()
+    )
+    q_elems = (
+        _banded(_elements(queries, id_col, vec_col), sub_dim)
+        .filter(F.col("s") < m)
+        .persist()
+    )
+    codes, cent = lloyd_rounds(c_elems, ksub, kmeans_iters)
+    lut = _dist_table(q_elems, cent).select(
+        "s", F.col("id").alias("query_id"), "cl", "dist"
+    )
     total = (
-        reduce(DataFrame.unionAll, parts)
-        .groupBy("query_id", "vec_id")
+        codes.join(F.broadcast(lut), ["s", "cl"])
+        .groupBy("query_id", F.col("id").alias("vec_id"))
         .agg(F.sum("dist").alias("adist"))
         .filter(F.col("vec_id") != F.col("query_id"))
     )
