@@ -179,10 +179,17 @@ def pq_adc_topk(
     # the LUT — persist it once or the plan re-derives it from the scan
     # per reference. CacheManager dedupes by canonicalized plan.
     # s < m: dims beyond m·sub_dim are outside the quantized prefix
-    # (same semantics as the old per-subspace slicing loop)
+    # (same semantics as the old per-subspace slicing loop).
+    # repartition BEFORE persist: posexplode multiplies rows ×d but not
+    # partitions, so a small parquet source leaves the cached relation
+    # in 1-2 partitions — and every downstream broadcast-join map stage
+    # (the expensive n·d·ksub distance evaluation) would run on 1-2
+    # cores. Hash on (s, id) — deterministic, well-spread.
+    n_part = max(corpus.sparkSession.sparkContext.defaultParallelism, 4)
     c_elems = (
         _banded(_elements(corpus, id_col, vec_col), sub_dim)
         .filter(F.col("s") < m)
+        .repartition(n_part, "s", "id")
         .persist()
     )
     q_elems = (
