@@ -316,16 +316,18 @@ def ivf_topk_exact_repro(
     anchor the recall gate measures both against."""
     from .similarity import as_double, cosine
 
-    c_elems = _elements(corpus, id_col, vec_col)
+    # single-space caller of the banded Lloyd machinery: constant s=0
+    c_elems = _elements(corpus, id_col, vec_col).withColumn("s", F.lit(0))
     assign, cent = lloyd_rounds(c_elems, n_centroids, kmeans_iters)
-    q_elems = _elements(queries, id_col, vec_col)
+    q_elems = _elements(queries, id_col, vec_col).withColumn("s", F.lit(0))
     probes = _nearest(q_elems, cent, keep=nprobe).select(
         F.col("id").alias("query_id"), "cl"
     )
     corpus_cells = corpus.select(
         F.col(id_col).alias("vec_id"), as_double(vec_col).alias("cv")
     ).join(
-        assign.withColumnsRenamed({"id": "vec_id"}), "vec_id"
+        assign.select("id", "cl").withColumnsRenamed({"id": "vec_id"}),
+        "vec_id",
     )
     qvec = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")

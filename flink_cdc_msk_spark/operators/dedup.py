@@ -90,9 +90,47 @@ def _unit_sets_persisted(
     )
     cached = _UNITS_MEMO.get(key)
     if cached is None:
-        cached = _unit_sets(df, text_col, id_col, ngram, hashed).persist()
+        cached = _spread_and_persist(
+            _unit_sets(df, text_col, id_col, ngram, hashed),
+            df.sparkSession,
+        )
         _UNITS_MEMO[key] = cached
     return cached
+
+
+# ~docs per task for map-side work over the memoized unit sets: small
+# enough that a 32-core box spreads a 10k-doc corpus, large enough that a
+# task amortizes its ~10 ms scheduling cost against ~0.1-0.5 ms/doc of
+# signature/posting work.
+_UNITS_ROWS_PER_PARTITION = 1024
+
+
+def _spread_and_persist(us: DataFrame, spark) -> DataFrame:
+    """Persist the unit-set relation, widening it first when the source
+    scan was under-partitioned. A small parquet corpus scans as 1-2
+    partitions and a persisted relation inherits that — every downstream
+    MAP-SIDE stage (MinHash signatures, banding, posting-list builds)
+    would then run on 1-2 cores regardless of cluster size (the PQ cache
+    lesson, PERF.md §18). The target is SIZE-aware, not a blanket
+    defaultParallelism: a blanket repartition measurably regresses small
+    corpora (32 near-empty tasks per stage of pure scheduling), so we
+    materialize once, count, and spread only past ~1k docs/partition.
+    At real scale the scan is already wide and this is a no-op."""
+    import math
+
+    par = spark.sparkContext.defaultParallelism
+    n_in = us.rdd.getNumPartitions()
+    if n_in >= par:
+        return us.persist()
+    base = us.persist()
+    n_rows = base.count()
+    target = min(par, math.ceil(n_rows / _UNITS_ROWS_PER_PARTITION))
+    if target <= n_in:
+        return base
+    spread = base.repartition(target, "id").persist()
+    spread.count()  # materialize from the base cache before dropping it
+    base.unpersist()
+    return spread
 
 
 def distinct_tokens(
