@@ -157,11 +157,18 @@ def _copurchase_edges(li: DataFrame) -> DataFrame:
         )
         .distinct()
     )
+    # symmetrize by exploding each canonical pair into both directions:
+    # a unionAll of two projections over `pairs` re-runs the distinct
+    # aggregate per branch (only the exchange below it is reuse-deduped),
+    # doubling the most expensive step of the edge build
     return pairs.select(
-        F.col("s").alias("src"), F.col("d").alias("dst")
-    ).unionAll(
-        pairs.select(F.col("d").alias("src"), F.col("s").alias("dst"))
-    )
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("src"), F.col("d").alias("dst")),
+                F.struct(F.col("d").alias("src"), F.col("s").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
 
 
 def _pr_oracle() -> str:
