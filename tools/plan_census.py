@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Whole-registry physical-plan census (the PLANS.md method, committed).
+
+For every registered query: build the DataFrame at sf0.01 in a PLAIN
+session, walk `executedPlan` (AdaptiveSparkPlanExec unwrapped via
+`initialPlan` — `sparkPlan` is pre-EnsureRequirements and has no
+Exchange nodes, so never census that), count node classes, and flag the
+scale anti-patterns the round audits look for:
+
+  * CartesianProductExec         — quadratic join, never acceptable
+  * BatchEvalPythonExec          — row-at-a-time Python on the hot path
+  * Exchange SinglePartition     — global funnel (fine only for 1-row
+                                   reductions; listed for manual review)
+
+Prints one line per query and a final SUMMARY line. Queries whose build
+function materializes side effects (streaming replays, bucketed writes)
+execute those side effects during the census — run time ~6-8 min.
+
+Usage: python tools/plan_census.py [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+from collections import Counter
+
+sys.path.insert(0, __import__("os").path.dirname(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__))
+))
+
+SF_DIR = "/root/testdata/sf0.01"
+
+# Row-oriented Python nodes flag; Arrow-vectorized nodes
+# (ArrowEvalPython, MapInPandas, FlatMapCoGroupsInPandas) do not.
+FLAGS = ("CartesianProduct", "BatchEvalPython", "BatchEvalPythonUDTF")
+
+
+def census(plan) -> Counter:
+    counts: Counter = Counter()
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.initialPlan())
+            return
+        if name.endswith("Exec"):
+            name = name[:-4]
+        if name == "ShuffleExchange":
+            if "SinglePartition" in node.outputPartitioning().toString():
+                name = "ShuffleExchange(SinglePartition)"
+        counts[name] += 1
+        if name == "InMemoryTableScan":
+            return  # cached shared input: cache-miss plan censused once
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(plan)
+    return counts
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    names = sys.argv[1:] or list(qs)
+    flagged: dict[str, list[str]] = {}
+    single_part: list[str] = []
+    for name in names:
+        try:
+            df = qs[name](spark, SF_DIR)
+            counts = census(df._jdf.queryExecution().executedPlan())
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: ERROR {type(e).__name__}: {str(e)[:120]}",
+                  flush=True)
+            flagged[name] = ["ERROR"]
+            continue
+        hits = [f for f in FLAGS if counts.get(f, 0)]
+        if counts.get("ShuffleExchange(SinglePartition)"):
+            single_part.append(name)
+        if hits:
+            flagged[name] = hits
+        top = ", ".join(f"{k}={v}" for k, v in counts.most_common(8))
+        print(f"{name}: {top}", flush=True)
+    print(f"SUMMARY flagged={flagged or 'NONE'} "
+          f"single_partition_exchanges={single_part}", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
