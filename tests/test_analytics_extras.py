@@ -216,3 +216,57 @@ def test_zscore_flags_are_extreme_values(spark):
     bad = joined.filter(F.abs("z2") < 2.45)
     assert bad.count() == 0
     assert out.count() > 0
+
+
+def test_pq_stage_count_independent_of_subspace_count(spark, emb):
+    """The banded PQ plan's shuffle-stage count must NOT grow with m —
+    the round-5 rewrite's whole point (the old per-subspace Python loop
+    produced m sequential Lloyd pipelines; PERF.md §18). Pin it: the
+    m=2 and m=8 configurations compile to the SAME number of shuffle
+    exchanges."""
+    from flink_cdc_msk_spark.operators.clustering import pq_adc_topk
+
+    def n_shuffles(m, sub_dim):
+        df = pq_adc_topk(
+            emb, emb.filter(F.col("vec_id") < 3),
+            k=5, m=m, sub_dim=sub_dim, ksub=4, kmeans_iters=2,
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange hashpartitioning")
+
+    assert n_shuffles(2, 32) == n_shuffles(8, 8)
+
+
+def test_unit_set_cache_spread_is_size_aware(spark):
+    """_spread_and_persist widens an under-partitioned unit-set cache
+    only past ~1k docs/partition: a tiny 1-partition corpus stays
+    1 partition (no near-empty-task scheduling overhead), a 5k-doc
+    1-partition corpus spreads to multiple partitions so map-side
+    signature stages parallelize (PERF.md §18)."""
+    from flink_cdc_msk_spark.operators.dedup import (
+        _UNITS_MEMO,
+        _unit_sets_persisted,
+    )
+
+    def corpus(n):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("alpha beta gamma delta epsilon zeta doc "),
+                F.col("id").cast("string"),
+            ).alias("text"),
+        ).coalesce(1)
+
+    small = _unit_sets_persisted(corpus(50), "text", "doc_id", 3, True)
+    big = _unit_sets_persisted(corpus(5000), "text", "doc_id", 3, True)
+    try:
+        assert small.rdd.getNumPartitions() == 1
+        par = spark.sparkContext.defaultParallelism
+        expect = min(par, 5000 // 1024 + 1)
+        assert 1 < big.rdd.getNumPartitions() <= par
+        assert big.rdd.getNumPartitions() >= min(expect, 2)
+        assert big.count() == 5000
+    finally:
+        for df in (small, big):
+            df.unpersist()
+        _UNITS_MEMO.clear()
