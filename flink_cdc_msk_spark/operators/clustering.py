@@ -180,18 +180,33 @@ def pq_adc_topk(
     # per reference. CacheManager dedupes by canonicalized plan.
     # s < m: dims beyond m·sub_dim are outside the quantized prefix
     # (same semantics as the old per-subspace slicing loop).
-    # repartition BEFORE persist: posexplode multiplies rows ×d but not
-    # partitions, so a small parquet source leaves the cached relation
-    # in 1-2 partitions — and every downstream broadcast-join map stage
-    # (the expensive n·d·ksub distance evaluation) would run on 1-2
-    # cores. Hash on (s, id) — deterministic, well-spread.
-    n_part = max(corpus.sparkSession.sparkContext.defaultParallelism, 4)
-    c_elems = (
-        _banded(_elements(corpus, id_col, vec_col), sub_dim)
-        .filter(F.col("s") < m)
-        .repartition(n_part, "s", "id")
-        .persist()
+    # Size-aware spread (the PERF.md §18 lesson): posexplode multiplies
+    # rows ×d but not partitions, so a small parquet source leaves the
+    # cached relation in 1-2 partitions — and every downstream
+    # broadcast-join map stage (the expensive n·d·ksub distance
+    # evaluation) would run on 1-2 cores. Unlike the dedup unit-set
+    # cache (whose row count needs the tokenizer to run), the element
+    # count is corpus_rows × m × sub_dim — computable from a cheap
+    # column-less corpus count BEFORE building the relation, so the
+    # spread happens under ONE persist (a count-then-repartition of the
+    # cached base would leave two cache entries, and with no Python memo
+    # here the CacheManager canonical-plan dedupe is what makes repeat
+    # calls cheap). ~64k element rows (≈1k vectors at d=64) per
+    # partition keeps tiny corpora in few partitions instead of
+    # near-empty defaultParallelism tasks.
+    import math
+
+    sc = corpus.sparkSession.sparkContext
+    n_elem = corpus.count() * m * sub_dim
+    target = min(
+        sc.defaultParallelism, math.ceil(max(n_elem, 1) / 65536)
     )
+    pre = _banded(_elements(corpus, id_col, vec_col), sub_dim).filter(
+        F.col("s") < m
+    )
+    if target > 1:
+        pre = pre.repartition(target, "s", "id")
+    c_elems = pre.persist()
     q_elems = (
         _banded(_elements(queries, id_col, vec_col), sub_dim)
         .filter(F.col("s") < m)

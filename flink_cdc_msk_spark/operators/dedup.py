@@ -105,31 +105,46 @@ def _unit_sets_persisted(
 _UNITS_ROWS_PER_PARTITION = 1024
 
 
-def _spread_and_persist(us: DataFrame, spark) -> DataFrame:
-    """Persist the unit-set relation, widening it first when the source
-    scan was under-partitioned. A small parquet corpus scans as 1-2
-    partitions and a persisted relation inherits that — every downstream
-    MAP-SIDE stage (MinHash signatures, banding, posting-list builds)
-    would then run on 1-2 cores regardless of cluster size (the PQ cache
-    lesson, PERF.md §18). The target is SIZE-aware, not a blanket
+def _spread_and_persist(
+    us: DataFrame,
+    spark,
+    rows_per_partition: int = _UNITS_ROWS_PER_PARTITION,
+    key: str = "id",
+    drop_base: bool = True,
+) -> DataFrame:
+    """Persist a relation, widening it first when the source scan was
+    under-partitioned. A small parquet corpus scans as 1-2 partitions
+    and a persisted relation inherits that — every downstream MAP-SIDE
+    stage (MinHash signatures, banding, posting-list builds, PQ distance
+    evaluation) would then run on 1-2 cores regardless of cluster size
+    (PERF.md §18). The target is SIZE-aware, not a blanket
     defaultParallelism: a blanket repartition measurably regresses small
-    corpora (32 near-empty tasks per stage of pure scheduling), so we
-    materialize once, count, and spread only past ~1k docs/partition.
-    At real scale the scan is already wide and this is a no-op."""
+    corpora (32 near-empty tasks per stage of pure scheduling).
+    Ordering matters: persist + count FIRST, read the partition count
+    from the cached relation — asking the un-persisted plan (DataFrame
+    .rdd under AQE) would materialize every upstream shuffle stage just
+    to learn a number, executing the lineage once outside the cache.
+    At real scale the scan is already wide and this is a no-op.
+
+    ``drop_base``: callers that hold the result in their own memo (the
+    dedup unit-set cache) should drop the narrow base cache once the
+    spread copy exists. Callers WITHOUT a memo (pq_adc_topk) must keep
+    it: they re-enter this function per call and rely on CacheManager's
+    canonical-plan dedupe — unpersisting the base would force a full
+    rebuild of both caches on every subsequent call."""
     import math
 
     par = spark.sparkContext.defaultParallelism
-    n_in = us.rdd.getNumPartitions()
-    if n_in >= par:
-        return us.persist()
     base = us.persist()
     n_rows = base.count()
-    target = min(par, math.ceil(n_rows / _UNITS_ROWS_PER_PARTITION))
+    n_in = base.rdd.getNumPartitions()  # cached now — no recompute
+    target = min(par, math.ceil(max(n_rows, 1) / rows_per_partition))
     if target <= n_in:
         return base
-    spread = base.repartition(target, "id").persist()
-    spread.count()  # materialize from the base cache before dropping it
-    base.unpersist()
+    spread = base.repartition(target, key).persist()
+    if drop_base:
+        spread.count()  # materialize from the base cache before dropping
+        base.unpersist()
     return spread
 
 

@@ -139,6 +139,16 @@ class StreamingNearDupFilter:
         # exclusion every doc would match itself and be rejected.
         store = _read_or_none(spark, self.store_path)
         stored_sets = _read_or_none(spark, self.sets_path)
+        if (store is None) != (stored_sets is None):
+            # Half-present state (a pre-sidecar store, or one table lost)
+            # must FAIL the batch — silently skipping the cross-batch
+            # verify would admit near-duplicates, the exact failure mode
+            # _read_or_none's contract forbids.
+            raise ValueError(
+                "inconsistent near-dup state: band store and unit-set "
+                f"sidecar must both exist or both be absent "
+                f"({self.store_path} vs {self.sets_path})"
+            )
         if store is not None:
             store = store.filter(F.col("batch_id") != F.lit(batch_id))
         if stored_sets is not None:

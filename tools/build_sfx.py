@@ -41,6 +41,27 @@ def build(src: str, out: str, replicas: int = REPLICAS) -> None:
     con = duckdb.connect()
     rng = f"range({replicas})"
 
+    # Fail fast if a source id span exceeds its replica step — silent
+    # cross-replica id collisions would corrupt dedup / per-user
+    # sequence semantics and every PERF number derived from the set.
+    (max_doc,) = con.execute(
+        f"SELECT max(doc_id) FROM '{src}/documents.parquet'"
+    ).fetchone()
+    (max_ev, max_user) = con.execute(
+        f"SELECT max(event_id), max(user_id) FROM '{src}/events.parquet'"
+    ).fetchone()
+    if max_doc >= DOC_STEP:
+        raise ValueError(f"doc_id span {max_doc} >= DOC_STEP {DOC_STEP}")
+    if max_ev >= EVENT_STEP:
+        raise ValueError(f"event_id span {max_ev} >= EVENT_STEP {EVENT_STEP}")
+    if max_user >= USER_STEP:
+        raise ValueError(f"user_id span {max_user} >= USER_STEP {USER_STEP}")
+    if replicas * DOC_STEP >= 1_000_000:
+        raise ValueError(
+            "replica doc_ids would collide with the planted-variant "
+            "offsets (CLONE_OFFSET=1M / NEAR_OFFSET=2M)"
+        )
+
     con.execute(
         f"""
         COPY (

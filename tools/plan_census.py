@@ -35,8 +35,16 @@ SF_DIR = "/root/testdata/sf0.01"
 FLAGS = ("CartesianProduct", "BatchEvalPython", "BatchEvalPythonUDTF")
 
 
-def census(plan) -> Counter:
+def census(plan, seen_caches: set | None = None) -> Counter:
+    """Count node classes in a physical plan tree. ``seen_caches`` (shared
+    across the whole census run) dedupes persisted sub-plans: each
+    distinct InMemoryRelation's cache-miss plan is walked ONCE — so
+    anti-patterns buried inside persisted lineages (which execute on the
+    first action) are visible, without re-counting a shared cache under
+    every query that references it."""
     counts: Counter = Counter()
+    if seen_caches is None:
+        seen_caches = set()
 
     def walk(node):
         name = node.getClass().getSimpleName()
@@ -50,7 +58,12 @@ def census(plan) -> Counter:
                 name = "ShuffleExchange(SinglePartition)"
         counts[name] += 1
         if name == "InMemoryTableScan":
-            return  # cached shared input: cache-miss plan censused once
+            cached = node.relation().cacheBuilder().cachedPlan()
+            key = cached.semanticHash()
+            if key not in seen_caches:
+                seen_caches.add(key)
+                walk(cached)
+            return
         ch = node.children()
         for i in range(ch.size()):
             walk(ch.apply(i))
@@ -77,10 +90,13 @@ def main() -> None:
     names = sys.argv[1:] or list(qs)
     flagged: dict[str, list[str]] = {}
     single_part: list[str] = []
+    seen_caches: set = set()  # each persisted sub-plan censused once
     for name in names:
         try:
             df = qs[name](spark, SF_DIR)
-            counts = census(df._jdf.queryExecution().executedPlan())
+            counts = census(
+                df._jdf.queryExecution().executedPlan(), seen_caches
+            )
         except Exception as e:  # noqa: BLE001
             print(f"{name}: ERROR {type(e).__name__}: {str(e)[:120]}",
                   flush=True)
