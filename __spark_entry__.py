@@ -148,6 +148,16 @@ _NEW_R4 = (
     "q16_supplier_part_count", "q20_part_promotion",
 )
 
+# Round-5 registrations. They sort BEHIND the whole _NEW_R4 backlog so
+# they can never displace a query that has waited longer for its first
+# driver row — with 3 canaries + 38 backlog + 3 here = 44 < 50, all of
+# them earn a driver row in the same sweep.
+_NEW_R5 = (
+    "entity_blocking_linkage",
+    "streaming_cms_heavy_hitters",
+    "multimodal_chunk_dedup",
+)
+
 
 def _rotated(mapping: dict) -> dict:
     registry.ensure_loaded()
@@ -156,9 +166,11 @@ def _rotated(mapping: dict) -> dict:
         if name in _CANARIES:
             return (0, 0)
         if name in _DRIVER_VERIFIED:
-            return (3, 0)
+            return (4, 0)
         if name in _NEW_R4:
             return (2, _NEW_R4.index(name))
+        if name in _NEW_R5:
+            return (3, _NEW_R5.index(name))
         return (1, 0)
 
     items = sorted(

@@ -46,6 +46,7 @@ def load_all() -> None:
     from . import llm_extras  # noqa: F401
     from . import analytics_extras  # noqa: F401
     from . import analytics_extras2  # noqa: F401
+    from . import round5_extras  # noqa: F401
 
 
 _loaded = False
