@@ -156,6 +156,7 @@ _NEW_R5 = (
     "entity_blocking_linkage",
     "streaming_cms_heavy_hitters",
     "multimodal_chunk_dedup",
+    "streaming_embedding_neardup_ingest",
 )
 
 

@@ -300,3 +300,169 @@ def multimodal_chunk_dedup(spark, sf_dir):
         .filter(F.col("overlap") >= _CHUNK_TAU)
         .select("id1", "id2", "shared_chunks", "overlap")
     )
+
+
+# --------------------------- streaming embedding near-dup ingest gate
+
+_VND_SLABS = 4
+_VND_TAU = 0.3
+_VND_PLANES = 4
+_VND_TABLES = 8
+
+# the portable hyperplane-LSH pair pipeline (weights → sign buckets →
+# bucket-join candidates → fold-cosine verify) — the same CTE chain the
+# batch `embedding_near_dup_lsh` oracle hash-checks
+_VND_PAIR_CTES = f"""
+    w AS (
+      SELECT tt.t, pp.p,
+             list(CASE WHEN CAST(concat('0x',
+                    substr(md5('42_' || tt.t || '_' || pp.p || '_' || d.i),
+                           1, 8)) AS BIGINT) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END ORDER BY d.i) AS wv
+      FROM (SELECT unnest(generate_series(0, {_VND_TABLES - 1})) AS t) tt,
+           (SELECT unnest(generate_series(0, {_VND_PLANES - 1})) AS p) pp,
+           (SELECT unnest(generate_series(0, 63)) AS i) d
+      GROUP BY tt.t, pp.p
+    ),
+    vecs AS (
+      SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    proj AS (
+      SELECT id, w.t, w.p,
+             list_reduce(list_transform(generate_series(1, 64),
+                                        i -> v[i] * wv[i]),
+                         (a, b) -> a + b) AS pr
+      FROM vecs, w
+    ),
+    buckets AS (
+      SELECT id, t,
+             sum(CASE WHEN pr > 0 THEN 1 << p ELSE 0 END) AS bucket
+      FROM proj GROUP BY id, t
+    ),
+    cands AS (
+      SELECT DISTINCT a.id AS id1, b.id AS id2
+      FROM buckets a
+      JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    pairs AS (
+      SELECT id1, id2 FROM cands
+      JOIN vecs x ON x.id = id1 JOIN vecs y ON y.id = id2
+      WHERE round(
+        list_reduce(list_transform(generate_series(1, 64),
+                                   i -> x.v[i] * y.v[i]), (a, b) -> a + b)
+        / (sqrt(list_reduce(list_transform(generate_series(1, 64),
+                                           i -> x.v[i] * x.v[i]),
+                            (a, b) -> a + b))
+           * sqrt(list_reduce(list_transform(generate_series(1, 64),
+                                             i -> y.v[i] * y.v[i]),
+                              (a, b) -> a + b))), 6) >= {_VND_TAU}
+    )"""
+
+
+def _vector_ingest_oracle() -> str:
+    """Unrolled replay of the vector filter's admission semantics over
+    the LSH-candidate-verified pair set (the operator's OWN semantics,
+    bit-reproducible in SQL — the recall question vs exact cosine is the
+    recall-gate twin's job, exactly as for the batch pair of queries)."""
+    rounds = ["a0 AS (SELECT CAST(NULL AS BIGINT) AS id WHERE false)"]
+    for k in range(1, _VND_SLABS + 1):
+        rounds.append(f"""
+    surv{k} AS (
+      SELECT s.id FROM slabs s WHERE s.slab = {k} AND NOT EXISTS (
+        SELECT 1 FROM pairs p JOIN a{k - 1} a
+          ON (p.id1 = s.id AND p.id2 = a.id)
+          OR (p.id2 = s.id AND p.id1 = a.id))
+    ),
+    adm{k} AS (
+      SELECT x.id FROM surv{k} x WHERE NOT EXISTS (
+        SELECT 1 FROM pairs p JOIN surv{k} y ON p.id1 = y.id
+        WHERE p.id2 = x.id)
+    ),
+    a{k} AS (SELECT id FROM a{k - 1} UNION ALL SELECT id FROM adm{k})""")
+    return f"""
+    WITH {_VND_PAIR_CTES},
+    slabs AS (
+      SELECT vec_id AS id,
+             ntile({_VND_SLABS}) OVER (ORDER BY vec_id) AS slab
+      FROM embeddings
+    ),
+    {','.join(rounds)}
+    SELECT id AS vec_id FROM a{_VND_SLABS}
+    """
+
+
+@register("streaming_embedding_neardup_ingest", oracle=_vector_ingest_oracle())
+def streaming_embedding_neardup_ingest(spark, sf_dir):
+    """The cross-batch streaming near-dup filter for EMBEDDINGS — the
+    vector twin of `streaming_neardup_ingest`, completing the
+    streaming×similarity matrix: every micro-batch hyperplane-LSH-buckets
+    its vectors (portable md5-parity planes), bucket-joins them against
+    the PERSISTENT store of everything already admitted (unbounded
+    lookback), verifies candidates with exact fold-cosine against the
+    vector SIDECAR (per-batch verify work bounded by candidates — the
+    round-5 sidecar design, built in from day one), dedups within the
+    batch, and appends the survivors' buckets + vectors.  The corpus
+    replays as 4 vec_id-ordered slabs (forced mtimes ⇒ deterministic
+    batch order, ≥2 batches asserted in-query).  The oracle REPLAYS the
+    admission semantics over the LSH-candidate-verified pair set — the
+    operator's own bit-reproducible semantics (recall vs exact cosine is
+    `embedding_lsh_recall_gate`'s job) — so a green row certifies the
+    portable bucketing AND the cross-batch state machinery end-to-end.
+    Vectors are widened to DOUBLE before the JSON slab write: float32
+    values JSON-round-trip to DIFFERENT doubles than a direct
+    float→double cast, which would shift 6dp-rounded cosines at the
+    admit boundary."""
+    import glob as _glob
+    import os
+
+    from ..operators.similarity import as_double
+    from ..streaming.dedup_stream import (
+        StreamingVectorNearDupFilter,
+        start_near_dup_stream,
+    )
+    from ..streaming.materialize import session_tmpdir
+    from pyspark.sql.window import Window
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", as_double("embedding").alias("embedding")
+    )
+    d = session_tmpdir("vec_neardup_ingest_")
+    src = f"{d}/src"
+    slabbed = emb.withColumn(
+        "slab", F.ntile(_VND_SLABS).over(Window.orderBy("vec_id"))
+    )
+    for s in range(1, _VND_SLABS + 1):
+        (
+            slabbed.filter(F.col("slab") == s)
+            .drop("slab")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .json(f"{src}/s{s:02d}")
+        )
+    base = os.stat(src).st_mtime
+    for s in range(1, _VND_SLABS + 1):
+        for f in _glob.glob(f"{src}/s{s:02d}/part-*.json"):
+            os.utime(f, (base + s, base + s))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .json(f"{src}/s*")
+    )
+    filt = StreamingVectorNearDupFilter(
+        f"{d}/store",
+        f"{d}/out",
+        threshold=_VND_TAU,
+        n_planes=_VND_PLANES,
+        n_tables=_VND_TABLES,
+        dims=64,
+    )
+    q = start_near_dup_stream(stream, filt, f"{d}/ckpt", available_now=True)
+    q.awaitTermination(300)
+    n_batches = len(_glob.glob(f"{d}/store/batch_id=*"))
+    if n_batches < 2:
+        raise ValueError(
+            f"expected incremental ingest, got {n_batches} batches"
+        )
+    return spark.read.parquet(f"{d}/out").select("vec_id")

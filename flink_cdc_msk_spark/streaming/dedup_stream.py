@@ -233,6 +233,153 @@ class StreamingNearDupFilter:
             df.unpersist()
 
 
+class StreamingVectorNearDupFilter:
+    """foreachBatch target: the EMBEDDING twin of StreamingNearDupFilter —
+    admit only vectors that are not near-dups (cosine ≥ threshold) of any
+    previously admitted vector, unbounded lookback.
+
+    State: ``store_path`` holds (id, table, bucket) hyperplane-LSH rows
+    of admitted vectors (portable md5-parity planes, so an external SQL
+    engine re-derives the buckets); ``<store_path>_vecs`` holds their
+    raw double vectors — the verify sidecar, read per candidate (the
+    round-5 sidecar design, applied from day one: per-batch verify work
+    is bounded by candidate rows, never by the admitted corpus).
+    ``out_path`` accumulates admitted (id, vector) rows."""
+
+    def __init__(
+        self,
+        store_path: str,
+        out_path: str,
+        threshold: float = 0.3,
+        n_planes: int = 4,
+        n_tables: int = 8,
+        dims: int = 64,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.store_path = store_path
+        self.vecs_path = store_path + "_vecs"
+        self.out_path = out_path
+        self.threshold = threshold
+        self.n_planes = n_planes
+        self.n_tables = n_tables
+        self.dims = dims
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def _cos_ok(self, pairs: DataFrame, v1: DataFrame, v2: DataFrame) -> DataFrame:
+        """pairs(id1,id2) → those with round(cosine,6) >= threshold.
+        Rounded before the compare so the admit boundary is bit-identical
+        to the batch operator (lsh_near_dup_pairs) and the oracle."""
+        from ..operators.similarity import cosine
+
+        return (
+            pairs.join(v1.withColumnsRenamed({"id": "id1", "v": "v1"}), "id1")
+            .join(v2.withColumnsRenamed({"id": "id2", "v": "v2"}), "id2")
+            .filter(
+                F.round(cosine(F.col("v1"), F.col("v2")), 6)
+                >= self.threshold
+            )
+            .select("id1", "id2")
+        )
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        from ..operators.similarity import as_double, random_hyperplane_buckets
+
+        spark = batch.sparkSession
+        batch = batch.select(self.id_col, self.vec_col).cache()
+        buckets = random_hyperplane_buckets(
+            batch,
+            self.n_planes,
+            self.n_tables,
+            self.id_col,
+            self.vec_col,
+            portable_dims=self.dims,
+        ).cache()
+        vecs = batch.select(
+            F.col(self.id_col).alias("id"),
+            as_double(self.vec_col).alias("v"),
+        ).cache()
+
+        store = _read_or_none(spark, self.store_path)
+        stored_vecs = _read_or_none(spark, self.vecs_path)
+        if (store is None) != (stored_vecs is None):
+            raise ValueError(
+                "inconsistent vector near-dup state: bucket store and "
+                f"vector sidecar must both exist or both be absent "
+                f"({self.store_path} vs {self.vecs_path})"
+            )
+        if store is not None:
+            store = store.filter(F.col("batch_id") != F.lit(batch_id))
+            stored_vecs = stored_vecs.filter(
+                F.col("batch_id") != F.lit(batch_id)
+            )
+        dup_vs_store = None
+        if store is not None:
+            cand = (
+                buckets.alias("n")
+                .join(
+                    store.alias("s"),
+                    (F.col("n.table") == F.col("s.table"))
+                    & (F.col("n.bucket") == F.col("s.bucket")),
+                )
+                .select(F.col("n.id").alias("id1"), F.col("s.id").alias("id2"))
+                .distinct()
+            )
+            dup_vs_store = self._cos_ok(
+                cand, vecs, stored_vecs.select("id", "v")
+            ).select(F.col("id1").alias("id"))
+
+        survivors = (
+            batch.join(
+                dup_vs_store,
+                F.col(self.id_col) == dup_vs_store["id"],
+                "left_anti",
+            )
+            if dup_vs_store is not None
+            else batch
+        )
+
+        sb = buckets.join(
+            survivors.select(F.col(self.id_col).alias("id")), "id"
+        )
+        internal = (
+            sb.alias("x")
+            .join(
+                sb.alias("y"),
+                (F.col("x.table") == F.col("y.table"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.id") < F.col("y.id")),
+            )
+            .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
+            .distinct()
+        )
+        internal_dups = (
+            self._cos_ok(internal, vecs, vecs)
+            .select(F.col("id2").alias("id"))
+            .distinct()
+        )
+        admitted = survivors.join(
+            internal_dups,
+            F.col(self.id_col) == internal_dups["id"],
+            "left_anti",
+        ).cache()
+
+        admitted.write.mode("overwrite").parquet(
+            f"{self.out_path}/batch_id={batch_id}"
+        )
+        admitted_ids = admitted.select(F.col(self.id_col).alias("id"))
+        buckets.join(admitted_ids, "id").write.mode("overwrite").parquet(
+            f"{self.store_path}/batch_id={batch_id}"
+        )
+        vecs.join(admitted_ids, "id").write.mode("overwrite").parquet(
+            f"{self.vecs_path}/batch_id={batch_id}"
+        )
+
+        for df in (admitted, vecs, buckets, batch):
+            df.unpersist()
+
+
 def start_near_dup_stream(
     doc_stream: DataFrame,
     filt: StreamingNearDupFilter,

@@ -529,3 +529,74 @@ def test_user_stats_tws_if_protobuf_available(spark, tmp_path):
         assert rows[2].v_min == 5.0 == rows[2].v_max
     finally:
         spark.conf.unset(prov_key)
+
+
+def test_vector_near_dup_filter_across_batches(spark, tmpdir):
+    """Vector twin of the cross-batch near-dup suppression: batch 2's
+    near-copy (same direction, scaled) of a batch-1 vector must be
+    rejected; an orthogonal vector admitted; the verify must read the
+    VECTOR SIDECAR, not out_path (corrupted on disk between batches)."""
+    from flink_cdc_msk_spark.streaming.dedup_stream import (
+        StreamingVectorNearDupFilter,
+    )
+
+    def vec(axis, scale=1.0):
+        v = [0.0] * 64
+        v[axis] = scale
+        return v
+
+    filt = StreamingVectorNearDupFilter(
+        f"{tmpdir}/v_store", f"{tmpdir}/v_out", threshold=0.9, dims=64
+    )
+    filt(
+        spark.createDataFrame(
+            [(1, vec(0)), (2, vec(1))],
+            "vec_id long, embedding array<double>",
+        ),
+        batch_id=0,
+    )
+    # corrupt admitted vectors in out_path (ids unchanged): if verify
+    # read out_path, the batch-1 near-dup would sail through
+    spark.createDataFrame(
+        [(1, vec(5)), (2, vec(6))], "vec_id long, embedding array<double>"
+    ).write.mode("overwrite").parquet(f"{tmpdir}/v_out/batch_id=0")
+    filt(
+        spark.createDataFrame(
+            # 3 ≈ vector 1 (cos 1.0); 4 orthogonal to everything
+            [(3, vec(0, 2.5)), (4, vec(2))],
+            "vec_id long, embedding array<double>",
+        ),
+        batch_id=1,
+    )
+    admitted = sorted(
+        r.vec_id for r in spark.read.parquet(f"{tmpdir}/v_out").collect()
+    )
+    assert admitted == [1, 2, 4]
+    # sidecar holds exactly the admitted ids
+    side = spark.read.parquet(f"{tmpdir}/v_store_vecs")
+    assert sorted(r.id for r in side.select("id").collect()) == [1, 2, 4]
+
+
+def test_vector_near_dup_retry_is_idempotent(spark, tmpdir):
+    """Re-invoking the SAME batch_id (foreachBatch retry) must not
+    duplicate admitted vectors, bucket rows, or sidecar rows."""
+    from flink_cdc_msk_spark.streaming.dedup_stream import (
+        StreamingVectorNearDupFilter,
+    )
+
+    v1 = [1.0] + [0.0] * 63
+    v2 = [0.0] * 63 + [1.0]
+    vecs = spark.createDataFrame(
+        [(1, v1), (2, v2)], "vec_id long, embedding array<double>"
+    )
+    filt = StreamingVectorNearDupFilter(
+        f"{tmpdir}/r_store", f"{tmpdir}/r_out", threshold=0.9
+    )
+    filt(vecs, batch_id=0)
+    filt(vecs, batch_id=0)
+    out = spark.read.parquet(f"{tmpdir}/r_out")
+    assert sorted(r.vec_id for r in out.collect()) == [1, 2]
+    store = spark.read.parquet(f"{tmpdir}/r_store")
+    assert store.count() == store.dropDuplicates(
+        ["id", "table", "bucket"]
+    ).count()
