@@ -157,6 +157,11 @@ _NEW_R5 = (
     "streaming_cms_heavy_hitters",
     "multimodal_chunk_dedup",
     "streaming_embedding_neardup_ingest",
+    "streaming_scd2_maintenance",
+    "dedup_canonical_selection",
+    "join_pit_features",
+    "layout_compaction_plan",
+    "text_perplexity_filter",
 )
 
 

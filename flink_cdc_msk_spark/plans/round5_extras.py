@@ -16,7 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..sources.tables import load_tables
-from .llm_pipeline import DOCS_WITH_NEAR_DUPS_SQL, _docs_with_near_dups
+from .llm_pipeline import (
+    DOCS_WITH_NEAR_DUPS_SQL,
+    _JACCARD_CTES,
+    _docs_with_near_dups,
+)
 from .registry import register
 
 # --------------------------------------------- blocked record linkage
@@ -466,3 +470,444 @@ def streaming_embedding_neardup_ingest(spark, sf_dir):
             f"expected incremental ingest, got {n_batches} batches"
         )
     return spark.read.parquet(f"{d}/out").select("vec_id")
+
+
+# ----------------------- canonical selection after near-dup clustering
+
+def _cc_steps(iters: int) -> str:
+    """min-label-propagation CTE steps (the dedup_connected_components
+    oracle's shape — both engines run the identical bounded iteration)."""
+    steps = ["l0 AS (SELECT doc_id AS id, doc_id AS lbl FROM docs)"]
+    for k in range(1, iters + 1):
+        steps.append(f"""l{k} AS (
+          SELECT l.id, least(l.lbl, coalesce(min(nl.lbl), l.lbl)) AS lbl
+          FROM l{k - 1} l
+          LEFT JOIN edges e ON e.src = l.id
+          LEFT JOIN l{k - 1} nl ON nl.id = e.dst
+          GROUP BY l.id, l.lbl)""")
+    return ", ".join(steps)
+
+
+@register(
+    "dedup_canonical_selection",
+    oracle=f"""
+    WITH {_JACCARD_CTES},
+    edges AS (
+      SELECT id1 AS src, id2 AS dst FROM pairs
+      UNION ALL
+      SELECT id2, id1 FROM pairs
+    ),
+    {_cc_steps(4)},
+    tok AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM docs
+    ),
+    j AS (
+      SELECT l.id, l.lbl AS cluster, t.n_tokens
+      FROM l4 l JOIN tok t ON t.doc_id = l.id
+    ),
+    r AS (
+      SELECT cluster, id, n_tokens,
+             row_number() OVER (
+               PARTITION BY cluster ORDER BY n_tokens DESC, id) AS rn,
+             CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT)
+               AS cluster_size
+      FROM j
+    )
+    SELECT cluster, id AS keep_id, n_tokens AS keep_tokens, cluster_size
+    FROM r WHERE rn = 1
+    """,
+)
+def dedup_canonical_selection(spark, sf_dir):
+    """The step every dedup pipeline runs AFTER clustering and that none
+    of the pair/cluster queries covered: pick the CANONICAL document per
+    near-dup cluster.  Policy: keep the longest version (most-complete —
+    the planted suffix-extended variants beat their originals), ties to
+    the smallest doc_id.  Composition: exact-jaccard pairs → 4-round
+    min-label connected components → one groupBy(cluster) with a
+    struct-max argmax — deterministic, no window sort, one extra shuffle
+    on the cluster label beyond the CC rounds.  At 100 TB the argmax is
+    a plain partial-aggregated shuffle on cluster ids (clusters are tiny;
+    no skew), and swapping the policy (quality score, recency) is a
+    one-line change of the struct's first field."""
+    from ..functions import text as T
+    from ..operators import dedup as D
+
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    pairs = D.jaccard_pairs(corpus, threshold=0.8, ngram=3)
+    labels = D.connected_components(
+        corpus.select("doc_id"),
+        pairs.select("id1", "id2"),
+        iters=4,
+        id_col="doc_id",
+    )
+    toks = corpus.select(
+        F.col("doc_id").alias("tok_id"),
+        F.size(T.tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    j = labels.join(toks, labels["id"] == toks["tok_id"]).select(
+        "cluster", "id", "n_tokens"
+    )
+    return (
+        j.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.max(
+                F.struct(
+                    F.col("n_tokens"), (-F.col("id")).alias("neg_id")
+                )
+            ).alias("m"),
+        )
+        .select(
+            "cluster",
+            (-F.col("m.neg_id")).alias("keep_id"),
+            F.col("m.n_tokens").alias("keep_tokens"),
+            "cluster_size",
+        )
+    )
+
+
+# ------------------------------- point-in-time multi-feature assembly
+
+@register(
+    "join_pit_features",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_id, user_id, ts, event_type, value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_spine
+      FROM events
+      WHERE event_type IN ('purchase', 'click', 'view', 'error')
+    ), f AS (
+      SELECT event_id, user_id, ts, is_spine,
+             last_value(CASE WHEN event_type = 'click' THEN value END
+                        IGNORE NULLS) OVER w AS feat_click,
+             last_value(CASE WHEN event_type = 'view' THEN value END
+                        IGNORE NULLS) OVER w AS feat_view,
+             last_value(CASE WHEN event_type = 'error' THEN value END
+                        IGNORE NULLS) OVER w AS feat_error
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_spine, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           feat_click, feat_view, feat_error
+    FROM f WHERE is_spine = 1
+    """,
+)
+def join_pit_features(spark, sf_dir):
+    """Point-in-time-correct FEATURE ASSEMBLY — the feature-store join a
+    training pipeline runs to build examples without temporal leakage:
+    each label event (purchase) gets the latest value of EVERY feature
+    stream (click/view/error) for that user strictly as-of the label's
+    timestamp.  Generalizes `join_asof_events` from one feature to k in
+    a SINGLE window pass: union-tag all streams, one shuffle on user_id,
+    k running last(ignorenulls) columns over the same frame — no
+    per-feature scan, no range cross-product, and adding a feature adds
+    a column, not a join.  Features at exactly the label ts are visible
+    (<= semantics via is_spine sorting after features at equal ts);
+    event_id breaks remaining ties so both engines fold identically."""
+    from pyspark.sql.window import Window
+
+    feats = ["click", "view", "error"]
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    tagged = ev.filter(
+        F.col("event_type").isin(["purchase"] + feats)
+    ).withColumn(
+        "is_spine",
+        F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_spine", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    feat_cols = {
+        f"feat_{t}": F.last(
+            F.when(F.col("event_type") == t, F.col("value")),
+            ignorenulls=True,
+        ).over(w)
+        for t in feats
+    }
+    return (
+        tagged.withColumns(feat_cols)
+        .filter(F.col("is_spine") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "purchase_ts"
+            ),
+            *[F.col(f"feat_{t}") for t in feats],
+        )
+    )
+
+
+# ------------------------------------------- small-file compaction plan
+
+_COMPACT_SYNTH_FILES = 37
+
+
+@register(
+    "layout_compaction_plan",
+    oracle=f"""
+    WITH files AS (
+      SELECT doc_id % {_COMPACT_SYNTH_FILES} AS file_id,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(n_chars) AS BIGINT) AS file_bytes
+      FROM documents GROUP BY 1
+    ),
+    target AS (SELECT CAST(sum(file_bytes) AS BIGINT) // 8 AS t FROM files),
+    ordered AS (
+      SELECT *, sum(file_bytes) OVER (
+        ORDER BY file_bytes DESC, file_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM files
+    )
+    SELECT file_id, n_rows, file_bytes,
+           CAST((cum - file_bytes) // (SELECT t FROM target) AS BIGINT)
+             AS target_file
+    FROM ordered
+    """,
+)
+def layout_compaction_plan(spark, sf_dir):
+    """The small-file COMPACTION planner (OPTIMIZE / bin-packing stage of
+    lake maintenance — the missing third of the layout family next to
+    z-order and partition pruning): given per-file sizes, assign source
+    files to target files by size-descending contiguous coalescing
+    (cumulative-size // target — the same policy AQE's partition
+    coalescing applies to shuffle blocks).  File stats here are
+    synthesized as doc_id%{_COMPACT_SYNTH_FILES} row groups so the oracle
+    can re-derive them; the production input is the same (file_id, bytes)
+    relation from a `binaryFile` listing or the lake manifest.  Scale
+    shape: the plan runs over FILE METADATA (one row per file — millions
+    of rows at 100 TB, not billions), so the single-partition cumulative
+    window is a deliberate driver-scale step, exactly like AQE's
+    coalescing decision; the data files themselves are only touched by
+    the subsequent rewrite jobs, one per target_file."""
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    files = docs.groupBy(
+        F.pmod(F.col("doc_id"), F.lit(_COMPACT_SYNTH_FILES)).alias(
+            "file_id"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").cast("bigint").alias("file_bytes"),
+    )
+    target = files.agg(
+        (F.sum("file_bytes").cast("bigint") / F.lit(8))
+        .cast("bigint")
+        .alias("t")
+    )
+    w = (
+        Window.orderBy(F.col("file_bytes").desc(), F.col("file_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        files.withColumn("cum", F.sum("file_bytes").over(w))
+        .crossJoin(F.broadcast(target))
+        .select(
+            "file_id",
+            "n_rows",
+            "file_bytes",
+            F.floor(
+                (F.col("cum") - F.col("file_bytes")) / F.col("t")
+            ).cast("bigint").alias("target_file"),
+        )
+    )
+
+
+# --------------------------------------- streaming SCD2 maintenance
+
+@register(
+    "streaming_scd2_maintenance",
+    # The maintained history must equal the DECLARATIVE SCD2 build
+    # exactly, so this query shares cdc_scd2_intervals' oracle verbatim.
+    oracle="""
+    WITH changes AS (
+        SELECT o_orderkey, o_custkey, 'c' AS op,
+               1700000000000 + o_orderkey AS ts_ms
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'u', 1700001000000 + o_orderkey
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey, NULL, 'd', 1700002000000 + o_orderkey
+        FROM orders WHERE o_orderkey % 20 = 0
+    )
+    SELECT o_orderkey, o_custkey, op,
+           ts_ms AS valid_from,
+           lead(ts_ms) OVER (
+             PARTITION BY o_orderkey ORDER BY ts_ms) AS valid_to,
+           CASE WHEN lead(ts_ms) OVER (
+             PARTITION BY o_orderkey ORDER BY ts_ms) IS NULL
+             AND op <> 'd' THEN 1 ELSE 0 END AS is_current
+    FROM changes
+    """,
+)
+def streaming_scd2_maintenance(spark, sf_dir):
+    """SCD Type-2 history maintained INCREMENTALLY through Structured
+    Streaming — the history-table twin of `cdc_streaming_compaction`
+    (which maintains latest-state): the full c/u/d envelope feed replays
+    through ``Scd2IntervalSink`` (foreachBatch, bucket-pruned interval
+    rebuild) and the resulting table must equal the one-shot declarative
+    `cdc_scd2_intervals` bit-for-bit.  The replay is deliberately
+    HOSTILE: round-robin repartition(4) slabs interleave every key's
+    changes across batches in no particular order — the sink's
+    content-addressed change log (pk, ts_ms, op) makes the final history
+    order-independent, which the shared oracle certifies.  ≥2 batches
+    asserted in-query so a single-batch degenerate run can't pass."""
+    from ..sources.cdc_sim import synthesize_mysql_events
+    from ..streaming.compaction import Scd2IntervalSink
+    from ..streaming.materialize import session_tmpdir
+    from ..streaming.pipeline import stream_lines_from_directory
+
+    events = synthesize_mysql_events(spark, sf_dir)
+    d = session_tmpdir("cdc_scd2_stream_")
+    events.select("value").repartition(4).write.mode("overwrite").text(
+        f"{d}/src"
+    )
+    stream = stream_lines_from_directory(
+        spark, f"{d}/src", max_files_per_trigger=1
+    )
+    sink = Scd2IntervalSink(f"{d}/state", ["o_orderkey"], num_buckets=8)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if len(set(sink.batch_ids)) < 2:
+        raise ValueError(
+            f"expected incremental SCD2 maintenance, got "
+            f"{len(set(sink.batch_ids))} batches"
+        )
+    state = spark.read.parquet(f"{d}/state")
+    return state.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.when(
+            F.col("op") != "d",
+            F.try_element_at("payload", F.lit("o_custkey")),
+        )
+        .cast("bigint")
+        .alias("o_custkey"),
+        "op",
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+
+
+# ----------------------------------------- bigram-LM perplexity filter
+
+# splits the synthetic corpus roughly in half at every SF (nll spans
+# ~3.26-3.83 with median ~3.39 at sf0.001/0.01/0.1) so the flag stays
+# discriminating wherever the gate runs; both engines compare the same
+# reconstructed double to the same literal, so the boundary is exact.
+_PPL_THRESHOLD = 3.4
+
+
+@register(
+    "text_perplexity_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS a
+      FROM documents
+    ),
+    vocab AS (
+      SELECT CAST(count(DISTINCT u.tok) AS BIGINT) AS v
+      FROM t, unnest(a) AS u(tok)
+    ),
+    b AS (
+      SELECT doc_id, a[s.i] AS w1, a[s.i + 1] AS w2
+      FROM t, unnest(generate_series(1, len(a) - 1)) AS s(i)
+      WHERE len(a) >= 2
+    ),
+    c12 AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12 FROM b GROUP BY 1, 2
+    ),
+    c1 AS (
+      SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM c12 GROUP BY 1
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(round(-ln((n12 + 1.0) / (n1 + v)) * 1000000)
+                  AS BIGINT) AS term_micro
+      FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(term_micro) / (count(*) * 1000000.0), 6) + 0 AS nll,
+           CASE WHEN round(sum(term_micro) / (count(*) * 1000000.0), 6)
+                     <= {_PPL_THRESHOLD} THEN 1 ELSE 0 END AS ppl_pass
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_perplexity_filter(spark, sf_dir):
+    """The CCNet/KenLM-style PERPLEXITY quality filter — the scoring use
+    of the bigram LM that `text_bigram_lm` only trains: every document
+    gets its mean negative log-likelihood under the corpus's own add-one-
+    smoothed bigram model, and a pass flag at a fixed threshold (low
+    surprise ≈ fluent text; the planted garbled/outlier docs score high).
+    Determinism across engines: each bigram's -ln P is rounded to a
+    6-decimal MICRO-INTEGER before summing, so the per-doc aggregation is
+    exact integer arithmetic — float summation order (Spark's parallel
+    partial aggs vs DuckDB's single-threaded fold) cannot move the hash.
+    Plan: bigram explode keeps doc_id; counts join back on (w1,w2) and
+    (w1) — two shuffles on token keys with map-side combine, the same
+    posting-list shape as dedup, never a broadcast of the (potentially
+    huge) LM itself; the vocab size is the only broadcast-of-1-row."""
+    from ..functions import text as T
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toked = docs.select("doc_id", T.tokens("text").alias("_t"))
+    vocab = toked.select(
+        F.explode("_t").alias("tok")
+    ).agg(F.count_distinct("tok").cast("bigint").alias("v"))
+    base = toked.filter(F.size("_t") >= 2)
+    bi = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_t") - 1),
+                lambda i: F.struct(
+                    F.element_at("_t", i).alias("w1"),
+                    F.element_at("_t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    term_micro = (
+        F.round(
+            -F.log((F.col("n12") + F.lit(1.0)) / (F.col("n1") + F.col("v")))
+            * F.lit(1_000_000.0)
+        )
+    ).cast("bigint")
+    scored = (
+        bi.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", term_micro.alias("term_micro"))
+    )
+    nll = F.round(
+        F.sum("term_micro") / (F.count(F.lit(1)) * F.lit(1_000_000.0)), 6
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (nll + F.lit(0.0)).alias("nll"),
+        F.when(nll <= F.lit(_PPL_THRESHOLD), 1)
+        .otherwise(0)
+        .alias("ppl_pass"),
+    )

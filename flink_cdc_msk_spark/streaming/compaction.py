@@ -51,6 +51,43 @@ def latest_per_key(df: DataFrame, pk_cols: list[str]) -> DataFrame:
     ).drop("_rn")
 
 
+def read_parquet_or_none(spark, path: str) -> DataFrame | None:
+    """Scan of a parquet state table, or None before its first write.
+    Only a genuinely-missing path means 'first batch' — any other read
+    failure (partial table after a crash, corrupt footer) re-raises
+    instead of silently discarding the state."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
+
+
+def stage_and_swap_buckets(path: str, live: DataFrame, touched) -> None:
+    """Stage ONLY the touched pk-hash buckets of a state table, then swap
+    each bucket dir in: replaced buckets point at the staged write; a
+    touched bucket whose keys all vanished has no staged dir → its dir is
+    removed. I/O stays O(touched buckets), and the live table is never
+    read-and-overwritten in the same job."""
+    import os
+    import shutil
+
+    stage = f"{path}__stage"
+    shutil.rmtree(stage, ignore_errors=True)
+    live.write.mode("overwrite").partitionBy("bucket").parquet(stage)
+    os.makedirs(path, exist_ok=True)
+    for b in touched:
+        src = f"{stage}/bucket={b}"
+        dst = f"{path}/bucket={b}"
+        shutil.rmtree(dst, ignore_errors=True)
+        if os.path.exists(src):
+            os.rename(src, dst)
+    shutil.rmtree(stage, ignore_errors=True)
+
+
 class ParquetUpsertSink:
     """foreachBatch target: maintains a latest-state parquet table.
 
@@ -111,18 +148,7 @@ class ParquetUpsertSink:
             self._merge_bucketed(spark, changes)
 
     def _read_current(self, spark) -> DataFrame | None:
-        """Scan of the current state table, or None on the first batch.
-        Only a genuinely-missing path means 'first batch' — any other
-        read failure (partial table after a crash, corrupt footer)
-        re-raises instead of silently discarding the state."""
-        from pyspark.errors import AnalysisException
-
-        try:
-            return spark.read.parquet(self.path)
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-                return None
-            raise
+        return read_parquet_or_none(spark, self.path)
 
     def _swap_in(self, stage: str) -> None:
         """Atomically (rename-level) replace the table dir with the staged
@@ -158,9 +184,6 @@ class ParquetUpsertSink:
         self._swap_in(stage)
 
     def _merge_bucketed(self, spark, changes: DataFrame) -> None:
-        import os
-        import shutil
-
         changes = changes.withColumn("bucket", self._bucket()).cache()
         touched = [r.bucket for r in changes.select("bucket").distinct().collect()]
         current = self._read_current(spark)
@@ -179,22 +202,90 @@ class ParquetUpsertSink:
             else merged.filter(F.col("op") != "d")
         )
         try:
-            # stage ONLY the touched buckets, then swap each bucket dir in:
-            # replaced buckets point at the staged write; a touched bucket
-            # whose keys were ALL deleted has no staged dir → its dir is
-            # removed. I/O stays O(touched buckets), and the live table is
-            # never read-and-overwritten in the same job.
-            stage = f"{self.path}__stage"
-            shutil.rmtree(stage, ignore_errors=True)
-            live.write.mode("overwrite").partitionBy("bucket").parquet(stage)
-            os.makedirs(self.path, exist_ok=True)
-            for b in touched:
-                src = f"{stage}/bucket={b}"
-                dst = f"{self.path}/bucket={b}"
-                shutil.rmtree(dst, ignore_errors=True)
-                if os.path.exists(src):
-                    os.rename(src, dst)
-            shutil.rmtree(stage, ignore_errors=True)
+            stage_and_swap_buckets(self.path, live, touched)
+        finally:
+            changes.unpersist()
+
+
+class Scd2IntervalSink:
+    """foreachBatch target maintaining an SCD Type-2 HISTORY table — the
+    streaming twin of plans/cdc_queries.cdc_scd2_intervals, and the
+    history-table counterpart of ParquetUpsertSink's latest-state merge
+    (together they are the two standard continuously-maintained CDC
+    products; reference MySQLCDC2AWSMSK.scala:95-168 feeds both shapes).
+
+    The interval rows double as the per-key change log (``valid_from``
+    IS the change's ts_ms), so each batch can rebuild intervals for
+    exactly the keys it touches: read the touched pk-hash buckets
+    (partition-pruned), union the batch's parsed changes, drop duplicate
+    (pk, ts_ms, op) triples, and re-run the lead() window per key.
+    Merge I/O is O(touched buckets); window work is O(touched keys'
+    history + batch), never O(table). Because the log is
+    content-addressed by (pk, ts_ms, op), the maintained table is both
+    retry-IDEMPOTENT and ORDER-INDEPENDENT — any slabbing of the feed,
+    including hostile round-robin interleavings, converges to the same
+    history (same property the tombstone-retaining latest-state merge
+    provides, here for free since history keeps every change)."""
+
+    def __init__(self, path: str, pk_cols: list[str], num_buckets: int = 8):
+        self.path = path
+        self.pk_cols = pk_cols
+        self.num_buckets = num_buckets
+        self.batch_ids: list[int] = []
+
+    def _bucket(self) -> F.Column:
+        return F.pmod(
+            F.xxhash64(*[F.col(c) for c in self.pk_cols]),
+            F.lit(self.num_buckets),
+        ).cast("int")
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        self.batch_ids.append(batch_id)
+        changes = (
+            parse_change_events(batch, self.pk_cols)
+            .withColumn("bucket", self._bucket())
+            .cache()
+        )
+        touched = [
+            r.bucket for r in changes.select("bucket").distinct().collect()
+        ]
+        if not touched:
+            changes.unpersist()
+            return
+        log = changes.select(
+            *self.pk_cols, "op", "ts_ms", "payload", "bucket"
+        )
+        current = read_parquet_or_none(spark, self.path)
+        if current is not None:
+            # a key's whole history lives in its hash bucket, so the
+            # pruned read below sees every prior change of every touched
+            # key — the window recompute is exact, not incremental-lossy
+            log = log.unionByName(
+                current.filter(F.col("bucket").isin(touched)).select(
+                    *self.pk_cols,
+                    "op",
+                    F.col("valid_from").alias("ts_ms"),
+                    "payload",
+                    "bucket",
+                )
+            )
+        log = log.dropDuplicates([*self.pk_cols, "ts_ms", "op"])
+        w = Window.partitionBy(*self.pk_cols).orderBy("ts_ms")
+        valid_to = F.lead("ts_ms").over(w)
+        live = log.select(
+            *self.pk_cols,
+            "op",
+            F.col("ts_ms").alias("valid_from"),
+            valid_to.alias("valid_to"),
+            F.when(valid_to.isNull() & (F.col("op") != "d"), 1)
+            .otherwise(0)
+            .alias("is_current"),
+            "payload",
+            "bucket",
+        )
+        try:
+            stage_and_swap_buckets(self.path, live, touched)
         finally:
             changes.unpersist()
 

@@ -600,3 +600,79 @@ def test_vector_near_dup_retry_is_idempotent(spark, tmpdir):
     assert store.count() == store.dropDuplicates(
         ["id", "table", "bucket"]
     ).count()
+
+
+def _scd2_env(key, op, ts, val=""):
+    import json
+
+    payload = {"o_orderkey": str(key), "v": val}
+    return json.dumps(
+        {
+            "before": payload if op == "d" else None,
+            "after": None if op == "d" else payload,
+            "op": op,
+            "ts_ms": ts,
+        }
+    )
+
+
+def test_scd2_sink_cross_batch_and_retry(spark, tmpdir):
+    """A later batch's update must CLOSE the interval opened in an
+    earlier batch; deletes close and are never current; re-invoking the
+    same batch (foreachBatch retry) must not duplicate interval rows."""
+    from flink_cdc_msk_spark.streaming.compaction import Scd2IntervalSink
+
+    sink = Scd2IntervalSink(f"{tmpdir}/scd2", ["o_orderkey"], num_buckets=4)
+    sink(
+        spark.createDataFrame(
+            [(_scd2_env(1, "c", 100, "a"),), (_scd2_env(2, "c", 110, "b"),)],
+            "value string",
+        ),
+        0,
+    )
+    b1 = spark.createDataFrame(
+        [(_scd2_env(1, "u", 200, "a2"),), (_scd2_env(2, "d", 210),)],
+        "value string",
+    )
+    sink(b1, 1)
+    sink(b1, 1)  # retry
+    rows = {
+        (r.o_orderkey, r.op): r
+        for r in spark.read.parquet(f"{tmpdir}/scd2").collect()
+    }
+    assert len(rows) == 4
+    assert rows[("1", "c")].valid_to == 200
+    assert rows[("1", "c")].is_current == 0
+    assert rows[("1", "u")].valid_to is None
+    assert rows[("1", "u")].is_current == 1
+    assert rows[("2", "c")].valid_to == 210
+    assert rows[("2", "d")].is_current == 0
+
+
+def test_scd2_sink_out_of_order_converges(spark, tmpdir):
+    """A late-arriving EARLIER change (hostile slabbing) must slot into
+    history correctly: the content-addressed log makes the maintained
+    table order-independent."""
+    from flink_cdc_msk_spark.streaming.compaction import Scd2IntervalSink
+
+    sink = Scd2IntervalSink(f"{tmpdir}/scd2_o", ["o_orderkey"], num_buckets=4)
+    sink(
+        spark.createDataFrame(
+            [(_scd2_env(1, "u", 200, "a2"),)], "value string"
+        ),
+        0,
+    )
+    sink(
+        spark.createDataFrame(
+            [(_scd2_env(1, "c", 100, "a"),)], "value string"
+        ),
+        1,
+    )
+    rows = {
+        r.op: r for r in spark.read.parquet(f"{tmpdir}/scd2_o").collect()
+    }
+    assert rows["c"].valid_from == 100
+    assert rows["c"].valid_to == 200
+    assert rows["c"].is_current == 0
+    assert rows["u"].valid_to is None
+    assert rows["u"].is_current == 1
