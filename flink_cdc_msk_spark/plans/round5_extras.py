@@ -887,6 +887,14 @@ def text_perplexity_filter(spark, sf_dir):
             )
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
+    # the bigram relation feeds BOTH the count tables and the scoring
+    # join probe — persist it (partition-spread, PERF.md §18's lesson)
+    # so the 100×-the-corpus explode doesn't recompute per consumer;
+    # CacheManager's canonical-plan dedupe reuses the entry across
+    # repeated calls in one session (same pattern as pq_adc_topk).
+    from ..operators.dedup import _spread_and_persist
+
+    bi = _spread_and_persist(bi, spark, key="doc_id", drop_base=False)
     c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
     c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
     term_micro = (
