@@ -150,8 +150,8 @@ _NEW_R4 = (
 
 # Round-5 registrations. They sort BEHIND the whole _NEW_R4 backlog so
 # they can never displace a query that has waited longer for its first
-# driver row — with 3 canaries + 38 backlog + 3 here = 44 < 50, all of
-# them earn a driver row in the same sweep.
+# driver row — 3 canaries + 38 backlog + 9 here = exactly 50, so every
+# registered query earns a driver row in the round-5 sweep.
 _NEW_R5 = (
     "entity_blocking_linkage",
     "streaming_cms_heavy_hitters",
