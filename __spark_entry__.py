@@ -34,84 +34,49 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's per-round correctness sweep checks the first 50 entries of
-# ``queries()`` (observed cap: CORRECTNESS_r01/r02/r03 each hold exactly
-# 50 rows, in dict order).  With >50 registered queries we rotate:
-# queries already hash-verified by the driver in an earlier round move to
-# the back so every query earns a driver row across rounds.  The set
-# below is the union of green rows across CORRECTNESS_r01–r03 (93 names).
-# Tier order: canaries (3) → tier-1 backlog (everything neither verified
-# nor in _NEW_R4 — oldest unverified first) → _NEW_R4 in listed order →
-# verified.
+# ``queries()`` (observed cap: every CORRECTNESS_r*.json holds exactly 50
+# rows, in dict order).  With >50 registered queries we rotate so every
+# query keeps earning driver rows across rounds.
 #
-# ROUND-5 MAINTENANCE: DONE — CORRECTNESS_r04's 50 green names are folded
-# in below and _NEW_R4's then-verified entries (kmeans, bloom_prefilter,
-# train_test_split, static_enrich) removed, so the r5 front-50 is exactly
-# 3 canaries + the 38-query backlog + 9 oldest verified re-verifies.
-# ROUND-6 MAINTENANCE (do this FIRST next round): same fold with
-# CORRECTNESS_r05's green names.
-_DRIVER_VERIFIED = frozenset(
-    {
-        # r1/r2 greens
-        "agg_approx_distinct", "agg_cube", "agg_distinct_exact",
-        "agg_grouping_sets", "agg_percentiles", "agg_rollup",
-        "agg_stats_by_status", "agg_string_agg", "cdc_latest_state",
-        "cdc_mongo_route_keys", "cdc_route_keys", "cdc_route_malformed",
-        "cdc_route_multi_table", "cdc_scd2_intervals",
-        "cdc_snapshot_then_stream", "cdc_streaming_compaction",
-        "cdc_type_normalize", "join_anti", "join_asof_events",
-        "join_broadcast_dims", "join_cross_small", "join_full_outer",
-        "join_inner", "join_left_outer_agg", "join_range_bands",
-        "join_semi", "q10_returned_items", "q12_priority_shipping",
-        "q14_promo_revenue", "q18_large_volume_customer",
-        "q19_disjunctive_revenue", "q1_pricing_summary",
-        "q3_shipping_priority", "q5_local_supplier_volume",
-        "q6_forecast_revenue", "scalar_conditional", "scalar_date_funcs",
-        "scalar_json_funcs", "scalar_math_funcs", "scalar_string_funcs",
-        "set_except", "set_intersect", "set_union", "streaming_route_keys",
-        "topk_global", "window_distribution_funcs", "window_lag_lead",
-        "window_ranks", "window_running_sum", "window_topk_per_group",
-        # r3 greens
-        "agg_corr_stats", "dedup_connected_components", "dedup_containment",
-        "dedup_exact", "dedup_exact_fingerprint", "dedup_token_jaccard",
-        "embedding_cosine_topk", "embedding_near_dup", "events_latest_state",
-        "events_session_gaps", "events_sliding_window",
-        "events_tumbling_hour", "events_type_pivot",
-        "events_value_histogram", "export_shard_manifest",
-        "join_salted_skew", "llm_prep_pipeline", "multimodal_binary_stats",
-        "multimodal_frame_sample", "pandas_grouped_stats",
-        "sample_per_source_cap", "sample_stratified", "scalar_array_funcs",
-        "set_except_all", "set_intersect_all", "streaming_dedup_exact",
-        "streaming_running_totals", "streaming_session_windows",
-        "streaming_tumbling_counts", "subquery_above_avg", "text_bigram_lm",
-        "text_chunking", "text_decontaminate", "text_fingerprint",
-        "text_lang_id", "text_pack_sequences", "text_pii_scrub",
-        "text_quality_score", "text_repetition", "text_tfidf_top_terms",
-        "text_token_stats", "text_top_terms", "window_range_frame",
-        # r4 greens (CORRECTNESS_r04.json — 50/50 hash-verified; the three
-        # canaries were already listed above)
-        "agg_approx_percentiles", "agg_hll_sketch", "agg_rollup_grouping_id",
-        "cdc_schema_drift_rescue", "dedup_bloom_prefilter",
-        "dedup_minhash_lsh", "dedup_minhash_recall_gate", "dedup_simhash",
-        "dedup_simhash_recall_gate", "embedding_ann_ivf",
-        "embedding_ann_recall_gate", "embedding_centroid_per_label",
-        "embedding_kmeans", "embedding_lsh_recall_gate",
-        "embedding_near_dup_lsh", "embedding_quantize",
-        "events_cohort_retention", "events_funnel_conversion",
-        "events_resample_gapfill", "events_sliding_distinct_users",
-        "join_asof_forward_tolerance", "llm_corpus_pipeline_v2",
-        "multimodal_resize", "q13_order_count_distribution",
-        "q15_top_supplier", "q17_small_quantity_revenue", "q21_last_shipper",
-        "q22_idle_customers", "q4_priority_late_exists", "sample_temperature",
-        "sample_train_test_split", "scalar_calendar_funcs",
-        "scalar_map_funcs", "scalar_regexp_funcs", "scalar_try_funcs",
-        "scalar_variant_funcs", "streaming_incremental_batches",
-        "streaming_interval_join", "streaming_left_outer_interval_join",
-        "streaming_static_enrich", "streaming_tws_user_stats",
-        "text_edit_distance_pairs", "text_gopher_filter",
-        "text_segment_dedup", "text_token_runs_udtf",
-        "unpivot_price_components", "window_nulls_ordering",
-    }
-)
+# Since round 6 the rotation is DATA-DRIVEN: each query's tier is derived
+# from the CORRECTNESS_r*.json files committed next to this module, so the
+# front-50 is always 3 pinned canaries + never-driver-green registrations
+# (in registration order) + the verified queries whose last hash-green row
+# is OLDEST.  A new round's CORRECTNESS file re-ranks everything
+# automatically — no per-round frozenset maintenance.  (As of r5 all 187
+# registered queries are driver-verified, so absent new registrations the
+# r6 front-50 is the 3 canaries + the 47 stalest greens, exactly what the
+# round-5 verdict prescribed.)
+
+_LAST_GREEN: dict[str, int] | None = None
+
+
+def _last_green_rounds() -> dict[str, int]:
+    """name -> latest round whose driver sweep hash-verified it."""
+    global _LAST_GREEN
+    if _LAST_GREEN is None:
+        import glob
+        import json
+        import os
+        import re
+
+        out: dict[str, int] = {}
+        here = os.path.dirname(os.path.abspath(__file__))
+        for path in sorted(glob.glob(
+            os.path.join(here, "CORRECTNESS_r*.json")
+        )):
+            m = re.search(r"r(\d+)", os.path.basename(path))
+            rnd = int(m.group(1)) if m else 0
+            try:
+                with open(path) as fh:
+                    rows = json.load(fh)
+            except (OSError, ValueError):
+                continue
+            for name, row in rows.items():
+                if isinstance(row, dict) and row.get("hash_match"):
+                    out[name] = max(out.get(name, 0), rnd)
+        _LAST_GREEN = out
+    return _LAST_GREEN
 
 
 # Canaries: 3 already-verified queries pinned inside the front-50 so a
@@ -120,64 +85,17 @@ _DRIVER_VERIFIED = frozenset(
 # sweep.  One per changed subsystem.
 _CANARIES = ("q1_pricing_summary", "cdc_route_keys", "dedup_token_jaccard")
 
-# Queries registered late in round 4, AFTER the rotation was set up to
-# clear the round-3 verification backlog.  They sort behind that backlog
-# (but ahead of already-verified queries) so a new registration never
-# displaces a query that has waited longer for its first driver row.
-# ORDER matters: front slots left over after the backlog go to the
-# earlier names here — new OPERATOR categories (clustering, bloom dedup,
-# split, stream-static join) outrank additional TPC-H shapes.
-_NEW_R4 = (
-    "source_debezium_jsonl_scan",
-    "agg_count_min_heavy_hitters", "sample_weighted_topn",
-    "embedding_pq_adc_topk", "events_hypertable_rollup",
-    "streaming_hypertable_rollup", "layout_zorder_stats",
-    "agg_equi_depth_histogram", "events_anomaly_zscore",
-    "events_cep_pattern", "events_top_paths", "graph_pagerank_copurchase",
-    "agg_kmv_theta_ops", "layout_bucketed_join", "streaming_cep_pattern",
-    "layout_partition_pruning", "events_ewma_smoothing",
-    "streaming_kmv_sketch_merge", "graph_bfs_hops",
-    "source_multiformat_roundtrip", "join_lateral_topn",
-    "streaming_cdc_join_view", "pandas_cogroup_reconcile",
-    "agg_mode_per_group", "scalar_three_valued_in", "scalar_bitwise_funcs",
-    "streaming_neardup_ingest", "source_schema_evolution",
-    "llm_dataset_card", "text_bpe_regex_tokens",
-    "streaming_watermark_late_drop",
-    "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "q11_important_stock",
-    "q16_supplier_part_count", "q20_part_promotion",
-)
-
-# Round-5 registrations. They sort BEHIND the whole _NEW_R4 backlog so
-# they can never displace a query that has waited longer for its first
-# driver row — 3 canaries + 38 backlog + 9 here = exactly 50, so every
-# registered query earns a driver row in the round-5 sweep.
-_NEW_R5 = (
-    "entity_blocking_linkage",
-    "streaming_cms_heavy_hitters",
-    "multimodal_chunk_dedup",
-    "streaming_embedding_neardup_ingest",
-    "streaming_scd2_maintenance",
-    "dedup_canonical_selection",
-    "join_pit_features",
-    "layout_compaction_plan",
-    "text_perplexity_filter",
-)
-
 
 def _rotated(mapping: dict) -> dict:
     registry.ensure_loaded()
+    greens = _last_green_rounds()
 
     def tier(name: str) -> tuple:
         if name in _CANARIES:
             return (0, 0)
-        if name in _DRIVER_VERIFIED:
-            return (4, 0)
-        if name in _NEW_R4:
-            return (2, _NEW_R4.index(name))
-        if name in _NEW_R5:
-            return (3, _NEW_R5.index(name))
-        return (1, 0)
+        if name not in greens:
+            return (1, 0)          # never driver-green: front, reg order
+        return (2, greens[name])   # verified: stalest first
 
     items = sorted(
         enumerate(mapping.items()), key=lambda t: (tier(t[1][0]), t[0])

@@ -1,17 +1,19 @@
 #!/usr/bin/env python
-"""Rotation maintenance helper (the per-round MAINTENANCE note in
-__spark_entry__.py, made mechanical).
+"""Rotation invariant checker.
 
-Reads every CORRECTNESS_r*.json, unions the hash-green names, and
-prints:
-  1. the green names NOT yet in `_DRIVER_VERIFIED` (formatted for
-     pasting into the frozenset),
-  2. `_NEW_R*` entries that are now verified (fold them away),
-  3. rotation invariants for the CURRENT state: how many registered
-     queries have never received a driver row, and whether the front-50
-     covers all of them (it must — otherwise a sweep slot is wasted).
+Since round 6 the rotation in __spark_entry__.py is DATA-DRIVEN: each
+query's front-50 rank derives from the CORRECTNESS_r*.json files (never
+driver-green first, then stalest last-green round).  There is no
+frozenset to maintain any more — this tool just verifies the invariants
+the driver gate depends on:
 
-Run FIRST thing each round, before touching anything else.
+  1. every CORRECTNESS file's red rows (investigate any),
+  2. how many registered queries have never received a driver row and
+     whether the front-50 covers ALL of them (it must),
+  3. the front-50 composition by last-green round (staleness actually
+     rotating).
+
+Run FIRST thing each round.
 """
 
 from __future__ import annotations
@@ -20,7 +22,7 @@ import glob
 import json
 import os
 import sys
-import textwrap
+from collections import Counter
 
 sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -40,24 +42,17 @@ for path in sorted(glob.glob(
           f"{len(rows) - len(reds)} green"
           + (f", RED: {reds}" if reds else ""))
 
-missing = sorted(greens - E._DRIVER_VERIFIED)
-print(f"\n--- {len(missing)} green names to ADD to _DRIVER_VERIFIED:")
-if missing:
-    print(textwrap.fill(
-        " ".join(f'"{n}",' for n in missing), width=72,
-        initial_indent="        ", subsequent_indent="        "))
-
-for tier_name in ("_NEW_R4", "_NEW_R5", "_NEW_R6"):
-    tier = getattr(E, tier_name, ())
-    done = [n for n in tier if n in greens]
-    if done:
-        print(f"--- {tier_name}: {len(done)}/{len(tier)} now verified "
-              f"(fold away): {done}")
-
 qs = list(E.queries())
+last = E._last_green_rounds()
 never = [q for q in qs if q not in greens]
-front = set(qs[:50])
-uncovered = [q for q in never if q not in front]
+front = qs[:50]
+uncovered = [q for q in never if q not in set(front)]
 print(f"\n--- invariants: {len(qs)} registered, {len(never)} never "
       f"driver-green, {len(uncovered)} of those OUTSIDE the front-50"
       + (f" — FIX ROTATION: {uncovered}" if uncovered else " (good)"))
+print("--- front-50 by last-green round:",
+      dict(sorted(Counter(last.get(n) for n in front).items(),
+                  key=lambda t: (t[0] is not None, t[0]))))
+oq = list(E.oracle_sql())
+print("--- queries()/oracle_sql() order identical:",
+      qs == oq or f"MISMATCH at {next(i for i,(a,b) in enumerate(zip(qs,oq)) if a!=b)}")
