@@ -381,9 +381,9 @@ def cdc_snapshot_then_stream(spark, sf_dir):
     SELECT o_orderkey, o_custkey, op,
            ts_ms AS valid_from,
            lead(ts_ms) OVER (
-             PARTITION BY o_orderkey ORDER BY ts_ms) AS valid_to,
+             PARTITION BY o_orderkey ORDER BY ts_ms, op) AS valid_to,
            CASE WHEN lead(ts_ms) OVER (
-             PARTITION BY o_orderkey ORDER BY ts_ms) IS NULL
+             PARTITION BY o_orderkey ORDER BY ts_ms, op) IS NULL
              AND op <> 'd' THEN 1 ELSE 0 END AS is_current
     FROM changes
     """,
@@ -416,7 +416,7 @@ def cdc_scd2_intervals(spark, sf_dir):
         F.col("env.op").alias("op"),
         F.col("env.ts_ms").alias("ts_ms"),
     )
-    w = Window.partitionBy("o_orderkey").orderBy("ts_ms")
+    w = Window.partitionBy("o_orderkey").orderBy("ts_ms", "op")
     valid_to = F.lead("ts_ms").over(w)
     return parsed.select(
         "o_orderkey",

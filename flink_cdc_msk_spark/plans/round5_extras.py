@@ -746,9 +746,9 @@ def layout_compaction_plan(spark, sf_dir):
     SELECT o_orderkey, o_custkey, op,
            ts_ms AS valid_from,
            lead(ts_ms) OVER (
-             PARTITION BY o_orderkey ORDER BY ts_ms) AS valid_to,
+             PARTITION BY o_orderkey ORDER BY ts_ms, op) AS valid_to,
            CASE WHEN lead(ts_ms) OVER (
-             PARTITION BY o_orderkey ORDER BY ts_ms) IS NULL
+             PARTITION BY o_orderkey ORDER BY ts_ms, op) IS NULL
              AND op <> 'd' THEN 1 ELSE 0 END AS is_current
     FROM changes
     """,

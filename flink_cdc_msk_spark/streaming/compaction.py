@@ -271,7 +271,10 @@ class Scd2IntervalSink:
                 )
             )
         log = log.dropDuplicates([*self.pk_cols, "ts_ms", "op"])
-        w = Window.partitionBy(*self.pk_cols).orderBy("ts_ms")
+        # ("ts_ms", "op") tie-break: two ops at the same ts_ms (real in
+        # CDC feeds) would otherwise make lead() nondeterministic across
+        # runs; mirrored in the cdc_scd2/streaming_scd2 oracles
+        w = Window.partitionBy(*self.pk_cols).orderBy("ts_ms", "op")
         valid_to = F.lead("ts_ms").over(w)
         live = log.select(
             *self.pk_cols,

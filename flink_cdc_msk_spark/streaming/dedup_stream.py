@@ -8,26 +8,42 @@ store:
 
   per micro-batch:
     1. signature the incoming docs (map-side MinHash, operators/dedup.py)
-    2. band-join them against the stored signature table → candidates
-    3. verify candidates with exact hashed-unit Jaccard
-    4. batch-internal dedup the survivors the same way
-    5. append admitted docs' signatures to the store; emit admitted docs
+    2. band-join them against the stored signature table → cross-batch
+       candidates; self-join the batch's bands → batch-internal candidates
+    3. verify BOTH candidate sets in one exact hashed-unit Jaccard join
+       (tagged union — one join, one shuffle, instead of two per batch)
+    4. append admitted docs' state; emit admitted docs
 
 At scale the store is the natural bottleneck — it is read via its band
 columns only (narrow projection) and grows by admitted docs only. The
 band join is linear in batch×store collision count, never batch×store.
 
-Verify state: admitted docs' hashed unit-sets are persisted as a sidecar
-table (``<store_path>_sets``, one (id, toks) row per admitted doc) at the
-same time as their band rows.  Step 3 joins candidates against that
-sidecar directly — per-batch verify work is O(candidate pairs) plus a
-columnar (id, toks) scan, NOT a re-tokenization (explode + groupBy over
-every admitted doc's text) whose cost would grow with the corpus.  At
-cluster scale the sidecar can additionally be bucketed by id so the
+State layout (round 6, "unified"): ONE parquet root per filter,
+``store_path/batch_id=N/kind={band,set}`` —
+
+  kind=band : (id, band, bucket)   — the LSH candidate index
+  kind=set  : (id, toks)          — hashed unit-sets, the verify sidecar
+
+One read and one write per batch instead of two of each (foreachBatch
+fixed job count is the round-5 perf-weak item); ``kind`` is a partition
+directory, so each consumer's scan is still pruned to its own files, and
+parquet's columnar projection keeps the band read narrow.  Verify joins
+candidates against the kind=set rows directly — per-batch verify work is
+O(candidate pairs), NOT a re-tokenization of the admitted corpus.  At
+cluster scale the state can additionally be bucketed by id so the
 candidate join co-locates without a shuffle.
+
+Stores written by rounds 4–5 (separate ``<store_path>_sets`` /
+``<store_path>_vecs`` sidecar tables, or pre-sidecar band-only stores)
+are migrated once with :func:`backfill_unified_state` — new code detects
+the legacy layout and fails fast with a pointer rather than silently
+admitting near-duplicates.
 """
 
 from __future__ import annotations
+
+import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -68,13 +84,30 @@ def _banded(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
+def _null_like(df: DataFrame, col: str) -> F.Column:
+    """NULL literal with ``df[col]``'s exact type (for union-schema rows)."""
+    return F.lit(None).cast(df.schema[col].dataType)
+
+
+def _check_unified(state: DataFrame | None, store_path: str) -> None:
+    if state is not None and "kind" not in state.columns:
+        # Half-present or legacy state must FAIL the batch — silently
+        # skipping the cross-batch verify would admit near-duplicates.
+        raise ValueError(
+            f"legacy near-dup state layout at {store_path} (no kind= "
+            "partition): run streaming.dedup_stream.backfill_unified_state "
+            "once to migrate a round-4/5 store (including pre-sidecar "
+            "stores, whose unit-sets are re-derived from out_path)"
+        )
+
+
 class StreamingNearDupFilter:
     """foreachBatch target: admit only docs that are not near-dups of any
     previously admitted doc (or of an earlier doc in the same batch).
 
-    ``store_path`` holds (id, band, bucket) rows of admitted docs and
-    ``<store_path>_sets`` their hashed unit-sets (the verify state);
-    ``out_path`` accumulates admitted (id, text) rows.
+    ``store_path`` holds the unified state (kind=band candidate index +
+    kind=set verify sidecar, see module docstring); ``out_path``
+    accumulates admitted (id, text) rows.
     """
 
     def __init__(
@@ -89,7 +122,6 @@ class StreamingNearDupFilter:
         id_col: str = "doc_id",
     ):
         self.store_path = store_path
-        self.sets_path = store_path + "_sets"
         self.out_path = out_path
         self.threshold = threshold
         self.num_hashes = num_hashes
@@ -99,7 +131,8 @@ class StreamingNearDupFilter:
         self.id_col = id_col
 
     def _jaccard_ok(self, pairs: DataFrame, sets1: DataFrame, sets2: DataFrame) -> DataFrame:
-        """pairs(id1,id2) → those with jaccard >= threshold (near-dups).
+        """pairs(id1,id2,...) → those with jaccard >= threshold (near-dups),
+        pair columns preserved.
 
         The ratio is rounded to 6 decimals before the compare so the
         admit/reject boundary is bit-identical to the batch operator
@@ -119,12 +152,21 @@ class StreamingNearDupFilter:
                 )
                 >= self.threshold
             )
-            .select("id1", "id2")
+            .select(*pairs.columns)
         )
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        batch = batch.select(self.id_col, self.text_col).cache()
+        # Spread the batch across the session's cores FIRST: a micro-batch
+        # usually arrives in 1-2 source partitions (one file / one topic
+        # partition), and the all-broadcast candidate plan below would
+        # otherwise inherit that layout for the whole pair-generation +
+        # verify pipeline (the PERF.md §18 one-partition trap — 5x slower
+        # at the sfx1 working set).
+        par = spark.sparkContext.defaultParallelism
+        batch = (
+            batch.select(self.id_col, self.text_col).repartition(par).cache()
+        )
         sigs = minhash_signatures(
             batch, self.num_hashes, self.text_col, self.id_col, self.ngram
         )
@@ -133,31 +175,42 @@ class StreamingNearDupFilter:
             batch, self.text_col, self.id_col, self.ngram, hashed=True
         ).cache()
 
-        # --- cross-batch: candidates vs the persistent store. Rows from
-        # THIS batch_id are excluded: on a foreachBatch retry the store
-        # already holds the failed attempt's output, and without the
-        # exclusion every doc would match itself and be rejected.
-        store = _read_or_none(spark, self.store_path)
-        stored_sets = _read_or_none(spark, self.sets_path)
-        if (store is None) != (stored_sets is None):
-            # Half-present state (a pre-sidecar store, or one table lost)
-            # must FAIL the batch — silently skipping the cross-batch
-            # verify would admit near-duplicates, the exact failure mode
-            # _read_or_none's contract forbids.
-            raise ValueError(
-                "inconsistent near-dup state: band store and unit-set "
-                f"sidecar must both exist or both be absent "
-                f"({self.store_path} vs {self.sets_path})"
+        # --- ONE state read.  Rows from THIS batch_id are excluded: on a
+        # foreachBatch retry the store already holds the failed attempt's
+        # output, and without the exclusion every doc would match itself
+        # and be rejected.
+        state = _read_or_none(spark, self.store_path)
+        _check_unified(state, self.store_path)
+        store = stored_sets = None
+        if state is not None:
+            state = state.filter(F.col("batch_id") != F.lit(batch_id))
+            store = state.filter(F.col("kind") == "band").select(
+                "id", "band", "bucket"
             )
+            stored_sets = state.filter(F.col("kind") == "set").select(
+                "id", "toks"
+            )
+
+        # --- ONE candidate relation (src-tagged), ONE verify join.
+        # Batch-internal pairs are generated over the WHOLE batch and
+        # post-filtered by the cross-batch rejections below — identical
+        # admissions to the old two-join formulation (a pair with a
+        # store-rejected endpoint never fires), at half the fixed joins.
+        internal = (
+            banded.alias("x")
+            .join(
+                banded.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.id") < F.col("y.id")),
+            )
+            .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
+            .distinct()
+            .withColumn("src", F.lit("intra"))
+        )
+        cand, right_sets = internal, sets
         if store is not None:
-            store = store.filter(F.col("batch_id") != F.lit(batch_id))
-        if stored_sets is not None:
-            stored_sets = stored_sets.filter(
-                F.col("batch_id") != F.lit(batch_id)
-            )
-        dup_vs_store = None
-        if store is not None and stored_sets is not None:
-            cand = (
+            cross = (
                 banded.alias("n")
                 .join(
                     store.alias("s"),
@@ -166,70 +219,72 @@ class StreamingNearDupFilter:
                 )
                 .select(F.col("n.id").alias("id1"), F.col("s.id").alias("id2"))
                 .distinct()
+                .withColumn("src", F.lit("store"))
             )
+            cand = internal.unionByName(cross)
             # Verify against the PERSISTED unit-sets — the join touches
             # only candidate ids' rows, so per-batch verify work is
             # O(candidates), independent of how much has been admitted.
-            # (Before round 5 this re-ran _unit_sets over every admitted
-            # doc's text each batch — O(corpus) per batch, the one
-            # 100 TB scale-killer the round-4 audit found.)
-            dup_vs_store = self._jaccard_ok(
-                cand, sets, stored_sets.select("id", "toks")
-            ).select(F.col("id1").alias("id"))
-
-        survivors = (
-            batch.join(
-                dup_vs_store,
-                F.col(self.id_col) == dup_vs_store["id"],
-                "left_anti",
-            )
-            if dup_vs_store is not None
-            else batch
-        )
-
-        # --- batch-internal: keep the lowest id of each near-dup group
-        sb = banded.join(
-            survivors.select(F.col(self.id_col).alias("id")), "id"
-        )
-        internal = (
-            sb.alias("x")
-            .join(
-                sb.alias("y"),
-                (F.col("x.band") == F.col("y.band"))
-                & (F.col("x.bucket") == F.col("y.bucket"))
-                & (F.col("x.id") < F.col("y.id")),
-            )
-            .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
-            .distinct()
-        )
-        internal_dups = self._jaccard_ok(internal, sets, sets).select(
-            F.col("id2").alias("id")  # the higher id of each pair drops
-        ).distinct()
-        admitted = survivors.join(
-            internal_dups,
-            F.col(self.id_col) == internal_dups["id"],
-            "left_anti",
+            right_sets = sets.unionByName(stored_sets)
+        # Explicit repartition before the Jaccard evaluation: AQE would
+        # coalesce the post-distinct pair relation to a handful of
+        # partitions by BYTE size, serializing the interpreted
+        # set-intersection work that dominates per-pair cost.
+        verified = self._jaccard_ok(
+            cand.repartition(par), sets, right_sets
         ).cache()
 
-        # --- persist: admitted docs + their band rows + their hashed
-        # unit-sets (reuse the already-computed banded/sets frames — no
-        # extra tokenization pass). Each batch owns a batch_id=
-        # subdirectory written with overwrite semantics, so a RETRIED
-        # batch replaces its own prior output instead of appending
-        # duplicate docs/band/set rows (foreachBatch gives at-least-once
+        rejected_vs_store = (
+            verified.filter(F.col("src") == "store")
+            .select(F.col("id1").alias("id"))
+            .distinct()
+        )
+        internal_drops = (  # higher id of each surviving intra pair drops
+            verified.filter(F.col("src") == "intra")
+            .join(
+                rejected_vs_store.withColumnRenamed("id", "id1"),
+                "id1", "left_anti",
+            )
+            .join(
+                rejected_vs_store.withColumnRenamed("id", "id2"),
+                "id2", "left_anti",
+            )
+            .select(F.col("id2").alias("id"))
+            .distinct()
+        )
+        rejected = rejected_vs_store.unionByName(internal_drops).distinct()
+        admitted = batch.join(
+            rejected, F.col(self.id_col) == rejected["id"], "left_anti"
+        ).cache()
+
+        # --- persist: admitted docs in one job; band rows + unit-sets in
+        # ONE kind-partitioned job (reusing the already-computed
+        # banded/sets frames — no extra tokenization pass). Each batch
+        # owns a batch_id= subdirectory written with overwrite semantics,
+        # so a RETRIED batch replaces its own prior output instead of
+        # appending duplicate rows (foreachBatch gives at-least-once
         # invocation; idempotent writes restore effective exactly-once).
         admitted.write.mode("overwrite").parquet(
             f"{self.out_path}/batch_id={batch_id}"
         )
         admitted_ids = admitted.select(F.col(self.id_col).alias("id"))
-        banded.join(admitted_ids, "id").write.mode("overwrite").parquet(
-            f"{self.store_path}/batch_id={batch_id}"
+        band_rows = banded.join(admitted_ids, "id").select(
+            "id", "band", "bucket",
+            _null_like(sets, "toks").alias("toks"),
+            F.lit("band").alias("kind"),
         )
-        sets.join(admitted_ids, "id").write.mode("overwrite").parquet(
-            f"{self.sets_path}/batch_id={batch_id}"
+        set_rows = sets.join(admitted_ids, "id").select(
+            "id",
+            _null_like(banded, "band").alias("band"),
+            _null_like(banded, "bucket").alias("bucket"),
+            "toks",
+            F.lit("set").alias("kind"),
         )
+        band_rows.unionByName(set_rows).write.partitionBy("kind").mode(
+            "overwrite"
+        ).parquet(f"{self.store_path}/batch_id={batch_id}")
 
-        for df in (admitted, sets, banded, batch):
+        for df in (admitted, verified, sets, banded, batch):
             df.unpersist()
 
 
@@ -238,12 +293,11 @@ class StreamingVectorNearDupFilter:
     admit only vectors that are not near-dups (cosine ≥ threshold) of any
     previously admitted vector, unbounded lookback.
 
-    State: ``store_path`` holds (id, table, bucket) hyperplane-LSH rows
-    of admitted vectors (portable md5-parity planes, so an external SQL
-    engine re-derives the buckets); ``<store_path>_vecs`` holds their
-    raw double vectors — the verify sidecar, read per candidate (the
-    round-5 sidecar design, applied from day one: per-batch verify work
-    is bounded by candidate rows, never by the admitted corpus).
+    State (unified layout, see module docstring): ``store_path`` holds
+    kind=bucket rows (id, table, bucket) — hyperplane-LSH with portable
+    md5-parity planes, so an external SQL engine re-derives the buckets —
+    and kind=vec rows (id, v), the raw double vectors read per candidate
+    (verify work bounded by candidate rows, never the admitted corpus).
     ``out_path`` accumulates admitted (id, vector) rows."""
 
     def __init__(
@@ -258,7 +312,6 @@ class StreamingVectorNearDupFilter:
         vec_col: str = "embedding",
     ):
         self.store_path = store_path
-        self.vecs_path = store_path + "_vecs"
         self.out_path = out_path
         self.threshold = threshold
         self.n_planes = n_planes
@@ -268,9 +321,10 @@ class StreamingVectorNearDupFilter:
         self.vec_col = vec_col
 
     def _cos_ok(self, pairs: DataFrame, v1: DataFrame, v2: DataFrame) -> DataFrame:
-        """pairs(id1,id2) → those with round(cosine,6) >= threshold.
-        Rounded before the compare so the admit boundary is bit-identical
-        to the batch operator (lsh_near_dup_pairs) and the oracle."""
+        """pairs(id1,id2,...) → those with round(cosine,6) >= threshold,
+        pair columns preserved.  Rounded before the compare so the admit
+        boundary is bit-identical to the batch operator
+        (lsh_near_dup_pairs) and the oracle."""
         from ..operators.similarity import cosine
 
         return (
@@ -280,14 +334,19 @@ class StreamingVectorNearDupFilter:
                 F.round(cosine(F.col("v1"), F.col("v2")), 6)
                 >= self.threshold
             )
-            .select("id1", "id2")
+            .select(*pairs.columns)
         )
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         from ..operators.similarity import as_double, random_hyperplane_buckets
 
         spark = batch.sparkSession
-        batch = batch.select(self.id_col, self.vec_col).cache()
+        # Spread the batch across the session's cores first — see
+        # StreamingNearDupFilter.__call__ (the PERF.md §18 trap).
+        par = spark.sparkContext.defaultParallelism
+        batch = (
+            batch.select(self.id_col, self.vec_col).repartition(par).cache()
+        )
         buckets = random_hyperplane_buckets(
             batch,
             self.n_planes,
@@ -301,22 +360,33 @@ class StreamingVectorNearDupFilter:
             as_double(self.vec_col).alias("v"),
         ).cache()
 
-        store = _read_or_none(spark, self.store_path)
-        stored_vecs = _read_or_none(spark, self.vecs_path)
-        if (store is None) != (stored_vecs is None):
-            raise ValueError(
-                "inconsistent vector near-dup state: bucket store and "
-                f"vector sidecar must both exist or both be absent "
-                f"({self.store_path} vs {self.vecs_path})"
+        state = _read_or_none(spark, self.store_path)
+        _check_unified(state, self.store_path)
+        store = stored_vecs = None
+        if state is not None:
+            state = state.filter(F.col("batch_id") != F.lit(batch_id))
+            store = state.filter(F.col("kind") == "bucket").select(
+                "id", "table", "bucket"
             )
-        if store is not None:
-            store = store.filter(F.col("batch_id") != F.lit(batch_id))
-            stored_vecs = stored_vecs.filter(
-                F.col("batch_id") != F.lit(batch_id)
+            stored_vecs = state.filter(F.col("kind") == "vec").select(
+                "id", "v"
             )
-        dup_vs_store = None
+
+        internal = (
+            buckets.alias("x")
+            .join(
+                buckets.alias("y"),
+                (F.col("x.table") == F.col("y.table"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.id") < F.col("y.id")),
+            )
+            .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
+            .distinct()
+            .withColumn("src", F.lit("intra"))
+        )
+        cand, right_vecs = internal, vecs
         if store is not None:
-            cand = (
+            cross = (
                 buckets.alias("n")
                 .join(
                     store.alias("s"),
@@ -325,59 +395,131 @@ class StreamingVectorNearDupFilter:
                 )
                 .select(F.col("n.id").alias("id1"), F.col("s.id").alias("id2"))
                 .distinct()
+                .withColumn("src", F.lit("store"))
             )
-            dup_vs_store = self._cos_ok(
-                cand, vecs, stored_vecs.select("id", "v")
-            ).select(F.col("id1").alias("id"))
+            cand = internal.unionByName(cross)
+            right_vecs = vecs.unionByName(stored_vecs)
+        # Explicit repartition before the cosine evaluation — AQE's
+        # byte-based coalescing would otherwise serialize the
+        # interpreted fold-cosine work (see the text filter).
+        verified = self._cos_ok(
+            cand.repartition(par), vecs, right_vecs
+        ).cache()
 
-        survivors = (
-            batch.join(
-                dup_vs_store,
-                F.col(self.id_col) == dup_vs_store["id"],
-                "left_anti",
-            )
-            if dup_vs_store is not None
-            else batch
-        )
-
-        sb = buckets.join(
-            survivors.select(F.col(self.id_col).alias("id")), "id"
-        )
-        internal = (
-            sb.alias("x")
-            .join(
-                sb.alias("y"),
-                (F.col("x.table") == F.col("y.table"))
-                & (F.col("x.bucket") == F.col("y.bucket"))
-                & (F.col("x.id") < F.col("y.id")),
-            )
-            .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
+        rejected_vs_store = (
+            verified.filter(F.col("src") == "store")
+            .select(F.col("id1").alias("id"))
             .distinct()
         )
-        internal_dups = (
-            self._cos_ok(internal, vecs, vecs)
+        internal_drops = (
+            verified.filter(F.col("src") == "intra")
+            .join(
+                rejected_vs_store.withColumnRenamed("id", "id1"),
+                "id1", "left_anti",
+            )
+            .join(
+                rejected_vs_store.withColumnRenamed("id", "id2"),
+                "id2", "left_anti",
+            )
             .select(F.col("id2").alias("id"))
             .distinct()
         )
-        admitted = survivors.join(
-            internal_dups,
-            F.col(self.id_col) == internal_dups["id"],
-            "left_anti",
+        rejected = rejected_vs_store.unionByName(internal_drops).distinct()
+        admitted = batch.join(
+            rejected, F.col(self.id_col) == rejected["id"], "left_anti"
         ).cache()
 
         admitted.write.mode("overwrite").parquet(
             f"{self.out_path}/batch_id={batch_id}"
         )
         admitted_ids = admitted.select(F.col(self.id_col).alias("id"))
-        buckets.join(admitted_ids, "id").write.mode("overwrite").parquet(
-            f"{self.store_path}/batch_id={batch_id}"
+        bucket_rows = buckets.join(admitted_ids, "id").select(
+            "id", "table", "bucket",
+            _null_like(vecs, "v").alias("v"),
+            F.lit("bucket").alias("kind"),
         )
-        vecs.join(admitted_ids, "id").write.mode("overwrite").parquet(
-            f"{self.vecs_path}/batch_id={batch_id}"
+        vec_rows = vecs.join(admitted_ids, "id").select(
+            "id",
+            _null_like(buckets, "table").alias("table"),
+            _null_like(buckets, "bucket").alias("bucket"),
+            "v",
+            F.lit("vec").alias("kind"),
         )
+        bucket_rows.unionByName(vec_rows).write.partitionBy("kind").mode(
+            "overwrite"
+        ).parquet(f"{self.store_path}/batch_id={batch_id}")
 
-        for df in (admitted, vecs, buckets, batch):
+        for df in (admitted, verified, vecs, buckets, batch):
             df.unpersist()
+
+
+def backfill_unified_state(
+    spark: SparkSession,
+    store_path: str,
+    out_path: str | None = None,
+    ngram: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One-time migration of a round-4/5 TEXT near-dup store to the
+    unified layout.
+
+    Legacy layouts handled:
+      * band store at ``store_path`` + unit-set sidecar at
+        ``<store_path>_sets`` (round 5) — both re-staged as kind= rows;
+      * pre-sidecar band-only store (round 4): the unit-sets are
+        RE-DERIVED from the admitted (id, text) rows at ``out_path`` via
+        the same ``_unit_sets`` the filter uses, so a store checkpointed
+        before the sidecar existed can resume instead of failing fast.
+
+    Stages the rewrite next to the store and swaps directories only after
+    the full write succeeds, so a crashed migration leaves the legacy
+    store intact (re-run it).
+    """
+    legacy = spark.read.parquet(store_path)
+    if "kind" in legacy.columns:
+        return  # already unified
+    sets_path = store_path + "_sets"
+    sets = _read_or_none(spark, sets_path)
+    if sets is None:
+        if out_path is None:
+            raise ValueError(
+                "pre-sidecar store and no out_path to derive unit-sets from"
+            )
+        admitted = spark.read.parquet(out_path)
+        sets = _unit_sets(admitted, text_col, id_col, ngram, hashed=True)
+        # _unit_sets drops extra columns; re-attach each id's batch_id
+        sets = sets.join(
+            admitted.select(
+                F.col(id_col).alias("id"), "batch_id"
+            ).distinct(),
+            "id",
+        )
+    unified = legacy.select(
+        "id", "band", "bucket",
+        _null_like(sets, "toks").alias("toks"),
+        F.lit("band").alias("kind"),
+        "batch_id",
+    ).unionByName(
+        sets.select(
+            "id",
+            _null_like(legacy, "band").alias("band"),
+            _null_like(legacy, "bucket").alias("bucket"),
+            "toks",
+            F.lit("set").alias("kind"),
+            "batch_id",
+        )
+    )
+    staging = store_path + "__unified_staging"
+    unified.write.partitionBy("batch_id", "kind").mode("overwrite").parquet(
+        staging
+    )
+    old = store_path + "__legacy"
+    os.rename(store_path, old)
+    os.rename(staging, store_path)
+    shutil.rmtree(old)
+    if os.path.exists(sets_path):
+        shutil.rmtree(sets_path)
 
 
 def start_near_dup_stream(

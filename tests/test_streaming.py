@@ -432,9 +432,10 @@ def test_near_dup_filter_batch_retry_is_idempotent(spark, tmpdir):
     filt(docs, batch_id=0)  # simulated retry of the same micro-batch
     out = spark.read.parquet(f"{tmpdir}/r_out")
     assert sorted(r.doc_id for r in out.collect()) == [1, 2]
-    store = spark.read.parquet(f"{tmpdir}/r_store")
-    assert store.count() == store.dropDuplicates(["id", "band", "bucket"]).count()
-    sets = spark.read.parquet(f"{tmpdir}/r_store_sets")
+    state = spark.read.parquet(f"{tmpdir}/r_store")
+    bands = state.filter(state.kind == "band")
+    assert bands.count() == bands.dropDuplicates(["id", "band", "bucket"]).count()
+    sets = state.filter(state.kind == "set")
     assert sorted(r.id for r in sets.select("id").collect()) == [1, 2]
 
 
@@ -572,8 +573,8 @@ def test_vector_near_dup_filter_across_batches(spark, tmpdir):
         r.vec_id for r in spark.read.parquet(f"{tmpdir}/v_out").collect()
     )
     assert admitted == [1, 2, 4]
-    # sidecar holds exactly the admitted ids
-    side = spark.read.parquet(f"{tmpdir}/v_store_vecs")
+    # sidecar rows hold exactly the admitted ids
+    side = spark.read.parquet(f"{tmpdir}/v_store").filter("kind = 'vec'")
     assert sorted(r.id for r in side.select("id").collect()) == [1, 2, 4]
 
 
@@ -596,10 +597,61 @@ def test_vector_near_dup_retry_is_idempotent(spark, tmpdir):
     filt(vecs, batch_id=0)
     out = spark.read.parquet(f"{tmpdir}/r_out")
     assert sorted(r.vec_id for r in out.collect()) == [1, 2]
-    store = spark.read.parquet(f"{tmpdir}/r_store")
+    store = spark.read.parquet(f"{tmpdir}/r_store").filter("kind = 'bucket'")
     assert store.count() == store.dropDuplicates(
         ["id", "table", "bucket"]
     ).count()
+
+
+def test_backfill_migrates_presidecar_store(spark, tmpdir):
+    """A round-4 PRE-SIDECAR store (band rows only, no unit-set state)
+    must (a) fail fast under the new unified-layout code, and (b) resume
+    after backfill_unified_state re-derives the unit-sets from out_path —
+    with cross-batch near-dup suppression still working."""
+    import pytest
+
+    from flink_cdc_msk_spark.streaming.dedup_stream import (
+        StreamingNearDupFilter,
+        backfill_unified_state,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the cat watches from the warm stone wall near the gate"
+    )
+    # stage batch 0 with current code, then strip its store down to the
+    # legacy band-only layout (the exact on-disk state a round-4
+    # checkpoint leaves behind)
+    filt = StreamingNearDupFilter(
+        f"{tmpdir}/m_store", f"{tmpdir}/m_out", threshold=0.7
+    )
+    filt(
+        spark.createDataFrame([(1, base)], "doc_id long, text string"),
+        batch_id=0,
+    )
+    legacy = f"{tmpdir}/legacy_store"
+    spark.read.parquet(f"{tmpdir}/m_store").filter("kind = 'band'").select(
+        "id", "band", "bucket"
+    ).write.parquet(f"{legacy}/batch_id=0")
+
+    filt2 = StreamingNearDupFilter(
+        legacy, f"{tmpdir}/m_out", threshold=0.7
+    )
+    b1 = spark.createDataFrame(
+        [(2, base + " zz yy"),
+         (3, "entirely new content about columnar shuffle formats and "
+             "adaptive execution plan strategies in modern engines")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="legacy near-dup state"):
+        filt2(b1, batch_id=1)
+
+    backfill_unified_state(spark, legacy, out_path=f"{tmpdir}/m_out")
+    filt2(b1, batch_id=1)
+    admitted = sorted(
+        r.doc_id for r in spark.read.parquet(f"{tmpdir}/m_out").collect()
+    )
+    assert admitted == [1, 3]  # 2 is a near-dup of stored doc 1
 
 
 def _scd2_env(key, op, ts, val=""):
