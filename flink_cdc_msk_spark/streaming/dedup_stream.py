@@ -51,6 +51,16 @@ from pyspark.sql import functions as F
 from ..operators.dedup import _unit_sets, minhash_signatures
 
 
+def _spread(batch: DataFrame, par: int) -> DataFrame:
+    """Repartition a severely under-partitioned micro-batch (a single
+    file / topic partition) so signature work parallelizes; leave
+    already-spread batches alone — the exchange costs ~0.7s/batch at the
+    sfx1 working set and buys nothing past ~8 partitions."""
+    if batch.rdd.getNumPartitions() < min(8, par):
+        return batch.repartition(par)
+    return batch
+
+
 def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
     """Scan of a state table, or None if it genuinely doesn't exist yet.
     Any other read failure re-raises — a partial/corrupt store must fail
@@ -164,9 +174,9 @@ class StreamingNearDupFilter:
         # verify pipeline (the PERF.md §18 one-partition trap — 5x slower
         # at the sfx1 working set).
         par = spark.sparkContext.defaultParallelism
-        batch = (
-            batch.select(self.id_col, self.text_col).repartition(par).cache()
-        )
+        batch = _spread(
+            batch.select(self.id_col, self.text_col), par
+        ).cache()
         sigs = minhash_signatures(
             batch, self.num_hashes, self.text_col, self.id_col, self.ngram
         )
@@ -174,6 +184,11 @@ class StreamingNearDupFilter:
         sets = _unit_sets(
             batch, self.text_col, self.id_col, self.ngram, hashed=True
         ).cache()
+        # Populate the batch+banded caches in ONE job before the write
+        # triggers the full graph: the self-join broadcasts banded, and a
+        # broadcast build racing an unpopulated cache recomputes the
+        # whole signature lineage per consumer (~2x cold-batch cost).
+        banded.count()
 
         # --- ONE state read.  Rows from THIS batch_id are excluded: on a
         # foreachBatch retry the store already holds the failed attempt's
@@ -226,10 +241,11 @@ class StreamingNearDupFilter:
             # only candidate ids' rows, so per-batch verify work is
             # O(candidates), independent of how much has been admitted.
             right_sets = sets.unionByName(stored_sets)
-        # Explicit repartition before the Jaccard evaluation: AQE would
-        # coalesce the post-distinct pair relation to a handful of
-        # partitions by BYTE size, serializing the interpreted
-        # set-intersection work that dominates per-pair cost.
+        # Explicit repartition between pair-dedup and the interpreted
+        # Jaccard evaluation: AQE coalesces the post-distinct exchange by
+        # BYTE size, which would funnel an exploded candidate set (5M
+        # pairs at sfx1 — identical-content clusters are normal in web
+        # corpora) into 1-4 partitions and serialize the verify.
         verified = self._jaccard_ok(
             cand.repartition(par), sets, right_sets
         ).cache()
@@ -344,9 +360,9 @@ class StreamingVectorNearDupFilter:
         # Spread the batch across the session's cores first — see
         # StreamingNearDupFilter.__call__ (the PERF.md §18 trap).
         par = spark.sparkContext.defaultParallelism
-        batch = (
-            batch.select(self.id_col, self.vec_col).repartition(par).cache()
-        )
+        batch = _spread(
+            batch.select(self.id_col, self.vec_col), par
+        ).cache()
         buckets = random_hyperplane_buckets(
             batch,
             self.n_planes,
@@ -359,6 +375,9 @@ class StreamingVectorNearDupFilter:
             F.col(self.id_col).alias("id"),
             as_double(self.vec_col).alias("v"),
         ).cache()
+        # Populate batch+buckets caches before the write triggers the
+        # full graph — see StreamingNearDupFilter.__call__.
+        buckets.count()
 
         state = _read_or_none(spark, self.store_path)
         _check_unified(state, self.store_path)
@@ -399,9 +418,8 @@ class StreamingVectorNearDupFilter:
             )
             cand = internal.unionByName(cross)
             right_vecs = vecs.unionByName(stored_vecs)
-        # Explicit repartition before the cosine evaluation — AQE's
-        # byte-based coalescing would otherwise serialize the
-        # interpreted fold-cosine work (see the text filter).
+        # Explicit repartition before the interpreted fold-cosine — see
+        # the text filter.
         verified = self._cos_ok(
             cand.repartition(par), vecs, right_vecs
         ).cache()
