@@ -365,3 +365,63 @@ def ivf_topk_exact_repro(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos", "rank")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means the embedding corpus, then prune
+    within-cluster near-duplicates — a vector is dropped iff a
+    LOWER-id member of ITS OWN cluster has cosine >= ``threshold``
+    (6dp-rounded, the engine-exact boundary every cosine operator in
+    this repo uses).  → kept (id, cluster).
+
+    Scale shape — the whole point of the clustering stage: candidate
+    pairs are bounded per cluster (n²/k for balanced clusters), never
+    corpus-global; ``k`` is the knob that prices the verify (SemDeDup
+    runs k in the tens of thousands at web scale).  One shuffle
+    co-locates each cluster's members; the pair join and cosine filter
+    are then cluster-local.  The clustering is the DECIMAL-exact Lloyd
+    (bit-reproducible, oracle-checkable); past oracle scale the
+    assignment step swaps to the blocked-BLAS ``mapInPandas`` kernel
+    exactly as ``kmeans_assign`` documents.  The deterministic min-id
+    keep rule (rather than SemDeDup's farthest-from-centroid) keeps the
+    operator order-independent and SQL-expressible; swapping the rule
+    is a one-line change to the drop condition."""
+    from .similarity import as_double, cosine
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    assign = kmeans_assign(df, k=k, iters=iters, id_col=id_col,
+                           vec_col=vec_col)
+    vecs = df.select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("v")
+    )
+    # persist + cluster-partition the member relation: it feeds BOTH
+    # sides of the pair join, and its lineage contains the full Lloyd
+    # iteration (recomputing it per join side would double the
+    # dominant cost); partitioning by cl makes the self-join
+    # shuffle-free on top of the persisted layout
+    members = (
+        assign.join(vecs, "id").repartition(par, "cl").persist()
+    )
+    pairs = (
+        members.alias("a")
+        .join(
+            members.alias("b"),
+            (F.col("a.cl") == F.col("b.cl"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+            >= threshold
+        )
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+    )
+    return members.join(pairs, "id", "left_anti").select("id", "cl")
