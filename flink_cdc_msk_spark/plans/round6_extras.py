@@ -81,3 +81,66 @@ def dedup_semantic(spark, sf_dir):
     return semantic_dedup(
         emb, k=_SEM_K, iters=2, threshold=_SEM_TAU
     ).select(F.col("id").alias("vec_id"), F.col("cl").alias("cluster"))
+
+
+# ------------------------- A29 effective-once certificate (CDC family)
+
+@register(
+    "cdc_effective_once_read",
+    oracle="""
+    SELECT 'test_db' AS db,
+           'orders' AS tbl,
+           'test_db.orders.' || CAST(o_orderkey AS VARCHAR) AS partition_key,
+           'cdc_test_db' AS topic,
+           op
+    FROM (
+      SELECT o_orderkey, 'c' AS op FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'u' FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, 'd' FROM orders WHERE o_orderkey % 20 = 0
+    )
+    """,
+)
+def cdc_effective_once_read(spark, sf_dir):
+    """A29 effective-once CERTIFICATE.  The reference produces with a
+    transactional Kafka producer (MySQLCDC2AWSMSK.scala:187-190);
+    Spark's Kafka sink is at-least-once, so the shipped mitigation is
+    an idempotent record identity that consumers dedup on.  This query
+    PROVES the mitigation: the envelope feed is replayed with injected
+    duplicate deliveries (~1/3 of records re-delivered once, ~1/7 twice
+    more — the at-least-once failure mode), routed normally, then
+    deduplicated on read by the record identity (partition_key,
+    source.file, source.pos, op, ts_ms); the oracle is the EXACTLY-ONCE
+    routed output, so a green row certifies the duplicate deliveries
+    are invisible downstream.  (A real binlog feed needs only
+    file+pos — the synthetic feed's constant file/pos force op+ts_ms
+    into the key.)  One dropDuplicates shuffle on the dedup key — at
+    100 TB this is the standard consumer-side effective-once read,
+    partitioned by the same key the producer partitions on.  The
+    duplicate injection is asserted non-empty in-query."""
+    from ..operators.route import route_mysql_cdc
+    from .cdc_queries import ORDERS_ROUTING, synthesize_mysql_events
+
+    events = synthesize_mysql_events(spark, sf_dir)
+    ts = F.get_json_object("value", "$.ts_ms").cast("long")
+    dup_once = events.filter(ts % 3 == 0)
+    dup_twice = events.filter(ts % 7 == 0)
+    feed = (
+        events.unionAll(dup_once).unionAll(dup_twice).unionAll(dup_twice)
+    )
+    n_injected = dup_once.count() + 2 * dup_twice.count()
+    if n_injected == 0:
+        raise ValueError("duplicate injection produced no rows")
+    routed = route_mysql_cdc(feed, ORDERS_ROUTING, topic_prefix="cdc_")
+    identity = [
+        "partition_key",
+        F.get_json_object("value", "$.source.file").alias("file"),
+        F.get_json_object("value", "$.source.pos").alias("pos"),
+        F.get_json_object("value", "$.op").alias("op"),
+        F.get_json_object("value", "$.ts_ms").alias("ts_ms"),
+    ]
+    once = routed.select(
+        "db", F.col("table").alias("tbl"), "topic", *identity
+    ).dropDuplicates(["partition_key", "file", "pos", "op", "ts_ms"])
+    return once.select("db", "tbl", "partition_key", "topic", "op")
