@@ -144,3 +144,186 @@ def cdc_effective_once_read(spark, sf_dir):
         "db", F.col("table").alias("tbl"), "topic", *identity
     ).dropDuplicates(["partition_key", "file", "pos", "op", "ts_ms"])
     return once.select("db", "tbl", "partition_key", "topic", "op")
+
+
+# ----------------------------------- real BPE: train merges + encode
+
+_BPE_SEP = "\x1f"  # ASCII unit separator — absent from the corpus
+_BPE_MERGES = 6
+
+
+def _bpe_round(vocab):
+    """One BPE merge round over (word, cnt, seq): count adjacent symbol
+    pairs weighted by word frequency, pick the most frequent pair
+    (deterministic (count DESC, s1, s2) tie-break), rewrite every seq.
+
+    ``seq`` renders a symbol list as individually-WRAPPED symbols
+    ('\\x1fa\\x1f\\x1fb\\x1f'): a merge is then one string replace whose
+    pattern is anchored on both symbols' own wrappers, so it can never
+    match inside a longer symbol AND consecutive merge sites stay
+    independent (replace('a a a a') collapses to two 'aa's, matching
+    greedy left-to-right BPE — a shared-separator rendering gets the
+    quadruple case wrong)."""
+    s2 = _BPE_SEP + _BPE_SEP
+    pairs = (
+        vocab.select(
+            "cnt",
+            F.split(
+                F.expr("substring(seq, 2, length(seq) - 2)"), s2
+            ).alias("syms"),
+        )
+        .filter(F.size("syms") >= 2)
+        .select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(syms[i-1] AS s1, syms[i] AS s2))"
+                )
+            ).alias("p"),
+        )
+        .groupBy("p.s1", "p.s2")
+        .agg(F.sum("cnt").alias("c"))
+    )
+    merge = (
+        pairs.orderBy(F.col("c").desc(), "s1", "s2")
+        .limit(1)
+        .select("s1", "s2")
+    )
+    pat = F.concat(
+        F.lit(_BPE_SEP), F.col("s1"), F.lit(s2), F.col("s2"),
+        F.lit(_BPE_SEP),
+    )
+    rep = F.concat(F.lit(_BPE_SEP), F.col("s1"), F.col("s2"), F.lit(_BPE_SEP))
+    return (
+        vocab.crossJoin(F.broadcast(merge))
+        .withColumn("seq", F.replace(F.col("seq"), pat, rep))
+        .drop("s1", "s2")
+    )
+
+
+def _bpe_oracle(merges: int) -> str:
+    S, SS = "chr(31)", "chr(31)||chr(31)"
+    from .llm_pipeline import _BPE_PAT
+
+    rounds = []
+    for r in range(1, merges + 1):
+        rounds.append(f"""
+    p{r} AS (
+      SELECT syms[i] AS s1, syms[i+1] AS s2, sum(cnt) AS c
+      FROM (SELECT cnt, string_split(trim(seq, chr(31)), {SS}) AS syms
+            FROM v{r - 1}) w,
+           unnest(generate_series(1, len(syms) - 1)) AS g(i)
+      GROUP BY s1, s2
+    ),
+    m{r} AS (SELECT s1, s2 FROM p{r} ORDER BY c DESC, s1, s2 LIMIT 1),
+    v{r} AS (
+      SELECT word, cnt,
+             replace(seq, {S}||s1||{SS}||s2||{S}, {S}||s1||s2||{S}) AS seq
+      FROM v{r - 1}, m{r}
+    )""")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, t AS word
+      FROM documents,
+           unnest(regexp_extract_all(text, '{_BPE_PAT}')) AS u(t)
+    ),
+    words AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word),
+    v0 AS (
+      SELECT word, cnt,
+             {S} || array_to_string(
+               list_transform(generate_series(1, len(word)),
+                              i -> word[i]), {SS}) || {S} AS seq
+      FROM words
+    ),
+    {','.join(rounds)},
+    enc AS (
+      SELECT word,
+             (len(seq) - len(replace(seq, chr(31), ''))) // 2 AS n_units
+      FROM v{merges}
+    )
+    SELECT t.doc_id,
+           CAST(sum(e.n_units) AS BIGINT) AS n_bpe_units,
+           CAST(sum(len(t.word)) AS BIGINT) AS n_chars,
+           round(sum(e.n_units) / sum(len(t.word)), 4) AS compression
+    FROM toks t JOIN enc e USING (word)
+    GROUP BY t.doc_id
+    """
+
+
+@register("text_bpe_encode", oracle=_bpe_oracle(_BPE_MERGES))
+def text_bpe_encode(spark, sf_dir):
+    """REAL byte-pair encoding — closes the gap text_bpe_regex_tokens
+    left open (it stops at the GPT-2 pre-tokenizer): learn a bounded
+    merge table FROM the corpus (frequency-weighted adjacent-pair
+    argmax per round, Sennrich et al. 2016), apply it, and emit each
+    doc's encoded length → (doc_id, n_bpe_units, n_chars, compression).
+
+    Training runs on the distinct-word VOCABULARY with counts (the
+    standard trick — merge work scales with |vocab|, not corpus size);
+    each round is one weighted pair aggregation plus a 1-row argmax
+    broadcast back into a string rewrite, unrolled like lloyd_rounds.
+    Encoding is a vocabulary JOIN, never a per-occurrence re-merge.
+    The oracle replays the identical rounds in SQL, so a green row
+    certifies the learned merge table itself (any divergent merge
+    shifts encoded lengths).  At 100 TB: the explode-heavy token
+    relation is persisted+spread (PERF.md §18 doctrine) since both the
+    vocab aggregation and the final join consume it; per-round state is
+    |vocab| rows; the 1-row argmax is the documented SinglePartition
+    class."""
+    from ..operators.dedup import _spread_and_persist
+    from .llm_pipeline import _BPE_PAT, _docs
+
+    toks = _spread_and_persist(
+        _docs(spark, sf_dir).select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
+            ).alias("word"),
+        ),
+        spark,
+        key="doc_id",
+        drop_base=False,
+    )
+    chars = F.expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    )
+    vocab = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "seq",
+            F.concat(
+                F.lit(_BPE_SEP),
+                F.array_join(chars, _BPE_SEP + _BPE_SEP),
+                F.lit(_BPE_SEP),
+            ),
+        )
+    )
+    for _ in range(_BPE_MERGES):
+        # per-round persist (the CC-iteration pattern): round r's plan
+        # embeds round r-1's vocab TWICE (pair-count branch + rewrite
+        # branch), so an unpersisted chain duplicates the whole prefix
+        # 2^r times; the cache bounds each round to one |vocab|-row scan
+        vocab = _bpe_round(vocab).persist()
+    enc = vocab.select(
+        "word",
+        (
+            (
+                F.length("seq")
+                - F.length(F.replace(F.col("seq"), F.lit(_BPE_SEP), F.lit("")))
+            )
+            / F.lit(2)
+        ).cast("long").alias("n_units"),
+    )
+    return (
+        toks.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_units").cast("bigint").alias("n_bpe_units"),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+            F.round(
+                F.sum("n_units") / F.sum(F.length("word")), 4
+            ).alias("compression"),
+        )
+    )
