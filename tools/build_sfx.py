@@ -34,9 +34,12 @@ REPLICAS = 10
 DOC_STEP = 10_000
 EVENT_STEP = 10_000_000
 USER_STEP = 10_000
+ORDER_STEP = 1_000_000
+CUST_STEP = 100_000
 
 
-def build(src: str, out: str, replicas: int = REPLICAS) -> None:
+def build(src: str, out: str, replicas: int = REPLICAS,
+          tpch: bool = False) -> None:
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     rng = f"range({replicas})"
@@ -98,8 +101,61 @@ def build(src: str, out: str, replicas: int = REPLICAS) -> None:
         ) TO '{out}/events.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 100000)
         """
     )
-    for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem"):
+    if tpch:
+        # Key-shifted replicas of the three q18-shape tables so the
+        # relational decade scales too (PERF §21).  Steps exceed each
+        # key's source span (o_orderkey/l_orderkey < 1M, c_custkey <
+        # 100k at sf0.1 — asserted below), so per-order line items and
+        # per-customer orders stay intact inside a replica: join
+        # fan-outs and HAVING sums scale by replica count, never mix.
+        (max_ok, max_ck) = con.execute(
+            f"SELECT max(o_orderkey), max(o_custkey)"
+            f" FROM '{src}/orders.parquet'"
+        ).fetchone()
+        if max_ok >= ORDER_STEP or max_ck >= CUST_STEP:
+            raise ValueError(
+                f"order/cust key span ({max_ok}, {max_ck}) exceeds "
+                f"replica steps ({ORDER_STEP}, {CUST_STEP})"
+            )
+        con.execute(
+            f"""
+            COPY (
+              SELECT * REPLACE (
+                       c_custkey + r.range * {CUST_STEP} AS c_custkey)
+              FROM '{src}/customer.parquet' CROSS JOIN {rng} r
+              ORDER BY c_custkey
+            ) TO '{out}/customer.parquet'
+              (FORMAT PARQUET, ROW_GROUP_SIZE 100000)
+            """
+        )
+        con.execute(
+            f"""
+            COPY (
+              SELECT * REPLACE (
+                       o_orderkey + r.range * {ORDER_STEP} AS o_orderkey,
+                       o_custkey + r.range * {CUST_STEP} AS o_custkey)
+              FROM '{src}/orders.parquet' CROSS JOIN {rng} r
+              ORDER BY o_orderkey
+            ) TO '{out}/orders.parquet'
+              (FORMAT PARQUET, ROW_GROUP_SIZE 200000)
+            """
+        )
+        con.execute(
+            f"""
+            COPY (
+              SELECT * REPLACE (
+                       l_orderkey + r.range * {ORDER_STEP} AS l_orderkey)
+              FROM '{src}/lineitem.parquet' CROSS JOIN {rng} r
+              ORDER BY l_orderkey
+            ) TO '{out}/lineitem.parquet'
+              (FORMAT PARQUET, ROW_GROUP_SIZE 500000)
+            """
+        )
+        copy_only = ("region", "nation", "supplier", "part")
+    else:
+        copy_only = ("region", "nation", "customer", "supplier", "part",
+                     "orders", "lineitem")
+    for t in copy_only:
         shutil.copyfile(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
 
 
@@ -108,6 +164,12 @@ if __name__ == "__main__":
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/sfx1")
     ap.add_argument("--replicas", type=int, default=REPLICAS)
+    ap.add_argument(
+        "--tpch", action="store_true",
+        help="also key-shift-replicate customer/orders/lineitem "
+             "(q18-shape relational scaling) instead of copying them",
+    )
     a = ap.parse_args()
-    build(a.src, a.out, a.replicas)
-    print(f"built {a.out} from {a.src} x{a.replicas}")
+    build(a.src, a.out, a.replicas, tpch=a.tpch)
+    print(f"built {a.out} from {a.src} x{a.replicas}"
+          + (" (+tpch replicas)" if a.tpch else ""))
