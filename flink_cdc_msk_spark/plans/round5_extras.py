@@ -815,6 +815,11 @@ def streaming_scd2_maintenance(spark, sf_dir):
 # reconstructed double to the same literal, so the boundary is exact.
 _PPL_THRESHOLD = 3.4
 
+# Spread bigram relation per (app, corpus) — lets _spread_and_persist drop
+# the narrow base cache (ADVICE r5: drop_base=False held both copies of
+# the plan's largest relation for the whole session).
+_BIGRAM_MEMO: dict[tuple, DataFrame] = {}
+
 
 @register(
     "text_perplexity_filter",
@@ -889,12 +894,21 @@ def text_perplexity_filter(spark, sf_dir):
     ).select("doc_id", "p.w1", "p.w2")
     # the bigram relation feeds BOTH the count tables and the scoring
     # join probe — persist it (partition-spread, PERF.md §18's lesson)
-    # so the 100×-the-corpus explode doesn't recompute per consumer;
-    # CacheManager's canonical-plan dedupe reuses the entry across
-    # repeated calls in one session (same pattern as pq_adc_topk).
+    # so the 100×-the-corpus explode doesn't recompute per consumer.
+    # Memoized per (app, corpus) like _UNITS_MEMO so drop_base can
+    # release the narrow pre-spread cache: this is the largest relation
+    # in the plan and holding both copies doubles its cache footprint.
     from ..operators.dedup import _spread_and_persist
+    from ..sources.tables import evict_stale_entries
 
-    bi = _spread_and_persist(bi, spark, key="doc_id", drop_base=False)
+    app_id = spark.sparkContext.applicationId
+    evict_stale_entries(_BIGRAM_MEMO, app_id)
+    memo_key = (app_id, sf_dir)
+    cached = _BIGRAM_MEMO.get(memo_key)
+    if cached is None:
+        cached = _spread_and_persist(bi, spark, key="doc_id")
+        _BIGRAM_MEMO[memo_key] = cached
+    bi = cached
     c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
     c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
     term_micro = (

@@ -72,6 +72,23 @@ def census(plan, seen_caches: set | None = None) -> Counter:
     return counts
 
 
+def census_from_string(plan_str: str) -> Counter:
+    """Degraded census: count node names from the rendered plan text.
+    Fallback when the Py4J walk hits a private-API change across Spark
+    versions (initialPlan/cacheBuilder/semanticHash are internals) — less
+    precise (no cache dedupe, no SinglePartition split) but the
+    anti-pattern flags still fire instead of the tool crashing."""
+    import re
+
+    counts: Counter = Counter()
+    for line in plan_str.splitlines():
+        m = re.search(r"(?:^|[+:\-*\s])([A-Z][A-Za-z]+)(?:Exec)?\s*[\s(]",
+                      line)
+        if m:
+            counts[m.group(1)] += 1
+    return counts
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -94,14 +111,21 @@ def main() -> None:
     for name in names:
         try:
             df = qs[name](spark, SF_DIR)
-            counts = census(
-                df._jdf.queryExecution().executedPlan(), seen_caches
-            )
         except Exception as e:  # noqa: BLE001
             print(f"{name}: ERROR {type(e).__name__}: {str(e)[:120]}",
                   flush=True)
             flagged[name] = ["ERROR"]
             continue
+        try:
+            counts = census(
+                df._jdf.queryExecution().executedPlan(), seen_caches
+            )
+        except Exception as e:  # noqa: BLE001 - private-API walk broke
+            print(f"{name}: walk failed ({type(e).__name__}), "
+                  f"degrading to rendered-plan census", flush=True)
+            counts = census_from_string(
+                df._jdf.queryExecution().executedPlan().toString()
+            )
         hits = [f for f in FLAGS if counts.get(f, 0)]
         if counts.get("ShuffleExchange(SinglePartition)"):
             single_part.append(name)
