@@ -424,4 +424,17 @@ def semantic_dedup(
         .select(F.col("b.id").alias("id"))
         .distinct()
     )
-    return members.join(pairs, "id", "left_anti").select("id", "cl")
+    # Eagerly materialize the narrow (id, cl) result and release the
+    # full-width member cache (vectors dominate it) before returning —
+    # repeated calls in a long-lived session would otherwise leak one
+    # full-corpus cache entry per invocation (round-6 advice).  The
+    # survivor is id+cl only; plan-layer callers memoize it per
+    # (app, corpus) so even that is one entry per session.
+    kept = (
+        members.join(pairs, "id", "left_anti")
+        .select("id", "cl")
+        .persist()
+    )
+    kept.count()
+    members.unpersist()
+    return kept

@@ -48,6 +48,7 @@ def load_all() -> None:
     from . import analytics_extras2  # noqa: F401
     from . import round5_extras  # noqa: F401
     from . import round6_extras  # noqa: F401
+    from . import round7_extras  # noqa: F401
 
 
 _loaded = False

@@ -99,6 +99,36 @@ def _null_like(df: DataFrame, col: str) -> F.Column:
     return F.lit(None).cast(df.schema[col].dataType)
 
 
+def _estimated_candidates(
+    index: DataFrame, store: DataFrame | None, keys: list[str]
+) -> int:
+    """Upper-bound LSH candidate-pair volume for this batch in ONE cheap
+    job: per-bucket counts of the batch index give the batch-internal
+    volume Σ nb·(nb−1)/2; a left join against the store's per-bucket
+    counts adds the cross volume Σ nb·ns.  No pair row is ever
+    materialized — the job is linear in index rows, and it runs BEFORE
+    anything broadcasts the index, so it doubles as the eager
+    cache-population job (a broadcast build racing an unpopulated cache
+    recomputes the signature lineage per consumer, ~2× cold — PERF.md
+    §20 fix 3).  Multi-band collisions are counted once per band (the
+    true distinct-pair count is lower), the safe direction for a spread
+    gate.  The store side reads only the bucket-key columns — the same
+    narrow columnar projection the candidate join scans anyway."""
+    counts = index.groupBy(*keys).agg(F.count(F.lit(1)).alias("nb"))
+    if store is not None:
+        s_counts = store.groupBy(*keys).agg(F.count(F.lit(1)).alias("ns"))
+        counts = counts.join(s_counts, keys, "left")
+    else:
+        counts = counts.withColumn("ns", F.lit(0))
+    row = counts.agg(
+        F.sum(
+            F.col("nb") * (F.col("nb") - F.lit(1)) / F.lit(2)
+            + F.col("nb") * F.coalesce(F.col("ns"), F.lit(0))
+        ).alias("est")
+    ).first()
+    return int(row["est"] or 0)
+
+
 def _check_unified(state: DataFrame | None, store_path: str) -> None:
     if state is not None and "kind" not in state.columns:
         # Half-present or legacy state must FAIL the batch — silently
@@ -106,8 +136,9 @@ def _check_unified(state: DataFrame | None, store_path: str) -> None:
         raise ValueError(
             f"legacy near-dup state layout at {store_path} (no kind= "
             "partition): run streaming.dedup_stream.backfill_unified_state "
-            "once to migrate a round-4/5 store (including pre-sidecar "
-            "stores, whose unit-sets are re-derived from out_path)"
+            "once to migrate a round-4/5 text or vector store (including "
+            "pre-sidecar stores, whose unit-sets / vectors are re-derived "
+            "from out_path)"
         )
 
 
@@ -130,6 +161,7 @@ class StreamingNearDupFilter:
         ngram: int = 3,
         text_col: str = "text",
         id_col: str = "doc_id",
+        spread_min_candidates: int = 262_144,
     ):
         self.store_path = store_path
         self.out_path = out_path
@@ -139,6 +171,14 @@ class StreamingNearDupFilter:
         self.ngram = ngram
         self.text_col = text_col
         self.id_col = id_col
+        # Explosion-insurance gate (PERF.md §20a): the explicit
+        # candidate repartition before the interpreted verify only pays
+        # for itself when identical-content clusters explode the pair
+        # count (5M+ pairs at the sfx1 vector working set); on the
+        # ordinary-batch path (~9k pairs) it was pure overhead (+40%
+        # sfx1 total, the round-6 perf-weak item).  The per-bucket
+        # estimate gates it per batch.
+        self.spread_min_candidates = spread_min_candidates
 
     def _jaccard_ok(self, pairs: DataFrame, sets1: DataFrame, sets2: DataFrame) -> DataFrame:
         """pairs(id1,id2,...) → those with jaccard >= threshold (near-dups),
@@ -184,11 +224,6 @@ class StreamingNearDupFilter:
         sets = _unit_sets(
             batch, self.text_col, self.id_col, self.ngram, hashed=True
         ).cache()
-        # Populate the batch+banded caches in ONE job before the write
-        # triggers the full graph: the self-join broadcasts banded, and a
-        # broadcast build racing an unpopulated cache recomputes the
-        # whole signature lineage per consumer (~2x cold-batch cost).
-        banded.count()
 
         # --- ONE state read.  Rows from THIS batch_id are excluded: on a
         # foreachBatch retry the store already holds the failed attempt's
@@ -205,6 +240,11 @@ class StreamingNearDupFilter:
             stored_sets = state.filter(F.col("kind") == "set").select(
                 "id", "toks"
             )
+
+        # One job: populate the batch+banded caches before anything
+        # broadcasts banded (PERF.md §20 fix 3) AND measure this batch's
+        # candidate volume, which gates the explosion insurance below.
+        n_est = _estimated_candidates(banded, store, ["band", "bucket"])
 
         # --- ONE candidate relation (src-tagged), ONE verify join.
         # Batch-internal pairs are generated over the WHOLE batch and
@@ -241,14 +281,17 @@ class StreamingNearDupFilter:
             # only candidate ids' rows, so per-batch verify work is
             # O(candidates), independent of how much has been admitted.
             right_sets = sets.unionByName(stored_sets)
-        # Explicit repartition between pair-dedup and the interpreted
-        # Jaccard evaluation: AQE coalesces the post-distinct exchange by
-        # BYTE size, which would funnel an exploded candidate set (5M
-        # pairs at sfx1 — identical-content clusters are normal in web
-        # corpora) into 1-4 partitions and serialize the verify.
-        verified = self._jaccard_ok(
-            cand.repartition(par), sets, right_sets
-        ).cache()
+        # Explosion insurance, gated per batch (PERF.md §20a): when the
+        # bucket-count estimate says this batch's candidate set exploded
+        # (identical-content clusters are normal in web corpora), an
+        # explicit repartition between the pair-dedup and the interpreted
+        # Jaccard evaluation stops AQE's BYTE-size coalescing from
+        # funnelling millions of narrow pair rows into 1-4 partitions and
+        # serializing the verify.  On ordinary batches the exchange is
+        # pure overhead and is skipped.
+        if n_est >= self.spread_min_candidates:
+            cand = cand.repartition(par)
+        verified = self._jaccard_ok(cand, sets, right_sets).cache()
 
         rejected_vs_store = (
             verified.filter(F.col("src") == "store")
@@ -326,6 +369,7 @@ class StreamingVectorNearDupFilter:
         dims: int = 64,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        spread_min_candidates: int = 262_144,
     ):
         self.store_path = store_path
         self.out_path = out_path
@@ -335,6 +379,11 @@ class StreamingVectorNearDupFilter:
         self.dims = dims
         self.id_col = id_col
         self.vec_col = vec_col
+        # Explosion-insurance gate — see StreamingNearDupFilter.  The
+        # sfx1 vector working set (identical-vector clusters, ~5M
+        # candidate pairs/batch) sits far above this and keeps the
+        # spread; ordinary batches skip the exchange.
+        self.spread_min_candidates = spread_min_candidates
 
     def _cos_ok(self, pairs: DataFrame, v1: DataFrame, v2: DataFrame) -> DataFrame:
         """pairs(id1,id2,...) → those with round(cosine,6) >= threshold,
@@ -375,9 +424,6 @@ class StreamingVectorNearDupFilter:
             F.col(self.id_col).alias("id"),
             as_double(self.vec_col).alias("v"),
         ).cache()
-        # Populate batch+buckets caches before the write triggers the
-        # full graph — see StreamingNearDupFilter.__call__.
-        buckets.count()
 
         state = _read_or_none(spark, self.store_path)
         _check_unified(state, self.store_path)
@@ -390,6 +436,10 @@ class StreamingVectorNearDupFilter:
             stored_vecs = state.filter(F.col("kind") == "vec").select(
                 "id", "v"
             )
+
+        # One job: populate the batch+buckets caches AND measure the
+        # candidate volume — see StreamingNearDupFilter.__call__.
+        n_est = _estimated_candidates(buckets, store, ["table", "bucket"])
 
         internal = (
             buckets.alias("x")
@@ -418,11 +468,11 @@ class StreamingVectorNearDupFilter:
             )
             cand = internal.unionByName(cross)
             right_vecs = vecs.unionByName(stored_vecs)
-        # Explicit repartition before the interpreted fold-cosine — see
-        # the text filter.
-        verified = self._cos_ok(
-            cand.repartition(par), vecs, right_vecs
-        ).cache()
+        # Explosion insurance before the interpreted fold-cosine, gated
+        # on the candidate estimate — see the text filter.
+        if n_est >= self.spread_min_candidates:
+            cand = cand.repartition(par)
+        verified = self._cos_ok(cand, vecs, right_vecs).cache()
 
         rejected_vs_store = (
             verified.filter(F.col("src") == "store")
@@ -478,56 +528,108 @@ def backfill_unified_state(
     ngram: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    vec_col: str = "embedding",
 ) -> None:
-    """One-time migration of a round-4/5 TEXT near-dup store to the
-    unified layout.
+    """One-time migration of a round-4/5 near-dup store (TEXT or VECTOR
+    — auto-detected from the legacy schema) to the unified layout.
 
     Legacy layouts handled:
-      * band store at ``store_path`` + unit-set sidecar at
+      * TEXT band store at ``store_path`` + unit-set sidecar at
         ``<store_path>_sets`` (round 5) — both re-staged as kind= rows;
-      * pre-sidecar band-only store (round 4): the unit-sets are
+      * pre-sidecar band-only TEXT store (round 4): the unit-sets are
         RE-DERIVED from the admitted (id, text) rows at ``out_path`` via
         the same ``_unit_sets`` the filter uses, so a store checkpointed
-        before the sidecar existed can resume instead of failing fast.
+        before the sidecar existed can resume instead of failing fast;
+      * VECTOR bucket store (``(id, table, bucket)`` rows) + raw-vector
+        sidecar at ``<store_path>_vecs`` — re-staged as
+        kind=bucket/kind=vec rows; a pre-sidecar vector store re-derives
+        the vectors from ``out_path``'s admitted (id, vector) rows via
+        the same ``as_double`` cast the filter stores.
+
+    ``id_col``/``text_col`` (text) and ``id_col``/``vec_col`` (vector)
+    name the admitted table's columns for the pre-sidecar re-derivation;
+    a vector store whose admitted table uses the filter defaults
+    (``vec_id``/``embedding``) needs no overrides.
 
     Stages the rewrite next to the store and swaps directories only after
     the full write succeeds, so a crashed migration leaves the legacy
-    store intact (re-run it).
+    store intact (re-run it).  The swap itself is ``os.rename`` +
+    ``shutil.rmtree`` — LOCAL-FILESYSTEM ONLY (including NFS/EBS-backed
+    checkpoints).  On object storage run the migration against a local
+    staging copy, or replace the swap with the Hadoop FileSystem
+    ``rename``/``delete`` of your store's scheme — the staged write is
+    already complete at that point, so the swap is the only part that
+    needs porting.
     """
     legacy = spark.read.parquet(store_path)
     if "kind" in legacy.columns:
         return  # already unified
-    sets_path = store_path + "_sets"
-    sets = _read_or_none(spark, sets_path)
-    if sets is None:
-        if out_path is None:
-            raise ValueError(
-                "pre-sidecar store and no out_path to derive unit-sets from"
+    if "table" in legacy.columns:  # vector store: (id, table, bucket)
+        from ..operators.similarity import as_double
+
+        sets_path = store_path + "_vecs"
+        vecs = _read_or_none(spark, sets_path)
+        if vecs is None:
+            if out_path is None:
+                raise ValueError(
+                    "pre-sidecar vector store and no out_path to derive "
+                    "vectors from"
+                )
+            admitted = spark.read.parquet(out_path)
+            idc = id_col if id_col in admitted.columns else "vec_id"
+            vecs = admitted.select(
+                F.col(idc).alias("id"),
+                as_double(vec_col).alias("v"),
+                "batch_id",
             )
-        admitted = spark.read.parquet(out_path)
-        sets = _unit_sets(admitted, text_col, id_col, ngram, hashed=True)
-        # _unit_sets drops extra columns; re-attach each id's batch_id
-        sets = sets.join(
-            admitted.select(
-                F.col(id_col).alias("id"), "batch_id"
-            ).distinct(),
-            "id",
-        )
-    unified = legacy.select(
-        "id", "band", "bucket",
-        _null_like(sets, "toks").alias("toks"),
-        F.lit("band").alias("kind"),
-        "batch_id",
-    ).unionByName(
-        sets.select(
-            "id",
-            _null_like(legacy, "band").alias("band"),
-            _null_like(legacy, "bucket").alias("bucket"),
-            "toks",
-            F.lit("set").alias("kind"),
+        unified = legacy.select(
+            "id", "table", "bucket",
+            _null_like(vecs, "v").alias("v"),
+            F.lit("bucket").alias("kind"),
             "batch_id",
+        ).unionByName(
+            vecs.select(
+                "id",
+                _null_like(legacy, "table").alias("table"),
+                _null_like(legacy, "bucket").alias("bucket"),
+                "v",
+                F.lit("vec").alias("kind"),
+                "batch_id",
+            )
         )
-    )
+    else:  # text store: (id, band, bucket)
+        sets_path = store_path + "_sets"
+        sets = _read_or_none(spark, sets_path)
+        if sets is None:
+            if out_path is None:
+                raise ValueError(
+                    "pre-sidecar store and no out_path to derive "
+                    "unit-sets from"
+                )
+            admitted = spark.read.parquet(out_path)
+            sets = _unit_sets(admitted, text_col, id_col, ngram, hashed=True)
+            # _unit_sets drops extra columns; re-attach each id's batch_id
+            sets = sets.join(
+                admitted.select(
+                    F.col(id_col).alias("id"), "batch_id"
+                ).distinct(),
+                "id",
+            )
+        unified = legacy.select(
+            "id", "band", "bucket",
+            _null_like(sets, "toks").alias("toks"),
+            F.lit("band").alias("kind"),
+            "batch_id",
+        ).unionByName(
+            sets.select(
+                "id",
+                _null_like(legacy, "band").alias("band"),
+                _null_like(legacy, "bucket").alias("bucket"),
+                "toks",
+                F.lit("set").alias("kind"),
+                "batch_id",
+            )
+        )
     staging = store_path + "__unified_staging"
     unified.write.partitionBy("batch_id", "kind").mode("overwrite").parquet(
         staging

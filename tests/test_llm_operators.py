@@ -749,3 +749,19 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     assert 7 in got and len(got) == 20
     got2 = {r.doc_id for r in weighted_sample(df.repartition(17), 20).collect()}
     assert got == got2
+
+
+def test_bpe_round_empty_merge_passes_vocab_through(spark):
+    """When the vocabulary is fully merged before the unrolled rounds run
+    out, the pair table — and so the 1-row merge argmax — is EMPTY; the
+    round must pass every seq through unchanged, not silently empty the
+    vocabulary (round-6 advice: the old crossJoin dropped every doc)."""
+    from flink_cdc_msk_spark.plans.round6_extras import _BPE_SEP, _bpe_round
+
+    S = _BPE_SEP
+    vocab = spark.createDataFrame(
+        [("ab", 3, f"{S}ab{S}"), ("c", 1, f"{S}c{S}")],
+        "word string, cnt long, seq string",
+    )  # every word is already a single symbol → no adjacent pair left
+    rows = {r.word: r.seq for r in _bpe_round(vocab).collect()}
+    assert rows == {"ab": f"{S}ab{S}", "c": f"{S}c{S}"}

@@ -654,6 +654,105 @@ def test_backfill_migrates_presidecar_store(spark, tmpdir):
     assert admitted == [1, 3]  # 2 is a near-dup of stored doc 1
 
 
+def test_backfill_migrates_vector_store(spark, tmpdir):
+    """The VECTOR twin's legacy layouts must migrate too (round-6 advice:
+    backfill only handled text).  Round-5 layout = bucket store +
+    ``_vecs`` sidecar; round-4 layout = bucket store only, vectors
+    re-derived from out_path.  Both must fail fast before the migration
+    and suppress a cross-batch near-dup after it."""
+    import pytest
+
+    from flink_cdc_msk_spark.streaming.dedup_stream import (
+        StreamingVectorNearDupFilter,
+        backfill_unified_state,
+    )
+
+    def vec(axis, scale=1.0):
+        v = [0.0] * 64
+        v[axis] = scale
+        return v
+
+    # stage batch 0 with current code, then strip to each legacy layout
+    filt = StreamingVectorNearDupFilter(
+        f"{tmpdir}/u_store", f"{tmpdir}/u_out", threshold=0.9, dims=64
+    )
+    filt(
+        spark.createDataFrame(
+            [(1, vec(0)), (2, vec(1))],
+            "vec_id long, embedding array<double>",
+        ),
+        batch_id=0,
+    )
+    unified = spark.read.parquet(f"{tmpdir}/u_store")
+    b1 = spark.createDataFrame(
+        # 3 ≈ stored vector 1 (cos 1.0) → reject; 4 orthogonal → admit
+        [(3, vec(0, 2.5)), (4, vec(2))],
+        "vec_id long, embedding array<double>",
+    )
+    for name, with_sidecar in [("r5", True), ("r4", False)]:
+        legacy = f"{tmpdir}/legacy_{name}"
+        unified.filter("kind = 'bucket'").select(
+            "id", "table", "bucket"
+        ).write.parquet(f"{legacy}/batch_id=0")
+        if with_sidecar:
+            unified.filter("kind = 'vec'").select(
+                "id", "v", F.lit(0).alias("batch_id")
+            ).write.parquet(f"{legacy}_vecs")
+        out = f"{tmpdir}/out_{name}"
+        spark.read.parquet(f"{tmpdir}/u_out").write.parquet(
+            f"{out}/batch_id=0"
+        )
+        filt2 = StreamingVectorNearDupFilter(
+            legacy, out, threshold=0.9, dims=64
+        )
+        with pytest.raises(ValueError, match="legacy near-dup state"):
+            filt2(b1, batch_id=1)
+        backfill_unified_state(spark, legacy, out_path=out)
+        filt2(b1, batch_id=1)
+        admitted = sorted(
+            r.vec_id for r in spark.read.parquet(out).collect()
+        )
+        assert admitted == [1, 2, 4], name
+
+
+def test_near_dup_explosion_gate_paths_agree(spark, tmpdir):
+    """The adaptive explosion insurance (candidate-volume gate on the
+    pre-verify repartition) must not change admissions: forcing the
+    spread path (gate=0) and the skip path (gate=huge) over the same
+    batches admits identical ids."""
+    from flink_cdc_msk_spark.streaming.dedup_stream import (
+        StreamingNearDupFilter,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the cat watches from the warm stone wall near the gate"
+    )
+    b0 = spark.createDataFrame(
+        [(1, base), (2, base + " zz yy"),
+         (3, "totally different words about distributed query engines")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(4, base + " ww vv"),
+         (5, "yet another unique document discussing minhash banding")],
+        "doc_id long, text string",
+    )
+    results = {}
+    for name, gate in [("spread", 0), ("skip", 1 << 60)]:
+        filt = StreamingNearDupFilter(
+            f"{tmpdir}/g{name}_store", f"{tmpdir}/g{name}_out",
+            threshold=0.7, spread_min_candidates=gate,
+        )
+        filt(b0, batch_id=0)
+        filt(b1, batch_id=1)
+        results[name] = sorted(
+            r.doc_id
+            for r in spark.read.parquet(f"{tmpdir}/g{name}_out").collect()
+        )
+    assert results["spread"] == results["skip"] == [1, 3, 5]
+
+
 def _scd2_env(key, op, ts, val=""):
     import json
 
