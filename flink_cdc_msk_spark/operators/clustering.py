@@ -393,7 +393,16 @@ def semantic_dedup(
     exactly as ``kmeans_assign`` documents.  The deterministic min-id
     keep rule (rather than SemDeDup's farthest-from-centroid) keeps the
     operator order-independent and SQL-expressible; swapping the rule
-    is a one-line change to the drop condition."""
+    is a one-line change to the drop condition.
+
+    CONTRACT (round-7 advice): this operator is EAGER — the full Lloyd
+    iteration and pair verify run at call time — and the returned
+    (id, cl) relation is PERSISTED with the caller as owner: memoize it
+    per session (the plan layer's per-(app, corpus) memo in
+    plans/round6_extras.py does) or ``unpersist()`` it when done; a
+    non-memoizing caller that drops the handle leaks one narrow cache
+    entry per invocation.  Eagerness is the price of releasing the
+    full-width member cache (vectors dominate) before returning."""
     from .similarity import as_double, cosine
 
     par = df.sparkSession.sparkContext.defaultParallelism

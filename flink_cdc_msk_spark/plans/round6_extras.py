@@ -326,47 +326,62 @@ def bpe_doc_units(spark, sf_dir):
     chars = F.expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
     )
-    vocab = (
-        toks.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn(
-            "seq",
-            F.concat(
-                F.lit(_BPE_SEP),
-                F.array_join(chars, _BPE_SEP + _BPE_SEP),
-                F.lit(_BPE_SEP),
-            ),
-        )
-        .persist()
-    )
-    vocab.count()  # populate before round 1 consumes it twice
-    for _ in range(_BPE_MERGES):
-        nxt = _bpe_round(vocab).persist()
-        nxt.count()  # materialize round r from round r-1's cache...
-        vocab.unpersist()  # ...then round r-1's |vocab|-row cache drops
-        vocab = nxt
-    enc = vocab.select(
-        "word",
-        (
-            (
-                F.length("seq")
-                - F.length(
-                    F.replace(F.col("seq"), F.lit(_BPE_SEP), F.lit(""))
-                )
+    # Exception safety (round-7 advice): any job between the toks
+    # persist and the final doc_units.count() can fail with the memo
+    # never set — unpersist every live handle before re-raising, or a
+    # long-lived session leaks the spread toks relation + one vocab
+    # round per failed attempt.
+    live = [toks]
+    try:
+        vocab = (
+            toks.groupBy("word")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn(
+                "seq",
+                F.concat(
+                    F.lit(_BPE_SEP),
+                    F.array_join(chars, _BPE_SEP + _BPE_SEP),
+                    F.lit(_BPE_SEP),
+                ),
             )
-            / F.lit(2)
-        ).cast("long").alias("n_units"),
-    )
-    doc_units = (
-        toks.join(enc, "word")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("n_units").cast("bigint").alias("n_bpe_units"),
-            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+            .persist()
         )
-        .persist()
-    )
-    doc_units.count()
+        live.append(vocab)
+        vocab.count()  # populate before round 1 consumes it twice
+        for _ in range(_BPE_MERGES):
+            nxt = _bpe_round(vocab).persist()
+            live.append(nxt)
+            nxt.count()  # materialize round r from round r-1's cache...
+            vocab.unpersist()  # ...then round r-1's |vocab| cache drops
+            live.remove(vocab)
+            vocab = nxt
+        enc = vocab.select(
+            "word",
+            (
+                (
+                    F.length("seq")
+                    - F.length(
+                        F.replace(F.col("seq"), F.lit(_BPE_SEP), F.lit(""))
+                    )
+                )
+                / F.lit(2)
+            ).cast("long").alias("n_units"),
+        )
+        doc_units = (
+            toks.join(enc, "word")
+            .groupBy("doc_id")
+            .agg(
+                F.sum("n_units").cast("bigint").alias("n_bpe_units"),
+                F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+            )
+            .persist()
+        )
+        live.append(doc_units)
+        doc_units.count()
+    except Exception:
+        for df in live:
+            df.unpersist()
+        raise
     vocab.unpersist()
     toks.unpersist()
     _BPE_DOC_UNITS_MEMO[key] = doc_units

@@ -9,9 +9,10 @@ store:
   per micro-batch:
     1. signature the incoming docs (map-side MinHash, operators/dedup.py)
     2. band-join them against the stored signature table → cross-batch
-       candidates; self-join the batch's bands → batch-internal candidates
-    3. verify BOTH candidate sets in one exact hashed-unit Jaccard join
-       (tagged union — one join, one shuffle, instead of two per batch)
+       candidates; verify with exact hashed-unit Jaccard against the
+       persisted unit-set rows
+    3. self-join the survivors' bands → batch-internal candidates;
+       verify the same way (keep the lowest id of each near-dup group)
     4. append admitted docs' state; emit admitted docs
 
 At scale the store is the natural bottleneck — it is read via its band
@@ -24,14 +25,26 @@ State layout (round 6, "unified"): ONE parquet root per filter,
   kind=band : (id, band, bucket)   — the LSH candidate index
   kind=set  : (id, toks)          — hashed unit-sets, the verify sidecar
 
-One read and one write per batch instead of two of each (foreachBatch
-fixed job count is the round-5 perf-weak item); ``kind`` is a partition
-directory, so each consumer's scan is still pruned to its own files, and
-parquet's columnar projection keeps the band read narrow.  Verify joins
+``kind`` is a partition directory, so each consumer's scan is pruned to
+its own files and parquet's columnar projection keeps the band read
+narrow; both kinds are written in ONE job per batch.  Verify joins
 candidates against the kind=set rows directly — per-batch verify work is
 O(candidate pairs), NOT a re-tokenization of the admitted corpus.  At
 cluster scale the state can additionally be bucketed by id so the
 candidate join co-locates without a shuffle.
+
+Per-batch fixed cost (the round-8 profile, PERF.md §20a): the round-6/7
+code spent ~+3 s/batch at the sfx1 working set over the round-5 shape;
+phase-level attribution put ~1.4 s/batch in a per-batch candidate-volume
+ESTIMATE job (full store scan + groupBy, growing with the corpus) and
+~0.6 s/batch in each unconditional pre-verify repartition.  Round 8
+removes the estimate job entirely and gates the explosion-insurance
+repartition on the PREVIOUS batch's observed candidate count — an
+``Observation`` (CollectMetrics) node on the candidate relations, which
+costs ZERO extra jobs and never scans the store.  The text filter's
+default restores the round-5 fast path for ordinary batches; the vector
+filter insures unconditionally (its sfx1 working set explodes every
+batch — PERF.md §20).
 
 Stores written by rounds 4–5 (separate ``<store_path>_sets`` /
 ``<store_path>_vecs`` sidecar tables, or pre-sidecar band-only stores)
@@ -45,7 +58,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import _unit_sets, minhash_signatures
@@ -53,12 +66,50 @@ from ..operators.dedup import _unit_sets, minhash_signatures
 
 def _spread(batch: DataFrame, par: int) -> DataFrame:
     """Repartition a severely under-partitioned micro-batch (a single
-    file / topic partition) so signature work parallelizes; leave
-    already-spread batches alone — the exchange costs ~0.7s/batch at the
-    sfx1 working set and buys nothing past ~8 partitions."""
+    file / topic partition) so per-row-expensive map-side work
+    parallelizes; leave already-spread batches alone — the exchange
+    costs ~0.7s/batch at the sfx1 working set and buys nothing past ~8
+    partitions.  Used by the VECTOR filter, whose hyperplane bucketing
+    and fold-cosine verify are interpreted higher-order functions (the
+    PERF.md §20 5× one-partition trap); the text filter's minhash is
+    whole-stage-codegen'd and uses the zero-job stats-based spread
+    instead."""
     if batch.rdd.getNumPartitions() < min(8, par):
         return batch.repartition(par)
     return batch
+
+
+def _stats_partitions(
+    df: DataFrame, par: int, bytes_per_partition: int
+) -> int:
+    """Zero-job spread target from Catalyst statistics (driver-side).
+    A relation with unknown size reports ``defaultSizeInBytes`` (huge)
+    and spreads to full parallelism — the safe direction for the
+    one-partition-arrival trap (PERF.md §18)."""
+    size = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    return max(1, min(par, size // bytes_per_partition))
+
+
+def _observed_count(obs: Observation | None) -> int:
+    """Non-blocking read of an Observation's single count metric.
+
+    AQE's empty-relation propagation can eliminate a CollectMetrics node
+    wholesale (empty batch, empty store) — ``Observation.get`` would
+    block forever on that — so probe the underlying Scala handle's
+    ``getRowOrEmpty`` and treat "never executed" as 0."""
+    if obs is None or obs._jo is None:
+        return 0
+    opt = obs._jo.getRowOrEmpty()
+    if opt.isEmpty():
+        return 0
+    row = opt.get()
+    # An eliminated node can also surface as a present-but-FIELDLESS
+    # metrics row (Some([])) — same meaning: nothing flowed.
+    if row.length() == 0:
+        return 0
+    return int(row.getLong(0))
 
 
 def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
@@ -99,36 +150,6 @@ def _null_like(df: DataFrame, col: str) -> F.Column:
     return F.lit(None).cast(df.schema[col].dataType)
 
 
-def _estimated_candidates(
-    index: DataFrame, store: DataFrame | None, keys: list[str]
-) -> int:
-    """Upper-bound LSH candidate-pair volume for this batch in ONE cheap
-    job: per-bucket counts of the batch index give the batch-internal
-    volume Σ nb·(nb−1)/2; a left join against the store's per-bucket
-    counts adds the cross volume Σ nb·ns.  No pair row is ever
-    materialized — the job is linear in index rows, and it runs BEFORE
-    anything broadcasts the index, so it doubles as the eager
-    cache-population job (a broadcast build racing an unpopulated cache
-    recomputes the signature lineage per consumer, ~2× cold — PERF.md
-    §20 fix 3).  Multi-band collisions are counted once per band (the
-    true distinct-pair count is lower), the safe direction for a spread
-    gate.  The store side reads only the bucket-key columns — the same
-    narrow columnar projection the candidate join scans anyway."""
-    counts = index.groupBy(*keys).agg(F.count(F.lit(1)).alias("nb"))
-    if store is not None:
-        s_counts = store.groupBy(*keys).agg(F.count(F.lit(1)).alias("ns"))
-        counts = counts.join(s_counts, keys, "left")
-    else:
-        counts = counts.withColumn("ns", F.lit(0))
-    row = counts.agg(
-        F.sum(
-            F.col("nb") * (F.col("nb") - F.lit(1)) / F.lit(2)
-            + F.col("nb") * F.coalesce(F.col("ns"), F.lit(0))
-        ).alias("est")
-    ).first()
-    return int(row["est"] or 0)
-
-
 def _check_unified(state: DataFrame | None, store_path: str) -> None:
     if state is not None and "kind" not in state.columns:
         # Half-present or legacy state must FAIL the batch — silently
@@ -149,6 +170,22 @@ class StreamingNearDupFilter:
     ``store_path`` holds the unified state (kind=band candidate index +
     kind=set verify sidecar, see module docstring); ``out_path``
     accumulates admitted (id, text) rows.
+
+    Explosion insurance (``spread_min_candidates``): on a
+    boilerplate-heavy corpus, identical-content clusters explode the
+    LSH candidate-pair count to millions per batch, and AQE's BYTE-size
+    shuffle coalescing (narrow pair rows compress brutally) then funnels
+    the verify into 1–4 partitions and serializes it (PERF.md §20).  An
+    explicit pre-verify ``repartition`` prevents that but costs a real
+    exchange (~0.6 s/batch at sfx1, §20a) on ordinary batches.  The gate
+    is LAGGED and free: each batch observes its candidate count via a
+    CollectMetrics node (zero extra jobs), and the NEXT batch insures
+    iff the last observed count reached the threshold.  The first
+    exploding batch of a stream therefore runs unguarded — acceptable
+    for the text filter, whose codegen'd Jaccard verify degrades
+    gracefully; set ``spread_min_candidates=0`` to insure every batch
+    (the vector filter's default — its interpreted fold-cosine verify
+    does not degrade gracefully, §20).
     """
 
     def __init__(
@@ -162,6 +199,7 @@ class StreamingNearDupFilter:
         text_col: str = "text",
         id_col: str = "doc_id",
         spread_min_candidates: int = 262_144,
+        spread_bytes_per_partition: int = 32 << 20,
     ):
         self.store_path = store_path
         self.out_path = out_path
@@ -171,14 +209,18 @@ class StreamingNearDupFilter:
         self.ngram = ngram
         self.text_col = text_col
         self.id_col = id_col
-        # Explosion-insurance gate (PERF.md §20a): the explicit
-        # candidate repartition before the interpreted verify only pays
-        # for itself when identical-content clusters explode the pair
-        # count (5M+ pairs at the sfx1 vector working set); on the
-        # ordinary-batch path (~9k pairs) it was pure overhead (+40%
-        # sfx1 total, the round-6 perf-weak item).  The per-bucket
-        # estimate gates it per batch.
         self.spread_min_candidates = spread_min_candidates
+        # Zero-job batch spread: repartition only when Catalyst stats say
+        # the batch is big AND it arrived under-partitioned (a restarted
+        # filter starts conservative: stats, not history, decide).
+        self.spread_bytes_per_partition = spread_bytes_per_partition
+        self._last_candidates = 0  # lagged observation, see class doc
+
+    def _insure(self) -> bool:
+        return (
+            self.spread_min_candidates == 0
+            or self._last_candidates >= self.spread_min_candidates
+        )
 
     def _jaccard_ok(self, pairs: DataFrame, sets1: DataFrame, sets2: DataFrame) -> DataFrame:
         """pairs(id1,id2,...) → those with jaccard >= threshold (near-dups),
@@ -207,16 +249,12 @@ class StreamingNearDupFilter:
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        # Spread the batch across the session's cores FIRST: a micro-batch
-        # usually arrives in 1-2 source partitions (one file / one topic
-        # partition), and the all-broadcast candidate plan below would
-        # otherwise inherit that layout for the whole pair-generation +
-        # verify pipeline (the PERF.md §18 one-partition trap — 5x slower
-        # at the sfx1 working set).
         par = spark.sparkContext.defaultParallelism
-        batch = _spread(
-            batch.select(self.id_col, self.text_col), par
-        ).cache()
+        batch = batch.select(self.id_col, self.text_col)
+        tgt = _stats_partitions(batch, par, self.spread_bytes_per_partition)
+        if tgt > 1 and batch.rdd.getNumPartitions() < tgt:
+            batch = batch.repartition(tgt)
+        batch = batch.cache()
         sigs = minhash_signatures(
             batch, self.num_hashes, self.text_col, self.id_col, self.ngram
         )
@@ -241,31 +279,15 @@ class StreamingNearDupFilter:
                 "id", "toks"
             )
 
-        # One job: populate the batch+banded caches before anything
-        # broadcasts banded (PERF.md §20 fix 3) AND measure this batch's
-        # candidate volume, which gates the explosion insurance below.
-        n_est = _estimated_candidates(banded, store, ["band", "bucket"])
-
-        # --- ONE candidate relation (src-tagged), ONE verify join.
-        # Batch-internal pairs are generated over the WHOLE batch and
-        # post-filtered by the cross-batch rejections below — identical
-        # admissions to the old two-join formulation (a pair with a
-        # store-rejected endpoint never fires), at half the fixed joins.
-        internal = (
-            banded.alias("x")
-            .join(
-                banded.alias("y"),
-                (F.col("x.band") == F.col("y.band"))
-                & (F.col("x.bucket") == F.col("y.bucket"))
-                & (F.col("x.id") < F.col("y.id")),
-            )
-            .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
-            .distinct()
-            .withColumn("src", F.lit("intra"))
-        )
-        cand, right_sets = internal, sets
+        insure = self._insure()
+        obs_cross = obs_intra = None
+        # --- cross-batch: candidates vs the persistent store, verified
+        # against the persisted unit-sets — the join touches only
+        # candidate ids' rows, so per-batch verify work is O(candidates),
+        # independent of how much has been admitted.
+        dup_vs_store = None
         if store is not None:
-            cross = (
+            cand = (
                 banded.alias("n")
                 .join(
                     store.alias("s"),
@@ -274,46 +296,52 @@ class StreamingNearDupFilter:
                 )
                 .select(F.col("n.id").alias("id1"), F.col("s.id").alias("id2"))
                 .distinct()
-                .withColumn("src", F.lit("store"))
             )
-            cand = internal.unionByName(cross)
-            # Verify against the PERSISTED unit-sets — the join touches
-            # only candidate ids' rows, so per-batch verify work is
-            # O(candidates), independent of how much has been admitted.
-            right_sets = sets.unionByName(stored_sets)
-        # Explosion insurance, gated per batch (PERF.md §20a): when the
-        # bucket-count estimate says this batch's candidate set exploded
-        # (identical-content clusters are normal in web corpora), an
-        # explicit repartition between the pair-dedup and the interpreted
-        # Jaccard evaluation stops AQE's BYTE-size coalescing from
-        # funnelling millions of narrow pair rows into 1-4 partitions and
-        # serializing the verify.  On ordinary batches the exchange is
-        # pure overhead and is skipped.
-        if n_est >= self.spread_min_candidates:
-            cand = cand.repartition(par)
-        verified = self._jaccard_ok(cand, sets, right_sets).cache()
+            obs_cross = Observation()
+            cand = cand.observe(obs_cross, F.count(F.lit(1)).alias("pairs"))
+            if insure:
+                cand = cand.repartition(par)
+            dup_vs_store = self._jaccard_ok(
+                cand, sets, stored_sets
+            ).select(F.col("id1").alias("id"))
+        survivors = (
+            batch.join(
+                dup_vs_store,
+                F.col(self.id_col) == dup_vs_store["id"],
+                "left_anti",
+            )
+            if dup_vs_store is not None
+            else batch
+        )
 
-        rejected_vs_store = (
-            verified.filter(F.col("src") == "store")
-            .select(F.col("id1").alias("id"))
+        # --- batch-internal: keep the lowest id of each near-dup group
+        sb = banded.join(
+            survivors.select(F.col(self.id_col).alias("id")), "id"
+        )
+        internal = (
+            sb.alias("x")
+            .join(
+                sb.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.id") < F.col("y.id")),
+            )
+            .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
             .distinct()
         )
-        internal_drops = (  # higher id of each surviving intra pair drops
-            verified.filter(F.col("src") == "intra")
-            .join(
-                rejected_vs_store.withColumnRenamed("id", "id1"),
-                "id1", "left_anti",
-            )
-            .join(
-                rejected_vs_store.withColumnRenamed("id", "id2"),
-                "id2", "left_anti",
-            )
-            .select(F.col("id2").alias("id"))
-            .distinct()
+        obs_intra = Observation()
+        internal = internal.observe(
+            obs_intra, F.count(F.lit(1)).alias("pairs")
         )
-        rejected = rejected_vs_store.unionByName(internal_drops).distinct()
-        admitted = batch.join(
-            rejected, F.col(self.id_col) == rejected["id"], "left_anti"
+        if insure:
+            internal = internal.repartition(par)
+        internal_dups = self._jaccard_ok(internal, sets, sets).select(
+            F.col("id2").alias("id")  # the higher id of each pair drops
+        ).distinct()
+        admitted = survivors.join(
+            internal_dups,
+            F.col(self.id_col) == internal_dups["id"],
+            "left_anti",
         ).cache()
 
         # --- persist: admitted docs in one job; band rows + unit-sets in
@@ -343,7 +371,13 @@ class StreamingNearDupFilter:
             "overwrite"
         ).parquet(f"{self.store_path}/batch_id={batch_id}")
 
-        for df in (admitted, verified, sets, banded, batch):
+        # Lagged gate input for the NEXT batch — both observed nodes ran
+        # inside the admitted-write job, so the reads are non-blocking.
+        self._last_candidates = _observed_count(obs_cross) + _observed_count(
+            obs_intra
+        )
+
+        for df in (admitted, sets, banded, batch):
             df.unpersist()
 
 
@@ -357,7 +391,14 @@ class StreamingVectorNearDupFilter:
     md5-parity planes, so an external SQL engine re-derives the buckets —
     and kind=vec rows (id, v), the raw double vectors read per candidate
     (verify work bounded by candidate rows, never the admitted corpus).
-    ``out_path`` accumulates admitted (id, vector) rows."""
+    ``out_path`` accumulates admitted (id, vector) rows.
+
+    ``spread_min_candidates`` defaults to 0 — insure EVERY batch.  The
+    verify is an interpreted fold-cosine (no whole-stage codegen), so a
+    single serialized explosion batch costs ~20 s at the sfx1 working
+    set (PERF.md §20) — far more than the ~0.6 s/batch the insurance
+    exchange costs; a corpus of known-ordinary batches can raise the
+    threshold to get the text filter's lagged-adaptive behavior."""
 
     def __init__(
         self,
@@ -369,7 +410,7 @@ class StreamingVectorNearDupFilter:
         dims: int = 64,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
-        spread_min_candidates: int = 262_144,
+        spread_min_candidates: int = 0,
     ):
         self.store_path = store_path
         self.out_path = out_path
@@ -379,11 +420,14 @@ class StreamingVectorNearDupFilter:
         self.dims = dims
         self.id_col = id_col
         self.vec_col = vec_col
-        # Explosion-insurance gate — see StreamingNearDupFilter.  The
-        # sfx1 vector working set (identical-vector clusters, ~5M
-        # candidate pairs/batch) sits far above this and keeps the
-        # spread; ordinary batches skip the exchange.
         self.spread_min_candidates = spread_min_candidates
+        self._last_candidates = 0
+
+    def _insure(self) -> bool:
+        return (
+            self.spread_min_candidates == 0
+            or self._last_candidates >= self.spread_min_candidates
+        )
 
     def _cos_ok(self, pairs: DataFrame, v1: DataFrame, v2: DataFrame) -> DataFrame:
         """pairs(id1,id2,...) → those with round(cosine,6) >= threshold,
@@ -406,8 +450,11 @@ class StreamingVectorNearDupFilter:
         from ..operators.similarity import as_double, random_hyperplane_buckets
 
         spark = batch.sparkSession
-        # Spread the batch across the session's cores first — see
-        # StreamingNearDupFilter.__call__ (the PERF.md §18 trap).
+        # Spread the batch across the session's cores first: the
+        # hyperplane bucketing below is an interpreted higher-order
+        # function, so a 1-2 partition arrival serializes real compute
+        # (the PERF.md §18/§20 trap), unlike the text twin's codegen'd
+        # minhash.
         par = spark.sparkContext.defaultParallelism
         batch = _spread(
             batch.select(self.id_col, self.vec_col), par
@@ -437,25 +484,11 @@ class StreamingVectorNearDupFilter:
                 "id", "v"
             )
 
-        # One job: populate the batch+buckets caches AND measure the
-        # candidate volume — see StreamingNearDupFilter.__call__.
-        n_est = _estimated_candidates(buckets, store, ["table", "bucket"])
-
-        internal = (
-            buckets.alias("x")
-            .join(
-                buckets.alias("y"),
-                (F.col("x.table") == F.col("y.table"))
-                & (F.col("x.bucket") == F.col("y.bucket"))
-                & (F.col("x.id") < F.col("y.id")),
-            )
-            .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
-            .distinct()
-            .withColumn("src", F.lit("intra"))
-        )
-        cand, right_vecs = internal, vecs
+        insure = self._insure()
+        obs_cross = obs_intra = None
+        dup_vs_store = None
         if store is not None:
-            cross = (
+            cand = (
                 buckets.alias("n")
                 .join(
                     store.alias("s"),
@@ -464,37 +497,53 @@ class StreamingVectorNearDupFilter:
                 )
                 .select(F.col("n.id").alias("id1"), F.col("s.id").alias("id2"))
                 .distinct()
-                .withColumn("src", F.lit("store"))
             )
-            cand = internal.unionByName(cross)
-            right_vecs = vecs.unionByName(stored_vecs)
-        # Explosion insurance before the interpreted fold-cosine, gated
-        # on the candidate estimate — see the text filter.
-        if n_est >= self.spread_min_candidates:
-            cand = cand.repartition(par)
-        verified = self._cos_ok(cand, vecs, right_vecs).cache()
+            obs_cross = Observation()
+            cand = cand.observe(obs_cross, F.count(F.lit(1)).alias("pairs"))
+            if insure:
+                cand = cand.repartition(par)
+            dup_vs_store = self._cos_ok(cand, vecs, stored_vecs).select(
+                F.col("id1").alias("id")
+            )
+        survivors = (
+            batch.join(
+                dup_vs_store,
+                F.col(self.id_col) == dup_vs_store["id"],
+                "left_anti",
+            )
+            if dup_vs_store is not None
+            else batch
+        )
 
-        rejected_vs_store = (
-            verified.filter(F.col("src") == "store")
-            .select(F.col("id1").alias("id"))
+        sb = buckets.join(
+            survivors.select(F.col(self.id_col).alias("id")), "id"
+        )
+        internal = (
+            sb.alias("x")
+            .join(
+                sb.alias("y"),
+                (F.col("x.table") == F.col("y.table"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.id") < F.col("y.id")),
+            )
+            .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
             .distinct()
         )
-        internal_drops = (
-            verified.filter(F.col("src") == "intra")
-            .join(
-                rejected_vs_store.withColumnRenamed("id", "id1"),
-                "id1", "left_anti",
-            )
-            .join(
-                rejected_vs_store.withColumnRenamed("id", "id2"),
-                "id2", "left_anti",
-            )
+        obs_intra = Observation()
+        internal = internal.observe(
+            obs_intra, F.count(F.lit(1)).alias("pairs")
+        )
+        if insure:
+            internal = internal.repartition(par)
+        internal_dups = (
+            self._cos_ok(internal, vecs, vecs)
             .select(F.col("id2").alias("id"))
             .distinct()
         )
-        rejected = rejected_vs_store.unionByName(internal_drops).distinct()
-        admitted = batch.join(
-            rejected, F.col(self.id_col) == rejected["id"], "left_anti"
+        admitted = survivors.join(
+            internal_dups,
+            F.col(self.id_col) == internal_dups["id"],
+            "left_anti",
         ).cache()
 
         admitted.write.mode("overwrite").parquet(
@@ -517,7 +566,11 @@ class StreamingVectorNearDupFilter:
             "overwrite"
         ).parquet(f"{self.store_path}/batch_id={batch_id}")
 
-        for df in (admitted, verified, vecs, buckets, batch):
+        self._last_candidates = _observed_count(obs_cross) + _observed_count(
+            obs_intra
+        )
+
+        for df in (admitted, vecs, buckets, batch):
             df.unpersist()
 
 
@@ -548,8 +601,11 @@ def backfill_unified_state(
 
     ``id_col``/``text_col`` (text) and ``id_col``/``vec_col`` (vector)
     name the admitted table's columns for the pre-sidecar re-derivation;
-    a vector store whose admitted table uses the filter defaults
-    (``vec_id``/``embedding``) needs no overrides.
+    the signature's defaults are the text filter's names, so the vector
+    path additionally tries the vector filter's default id (``vec_id``)
+    before failing.  Failure is symmetric: any column that resolves
+    neither way raises immediately, naming what's missing — never a
+    silent guess.
 
     Stages the rewrite next to the store and swaps directories only after
     the full write succeeds, so a crashed migration leaves the legacy
@@ -576,7 +632,22 @@ def backfill_unified_state(
                     "vectors from"
                 )
             admitted = spark.read.parquet(out_path)
-            idc = id_col if id_col in admitted.columns else "vec_id"
+            # The signature's defaults are the TEXT filter's names; for a
+            # vector store fall back to the vector filter's default id
+            # column.  Unresolvable columns raise, naming what's missing
+            # — the same failure either side, never a silent guess.
+            idc = (
+                id_col
+                if id_col in admitted.columns
+                else ("vec_id" if "vec_id" in admitted.columns else None)
+            )
+            if idc is None or vec_col not in admitted.columns:
+                missing = vec_col if idc is not None else id_col
+                raise ValueError(
+                    f"pre-sidecar vector migration: column {missing!r} "
+                    f"not in admitted table {out_path} (columns: "
+                    f"{admitted.columns}); pass id_col=/vec_col="
+                )
             vecs = admitted.select(
                 F.col(idc).alias("id"),
                 as_double(vec_col).alias("v"),
@@ -607,6 +678,13 @@ def backfill_unified_state(
                     "unit-sets from"
                 )
             admitted = spark.read.parquet(out_path)
+            for c in (id_col, text_col):
+                if c not in admitted.columns:
+                    raise ValueError(
+                        f"pre-sidecar text migration: column {c!r} not "
+                        f"in admitted table {out_path} (columns: "
+                        f"{admitted.columns}); pass id_col=/text_col="
+                    )
             sets = _unit_sets(admitted, text_col, id_col, ngram, hashed=True)
             # _unit_sets drops extra columns; re-attach each id's batch_id
             sets = sets.join(

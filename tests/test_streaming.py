@@ -753,6 +753,48 @@ def test_near_dup_explosion_gate_paths_agree(spark, tmpdir):
     assert results["spread"] == results["skip"] == [1, 3, 5]
 
 
+def test_near_dup_lagged_observation_feeds_gate(spark, tmpdir):
+    """The insurance gate's input is the PREVIOUS batch's candidate
+    count, observed via a zero-job CollectMetrics node: a first batch
+    never insures (lagged by design), a batch with band collisions
+    raises ``_last_candidates`` so the next batch insures at a low
+    threshold, and a collision-free batch resets it to zero."""
+    from flink_cdc_msk_spark.streaming.dedup_stream import (
+        StreamingNearDupFilter,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the cat watches from the warm stone wall near the gate"
+    )
+    filt = StreamingNearDupFilter(
+        f"{tmpdir}/lag_store", f"{tmpdir}/lag_out",
+        threshold=0.7, spread_min_candidates=1,
+    )
+    assert not filt._insure()  # lagged: batch 0 always skips
+    filt(
+        spark.createDataFrame(
+            [(1, base), (2, base + " zz yy")],
+            "doc_id long, text string",
+        ),
+        batch_id=0,
+    )
+    assert filt._last_candidates >= 1  # the intra near-dup pair collided
+    assert filt._insure()
+    filt(  # insured path; admissions must be unaffected
+        spark.createDataFrame(
+            [(3, "completely unrelated prose about catalyst plans")],
+            "doc_id long, text string",
+        ),
+        batch_id=1,
+    )
+    assert filt._last_candidates == 0  # no collisions → gate re-arms off
+    assert sorted(
+        r.doc_id
+        for r in spark.read.parquet(f"{tmpdir}/lag_out").collect()
+    ) == [1, 3]
+
+
 def _scd2_env(key, op, ts, val=""):
     import json
 
