@@ -211,7 +211,9 @@ def jaccard_pairs(
 
     PREFIX FILTERING (AllPairs / PPJoin family — Bayardo et al. WWW'07,
     Xiao et al. WWW'08 Lemma 1): with every unit array sorted in one
-    global total order (the 64-bit unit-hash order), two sets with
+    global total order — DOCUMENT FREQUENCY ascending, unit hash as
+    tiebreak, the papers' canonical ordering (see the inline note at
+    the index build for why hash order degenerates) — two sets with
     J(A,B) ≥ τ must have |A∩B| ≥ ⌈τ·max(|A|,|B|)⌉, and any two sorted
     sets with overlap ≥ α share an element within their first
     (|·| − α + 1) elements. So indexing only each doc's first
@@ -227,12 +229,14 @@ def jaccard_pairs(
     cannot reach τ and is skipped EXACTLY — it never enters the second
     shuffle.
 
-    Plan shape: the per-doc unit arrays (id, sorted toks, sz) are
-    persisted (fixed-width hashes, far smaller than the corpus text) and
-    read three times — prefix explode → posting lists → candidate pairs
-    (2 shuffles), then two hash joins bring the full arrays back for
-    verification. Candidate volume ≈ output volume, so the verify joins
-    are linear in the result, never in the corpus²."""
+    Plan shape: the per-doc unit arrays (id, toks) are persisted
+    (fixed-width hashes, far smaller than the corpus text); the df
+    aggregation + df-ordered re-collect add two linear shuffles over
+    the exploded token stream, then prefix explode → posting lists →
+    candidate pairs (2 more shuffles), and two sort-merge joins bring
+    the full arrays back for verification. Candidate volume ≈ output
+    volume under df ordering, so the verify joins are linear in the
+    result, never in the corpus²."""
     # persist the PLAIN unit sets (not the sorted projection): this is the
     # exact logical plan minhash/simhash/containment build for the same
     # (corpus, ngram) — the memoized handle means one materialization AND
@@ -241,19 +245,39 @@ def jaccard_pairs(
     # projection; the verify joins use the unsorted arrays —
     # array_intersect doesn't care.
     units = _unit_sets_persisted(df, text_col, id_col, ngram, hashed)
-    us = units.select(
-        "id",
-        F.sort_array("toks").alias("toks"),
-        F.size("toks").cast("long").alias("sz"),
+    # GLOBAL ORDER = (document frequency ASC, unit hash ASC) — the
+    # AllPairs/PPJoin papers' canonical ordering (Bayardo et al. WWW'07
+    # §3.1, "order by increasing frequency"), NOT plain hash order.
+    # Prefix filtering is exact under ANY fixed total order, but the
+    # CANDIDATE VOLUME is Σ C(|posting list|, 2) over prefix lists, and
+    # hash order puts frequent units into prefixes uniformly: the
+    # round-8 sfx10 run (495k docs) found the planted near-dup SUFFIX
+    # shingles (df ≈ 70k) landing in prefixes under hash order — a
+    # single such posting list double-explodes into C(70k,2) ≈ 2.4e9
+    # candidate rows, and the run died spilling the distinct to disk
+    # exhaustion. df-ascending puts each doc's RAREST units in its
+    # prefix, bounding every prefix posting list by the near-dup group
+    # size. Cost: one df aggregation + one join + one re-collect, all
+    # linear in corpus tokens; the df relation is vocab-sized (AQE
+    # broadcasts it at test scale; shuffle join at corpus-vocab scale).
+    tok = units.select("id", F.explode("toks").alias("t"))
+    dfreq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        tok.join(dfreq, "t")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "t"))).alias("ord"))
+    )
+    us = ordered.select(
+        "id", "ord", F.size("ord").cast("long").alias("sz")
     )
     plen = (
         F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + F.lit(1)
     ).cast("int")
     # posexplode: carry each prefix unit's 0-based POSITION in the
-    # sorted array — feeds the PPJoin position filter below.
+    # df-sorted array — feeds the PPJoin position filter below.
     pref = us.select(
-        "id", "sz", F.posexplode(F.slice("toks", F.lit(1), plen))
-    ).withColumnsRenamed({"pos": "pos", "col": "token"})
+        "id", "sz", F.posexplode(F.slice("ord", F.lit(1), plen))
+    ).select("id", "sz", "pos", F.col("col.t").alias("token"))
     posting = (
         pref.groupBy("token")
         .agg(F.collect_list(F.struct("id", "sz", "pos")).alias("docs"))
@@ -297,14 +321,21 @@ def jaccard_pairs(
         .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
         .distinct()
     )
-    # verify joins: SHUFFLE_HASH hinted on the candidate side. Catalyst's
-    # size estimate for the persisted unit arrays can land under the
-    # broadcast threshold at test scale, and a driver-side broadcast of a
-    # CORPUS-sized relation is exactly wrong at 100 TB (and OOMs a small
-    # driver even at sf0.1). Candidates ≈ output volume — always the
-    # build side; units streams through executor-side partitions.
+    # verify joins: MERGE (sort-merge) on BOTH — the only join strategy
+    # here with no non-spillable structure.  Unhinted, Catalyst's stats
+    # for the persisted unit arrays can land under the broadcast
+    # threshold at test scale, and a driver-side broadcast of a
+    # CORPUS-sized relation is exactly wrong at 100 TB; shuffle-hash
+    # (the pre-r8 choice for join 1) builds an in-memory hash relation
+    # that CANNOT spill — candidates ≈ output volume (§12), and on a
+    # duplicate-heavy corpus output is quadratic in group size, so the
+    # build dies exactly when the workload gets interesting (sfx10,
+    # 495k docs ≈ 24M true pairs: "can't acquire 1 GB to build hash
+    # relation" — the round-8 scaling run caught it).  SMJ sorts spill
+    # to disk and AQE's skew-join splitting applies, so the verify path
+    # degrades gracefully at any scale.
     verified = (
-        cands.hint("shuffle_hash")
+        cands.hint("merge")
         .join(
             units.select(
                 F.col("id").alias("id1"),
@@ -313,7 +344,7 @@ def jaccard_pairs(
             ),
             "id1",
         )
-        .hint("shuffle_hash")
+        .hint("merge")
         .join(
             units.select(
                 F.col("id").alias("id2"),
@@ -585,13 +616,16 @@ def minhash_lsh_pairs(
     # hashed units (identical set sizes modulo 64-bit collisions)
     sets = units
     return (
-        # SHUFFLE_HASH on the candidate side: never broadcast the
-        # corpus-sized unit arrays (see jaccard_pairs verify note)
-        candidates.hint("shuffle_hash")
+        # MERGE on both verify joins: never broadcast the corpus-sized
+        # unit arrays, and never build a non-spillable hash relation of
+        # the candidate pairs — on a duplicate-heavy corpus candidates
+        # are quadratic in group size and the build OOMs one decade up
+        # (see the jaccard_pairs verify note; round-8 sfx10 finding).
+        candidates.hint("merge")
         .join(
             sets.withColumnsRenamed({"id": "id1", "toks": "toks1"}), "id1"
         )
-        .hint("shuffle_hash")
+        .hint("merge")
         .join(sets.withColumnsRenamed({"id": "id2", "toks": "toks2"}), "id2")
         .withColumn(
             "jaccard",

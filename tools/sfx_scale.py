@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""PERF §21 decade-scaling harness: sfx1 → sfx10 medians for the
+relational + dedup families (q18, q3, token-jaccard, minhash-LSH).
+
+Protocol: interleaved Spark/DuckDB per query within each round (the
+same co-tenant-noise defense as tools/ab_bench.py), median of
+AB_ROUNDS rounds, one ``RESULT`` JSON line per SF directory.  DuckDB
+gets a per-query interrupt cap (DUCK_CAP seconds) — a quadratic-pair
+oracle over 495k docs runs for hours; record DNF honestly instead of
+waiting.
+
+Unlike ab_bench.py this runs the ENGINE-DEFAULT session conf (AQE on,
+shuffle partitions = core count): ab_bench's floor-tuned conf
+(8 partitions, AQE off) minimizes scheduling overhead at sf0.1 but is
+a misconfiguration one decade up — 495k docs of token arrays in 8
+static partitions OOMs the hash builds (observed: "Can't acquire
+1073741824 bytes to build hash relation" and a heap OOM at sfx10).
+Decade scaling is exactly the regime where AQE's runtime coalescing /
+skew handling is the point (PERF §7), so §21 measures the conf a
+deployment would run.
+
+Usage:
+  SPARK_GRAFT_DRIVER_MEM=64g AB_ROUNDS=3 DUCK_CAP=240 \
+    python tools/sfx_scale.py /tmp/sfx1 /tmp/sfx10
+
+The SF dirs come from tools/build_sfx.py (--tpch for the key-shifted
+relational replicas).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROUNDS = int(os.environ.get("AB_ROUNDS", "3"))
+DUCK_CAP = float(os.environ.get("DUCK_CAP", "300"))
+QUERIES = [
+    "q18_large_volume_customer",
+    "q3_shipping_priority",
+    "dedup_token_jaccard",
+    "dedup_minhash_lsh",
+]
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+def main() -> None:
+    import duckdb
+
+    from flink_cdc_msk_spark.session import get_spark
+    from flink_cdc_msk_spark.sources.tables import load_tables
+    import __spark_entry__ as entry_mod
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    # Engine defaults: AQE on, shuffle partitions = cores (see module
+    # docstring for why NOT ab_bench's floor conf).
+    spark = get_spark(app_name="sfx_scale", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+    osql = entry_mod.oracle_sql()
+
+    for sf_dir in sys.argv[1:]:
+        con = duckdb.connect()
+        # Cap DuckDB's allocator: its default (80% of RAM) plus the JVM
+        # heap OOM-killed the box while a quadratic oracle burned its
+        # DUCK_CAP at sfx10 (round-8 finding — the kernel killed the
+        # 71 GB java process, not the offender).
+        con.execute(
+            f"SET memory_limit='{os.environ.get('DUCK_MEM', '24GB')}'"
+        )
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        for df in load_tables(spark, sf_dir).values():
+            df.limit(1).count()  # warm file listing/footers, not data
+        spark_t: dict[str, list[float]] = {n: [] for n in QUERIES}
+        duck_t: dict[str, list[float]] = {n: [] for n in QUERIES}
+        duck_dnf: set[str] = set()
+        for r in range(ROUNDS):
+            for name in QUERIES:
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).count()
+                spark_t[name].append(time.perf_counter() - t0)
+                if name in duck_dnf:
+                    print(
+                        f"  [{sf_dir} r{r}] {name}: spark "
+                        f"{spark_t[name][-1]:.2f}s duck DNF(skipped)",
+                        flush=True,
+                    )
+                    continue
+                done = threading.Event()
+
+                def reaper() -> None:
+                    if not done.wait(DUCK_CAP):
+                        con.interrupt()
+
+                threading.Thread(target=reaper, daemon=True).start()
+                t0 = time.perf_counter()
+                try:
+                    con.execute(osql[name]).fetchall()
+                    duck_t[name].append(time.perf_counter() - t0)
+                except Exception:
+                    duck_dnf.add(name)
+                finally:
+                    done.set()
+                print(
+                    f"  [{sf_dir} r{r}] {name}: spark "
+                    f"{spark_t[name][-1]:.2f}s duck "
+                    f"{'DNF' if name in duck_dnf else f'{duck_t[name][-1]:.2f}s'}",
+                    flush=True,
+                )
+        med_s = {n: round(statistics.median(v), 3) for n, v in spark_t.items()}
+        med_d = {
+            n: (round(statistics.median(v), 3) if v else f"DNF>{DUCK_CAP:.0f}s")
+            for n, v in duck_t.items()
+        }
+        print(
+            "RESULT " + json.dumps(
+                {"sf_dir": sf_dir, "rounds": ROUNDS,
+                 "spark": med_s, "duckdb": med_d}),
+            flush=True,
+        )
+        con.close()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
