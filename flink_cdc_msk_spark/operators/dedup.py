@@ -258,12 +258,18 @@ def jaccard_pairs(
     # exhaustion. df-ascending puts each doc's RAREST units in its
     # prefix, bounding every prefix posting list by the near-dup group
     # size. Cost: one df aggregation + one join + one re-collect, all
-    # linear in corpus tokens; the df relation is vocab-sized (AQE
-    # broadcasts it at test scale; shuffle join at corpus-vocab scale).
+    # linear in corpus tokens. The df join is MERGE-pinned: dfreq is
+    # vocab-sized, and for shingles the vocabulary is CORPUS-scale at
+    # 100 TB — Catalyst's post-aggregation stats estimate can land it
+    # under the broadcast threshold regardless (the same trap as the
+    # verify joins, pinned by test_dedup_verify_joins_never_broadcast_
+    # corpus); both join sides hash-partition on t (dfreq IS a groupBy
+    # over tok's exchange), so the shuffle is shared, never extra.
     tok = units.select("id", F.explode("toks").alias("t"))
     dfreq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     ordered = (
-        tok.join(dfreq, "t")
+        tok.hint("merge")
+        .join(dfreq, "t")
         .groupBy("id")
         .agg(F.sort_array(F.collect_list(F.struct("df", "t"))).alias("ord"))
     )
