@@ -49,6 +49,7 @@ def load_all() -> None:
     from . import round5_extras  # noqa: F401
     from . import round6_extras  # noqa: F401
     from . import round7_extras  # noqa: F401
+    from . import round8_extras  # noqa: F401
 
 
 _loaded = False

@@ -1,0 +1,92 @@
+"""Semantic pins for the round-8 curation operators — properties the
+DuckDB-oracle hash can't articulate on its own (the oracle proves the two
+engines agree; these prove they agree on the RIGHT thing)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_cdc_msk_spark.plans import round8_extras as r8
+from tests.conftest import SF_ORACLE
+
+
+def test_substring_dedup_flags_full_clone_as_one_span(spark):
+    """A planted exact clone must surface as ONE maximal span covering the
+    whole document (dup_frac == 1.0), not a run of per-tile fragments —
+    the gaps-and-islands merge is the point of the operator."""
+    out = r8.text_substring_dedup(spark, SF_ORACLE)
+    clones = out.filter(
+        (F.col("doc_id") >= 1_000_000) & (F.col("doc_id") < 2_000_000)
+    )  # exact clones only; the 2M+ rows are the planted NEAR dups
+    assert clones.count() > 0
+    bad = clones.filter(
+        (F.col("n_spans") != 1) | (F.col("dup_frac") < 1.0)
+    ).count()
+    assert bad == 0
+
+
+def test_substring_dedup_two_islands_merge_separately(spark):
+    """Two duplicated regions separated by unique text must come out as
+    two spans, with the gap's tiles excluded from dup_chars."""
+    shared_a = "a" * 64  # tiles 0-1 of doc 1
+    shared_b = "b" * 64  # tiles 4-5 of doc 1
+    gap = "x" * 64  # unique to doc 1
+    docs = spark.createDataFrame(
+        [
+            (1, shared_a + gap + shared_b),
+            (2, shared_a),
+            (3, shared_b),
+        ],
+        "doc_id long, text string",
+    )
+    # drive the same pipeline the query builds, minus the corpus loader
+    from unittest import mock
+
+    with mock.patch.object(
+        r8, "_docs_with_near_dups", lambda spark, sf_dir: docs
+    ):
+        rows = {
+            r.doc_id: r for r in r8.text_substring_dedup(spark, "-").collect()
+        }
+    assert rows[1].n_spans == 2
+    assert rows[1].n_dup_tiles == 4
+    assert rows[1].dup_chars == 128
+    assert rows[2].n_spans == 1 and rows[2].dup_chars == 64
+
+
+def test_phash_equal_payloads_hamming_zero(spark):
+    """Identical payloads hash identically — every planted clone pair must
+    be found with hamming 0 (the LSH-band recall guarantee at distance 0:
+    all bands collide)."""
+    out = r8.multimodal_phash_near_dup(spark, SF_ORACLE)
+    zero = out.filter(F.col("hamming") == 0)
+    n_clone_pairs = zero.filter(
+        F.col("media_id_2") - F.col("media_id_1") == 1_000_000
+    ).count()
+    # sf0.01 plants a clone for every doc_id % 5 == 0 (500 docs -> 100)
+    assert n_clone_pairs == 100
+
+
+def test_mixture_plan_invariants(spark):
+    """Temperature reweighting must (a) keep shares normalized, (b) give
+    every low-resource domain a HIGHER target share than natural share,
+    and (c) conserve the token budget across domains."""
+    rows = r8.llm_mixture_plan(spark, SF_ORACLE).collect()
+    nat = sum(r.nat_share for r in rows)
+    tgt = sum(r.target_share for r in rows)
+    assert abs(nat - 1.0) < 1e-3 and abs(tgt - 1.0) < 1e-3
+    mean_tokens = sum(r.n_tokens for r in rows) / len(rows)
+    for r in rows:
+        if r.n_tokens < 0.5 * mean_tokens:
+            assert r.target_share > r.nat_share, r
+    budget = 0.5 * sum(r.n_tokens for r in rows)
+    assert abs(sum(r.sample_tokens for r in rows) - budget) < 1.0
+
+
+def test_quality_prune_keeps_top80_per_domain(spark):
+    """The prune is PER-DOMAIN: every source keeps ~80% of its docs (no
+    domain is wiped out), and nothing kept ranks below the 0.2 cut."""
+    out = r8.text_quality_prune_per_domain(spark, SF_ORACLE)
+    kept = out.groupBy("source").count().collect()
+    assert len(kept) == 20  # every source survives
+    assert out.filter(F.col("qtile") < 0.2).count() == 0
