@@ -193,15 +193,21 @@ def _phash_sql(expr: str) -> str:
              (h >> (15 * b.i)) & 32767 AS band_v
       FROM ph, unnest(generate_series(0, {_N_BANDS - 1})) AS b(i)
     ), pairs AS (
-      SELECT DISTINCT a.media_id AS media_id_1, b.media_id AS media_id_2,
-             a.h AS h1, b.h AS h2
+      SELECT a.media_id AS media_id_1, b.media_id AS media_id_2,
+             a.h AS h1, b.h AS h2, a.band AS band
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.band_v = b.band_v
        AND a.media_id < b.media_id
     )
     SELECT media_id_1, media_id_2,
            CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
-    FROM pairs WHERE bit_count(xor(h1, h2)) <= {_HAM_MAX}
+    FROM pairs
+    WHERE bit_count(xor(h1, h2)) <= {_HAM_MAX}
+      AND NOT EXISTS (
+        SELECT 1 FROM unnest(generate_series(0, 3)) AS lo(i)
+        WHERE lo.i < band
+          AND ((h1 >> (15 * lo.i)) & 32767) = ((h2 >> (15 * lo.i)) & 32767)
+      )
     """,
 )
 def multimodal_phash_near_dup(spark, sf_dir):
@@ -214,11 +220,15 @@ def multimodal_phash_near_dup(spark, sf_dir):
     of how the lake shards it; the DCT itself is the declared codec
     stub, the hash/band/verify plumbing is exact and oracle-gated.
 
-    Scale shape: candidates come only from band-bucket collisions
-    (SimHash-banding guarantee: any pair within hamming 3 of a band
-    boundary collides somewhere; no all-pairs anywhere); one shuffle on
-    (band, band_v) for the self-join, one distinct on the pair. 15-bit
-    bands keep expected bucket width ~corpus/32768 per band."""
+    Scale shape: candidates come only from band-bucket collisions (no
+    all-pairs anywhere); ONE shuffle on (band, band_v) for the self-join
+    and nothing after it — a pair colliding in several bands is emitted
+    only from its LOWEST matching band (a cheap per-row filter on the
+    hashes already in hand), which replaces the pair-distinct shuffle.
+    That distinct was the sfx10 bottleneck: near-dup-dense corpora emit
+    every duplicate pair in all 4 bands, so the distinct re-shuffled 4x
+    the output volume (measured: 217 s -> see PERF.md §22). 15-bit bands
+    keep expected bucket width ~corpus/32768 per band."""
     corpus = _docs_with_dups(spark, sf_dir)
     ph = corpus.select(
         F.col("doc_id").alias("media_id"),
@@ -240,27 +250,37 @@ def multimodal_phash_near_dup(spark, sf_dir):
     # asset) — Catalyst broadcasts it at test scale, the §21 trap
     a = bands.alias("a").hint("merge")
     b = bands.alias("b").hint("merge")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_v") == F.col("b.band_v"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
-        .select(
-            F.col("a.media_id").alias("media_id_1"),
-            F.col("b.media_id").alias("media_id_2"),
-            F.col("a.h").alias("h1"),
-            F.col("b.h").alias("h2"),
-        )
-        .distinct()
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_v") == F.col("b.band_v"))
+        & (F.col("a.media_id") < F.col("b.media_id")),
+    ).select(
+        F.col("a.media_id").alias("media_id_1"),
+        F.col("b.media_id").alias("media_id_2"),
+        F.col("a.h").alias("h1"),
+        F.col("b.h").alias("h2"),
+        F.col("a.band").alias("band"),
     )
+    # lowest-matching-band dedup: keep the pair only where no EARLIER
+    # band also collided — exactly-once emission with zero extra shuffle
+    lowest = F.lit(True)
+    for lo in range(_N_BANDS - 1):
+        collides = F.expr(
+            f"(shiftright(h1, {15 * lo}) & 32767) = "
+            f"(shiftright(h2, {15 * lo}) & 32767)"
+        )
+        lowest = lowest & (~((F.col("band") > lo) & collides))
     ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
-    return pairs.select(
-        "media_id_1",
-        "media_id_2",
-        ham.cast("int").alias("hamming"),
-    ).filter(F.col("hamming") <= _HAM_MAX)
+    return (
+        pairs.filter(lowest)
+        .select(
+            "media_id_1",
+            "media_id_2",
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _HAM_MAX)
+    )
 
 
 @register(

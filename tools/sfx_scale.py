@@ -40,12 +40,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ROUNDS = int(os.environ.get("AB_ROUNDS", "3"))
 DUCK_CAP = float(os.environ.get("DUCK_CAP", "300"))
-QUERIES = [
-    "q18_large_volume_customer",
-    "q3_shipping_priority",
-    "dedup_token_jaccard",
-    "dedup_minhash_lsh",
-]
+# Override the measured set with SFX_QUERIES=name1,name2 (PERF §22 reuses
+# this harness for the round-8 curation operators).
+QUERIES = (
+    os.environ["SFX_QUERIES"].split(",")
+    if os.environ.get("SFX_QUERIES")
+    else [
+        "q18_large_volume_customer",
+        "q3_shipping_priority",
+        "dedup_token_jaccard",
+        "dedup_minhash_lsh",
+    ]
+)
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings".split()
