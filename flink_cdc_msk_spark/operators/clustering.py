@@ -439,11 +439,16 @@ def semantic_dedup(
     # full-corpus cache entry per invocation (round-6 advice).  The
     # survivor is id+cl only; plan-layer callers memoize it per
     # (app, corpus) so even that is one entry per session.
+    # localCheckpoint, NOT persist: unpersisting the PARENT (members,
+    # next line) recompiles a dependent cache entry back to lazy, so a
+    # persisted kept would silently re-run the full Lloyd + pair join
+    # on every later use (the round-8 bpe_doc_units finding). The
+    # checkpoint materializes the rows and truncates lineage; its
+    # blocks release with the RDD when the handle is dropped.
     kept = (
         members.join(pairs, "id", "left_anti")
         .select("id", "cl")
-        .persist()
+        .localCheckpoint()
     )
-    kept.count()
     members.unpersist()
     return kept

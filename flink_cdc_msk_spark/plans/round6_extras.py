@@ -333,6 +333,16 @@ def bpe_doc_units(spark, sf_dir):
     # round per failed attempt.
     live = [toks]
     try:
+        # localCheckpoint per round, NOT persist + parent-unpersist:
+        # uncaching round r-1 recompiles round r's cache entry back to
+        # lazy (Spark invalidates DEPENDENT caches), so the old
+        # persist/count/unpersist ladder silently re-ran every earlier
+        # round on each later action — quadratic recompute inside the
+        # build and a cold memo after it (measured round 8: ~7.5 s per
+        # consumer action at sfx1). Each checkpoint materializes the
+        # vocab-scale round eagerly and truncates lineage; the previous
+        # round's blocks free via the ContextCleaner when its handle
+        # drops here.
         vocab = (
             toks.groupBy("word")
             .agg(F.count(F.lit(1)).alias("cnt"))
@@ -344,17 +354,10 @@ def bpe_doc_units(spark, sf_dir):
                     F.lit(_BPE_SEP),
                 ),
             )
-            .persist()
+            .localCheckpoint()
         )
-        live.append(vocab)
-        vocab.count()  # populate before round 1 consumes it twice
         for _ in range(_BPE_MERGES):
-            nxt = _bpe_round(vocab).persist()
-            live.append(nxt)
-            nxt.count()  # materialize round r from round r-1's cache...
-            vocab.unpersist()  # ...then round r-1's |vocab| cache drops
-            live.remove(vocab)
-            vocab = nxt
+            vocab = _bpe_round(vocab).localCheckpoint()
         enc = vocab.select(
             "word",
             (
@@ -367,6 +370,13 @@ def bpe_doc_units(spark, sf_dir):
                 / F.lit(2)
             ).cast("long").alias("n_units"),
         )
+        # localCheckpoint, NOT persist: the memoized relation must
+        # survive the toks/vocab unpersists below, and uncaching a
+        # PARENT recompiles dependent cache entries back to lazy —
+        # a persisted doc_units silently lost its materialization and
+        # every consumer re-ran the full encode join (~7.5 s/action at
+        # sfx1, measured round 8). The checkpoint materializes the
+        # rows and truncates lineage, so nothing can invalidate it.
         doc_units = (
             toks.join(enc, "word")
             .groupBy("doc_id")
@@ -374,16 +384,13 @@ def bpe_doc_units(spark, sf_dir):
                 F.sum("n_units").cast("bigint").alias("n_bpe_units"),
                 F.sum(F.length("word")).cast("bigint").alias("n_chars"),
             )
-            .persist()
+            .localCheckpoint()
         )
-        live.append(doc_units)
-        doc_units.count()
     except Exception:
         for df in live:
             df.unpersist()
         raise
-    vocab.unpersist()
-    toks.unpersist()
+    toks.unpersist()  # checkpointed rounds free themselves via GC
     _BPE_DOC_UNITS_MEMO[key] = doc_units
     return doc_units
 

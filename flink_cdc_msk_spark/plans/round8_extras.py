@@ -1,4 +1,4 @@
-"""Round-8 additions: four training-data-pipeline operators that round out
+"""Round-8 additions: six training-data-pipeline operators that round out
 the dedup/curation surface.
 
 * ``text_substring_dedup`` — the exact-substring dedup of Lee et al. 2022
@@ -22,6 +22,13 @@ the dedup/curation surface.
   the bottom 20% by quality WITHIN each source so no domain is wiped out
   by a global threshold (the standard fix for quality filters biased
   against low-resource domains).
+* ``sample_curriculum_order`` — a contiguous staged training order
+  0..N-1 (short-to-long length curriculum, hash-shuffled within stages)
+  with NO global sort: bucket x shard rank windows stitched by
+  metadata-scale cumulative offsets.
+* ``llm_tokenizer_fertility`` — per-language fertility (BPE units per
+  whitespace token) under the corpus-trained merge table, riding the
+  memoized encode of ``round6_extras.bpe_doc_units``.
 
 Reference parity note: the reference repo (yhyyz/flink-cdc-msk) has no
 data-curation surface — these extend the Part-B capability closure the
@@ -34,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import text as T
+from ..operators.sampling import hash_bucket, hash_bucket_sql
 from .llm_pipeline import (
     DOCS_WITH_DUPS_SQL,
     DOCS_WITH_NEAR_DUPS_SQL,
@@ -42,6 +50,7 @@ from .llm_pipeline import (
     _docs_with_near_dups,
 )
 from .registry import register
+from .round6_extras import _BPE_MERGES, bpe_doc_units, bpe_units_cte
 
 TILE = 32  # substring-dedup granularity (chars): catches dups >= 2*TILE-1
 
@@ -399,4 +408,141 @@ def text_quality_prune_per_domain(spark, sf_dir):
         "source",
         F.round("score", 6).alias("score"),
         F.round("pr", 6).alias("qtile"),
+    )
+
+
+_CURR_SHARDS = 16  # rank-window parallelism knob: buckets x shards tasks
+
+
+@register(
+    "sample_curriculum_order",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS ntok
+      FROM documents
+    ), b AS (
+      SELECT doc_id,
+             CAST(least(9, CAST(floor(ntok / 16.0) AS BIGINT)) AS INTEGER)
+               AS bucket,
+             {hash_bucket_sql('doc_id', 16)} AS shard,
+             {hash_bucket_sql('doc_id', 1048576)} AS ord_h
+      FROM t
+    ), c AS (
+      SELECT bucket, shard, count(*) AS cnt FROM b GROUP BY bucket, shard
+    ), o AS (
+      SELECT bucket, shard,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY bucket, shard
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS off
+      FROM c
+    ), r AS (
+      SELECT b.doc_id, b.bucket, o.off,
+             row_number() OVER (PARTITION BY b.bucket, b.shard
+                                ORDER BY b.ord_h, b.doc_id) AS rk
+      FROM b JOIN o USING (bucket, shard)
+    )
+    SELECT doc_id, bucket, CAST(off + rk - 1 AS BIGINT) AS global_pos
+    FROM r
+    """,
+)
+def sample_curriculum_order(spark, sf_dir):
+    """Deterministic curriculum ordering WITHOUT a global sort: assign a
+    contiguous training position 0..N-1 to every document, staged
+    easy-to-hard (short-to-long token bands — the classic length
+    curriculum), shuffled within each stage by a portable Knuth hash.
+
+    The scale trick is the shard-offset pattern (`text_pack_sequences`'
+    shape applied to ordering): ranking happens in bucket x shard
+    window partitions (parallel, each holds ~N/160 rows), and the
+    partitions are stitched into one global order by adding per-(bucket,
+    shard) cumulative offsets computed with a window over the COUNTS
+    relation — metadata-scale (<=160 rows), the layout_compaction_plan
+    precedent. Total: one aggregate shuffle + one rank shuffle over the
+    corpus; a naive orderBy would funnel all N rows through one task.
+    Buckets are INTEGER token bands (not score quantiles) so bucket
+    assignment is exact arithmetic in both engines — no
+    percentile-interpolation ulp at the boundaries."""
+    d = _docs(spark, sf_dir)
+    t = d.select("doc_id", T.token_count("text").alias("ntok"))
+    b = t.select(
+        "doc_id",
+        F.least(
+            F.lit(9).cast("bigint"), F.floor(F.col("ntok") / 16)
+        ).cast("int").alias("bucket"),
+        hash_bucket("doc_id", _CURR_SHARDS).alias("shard"),
+        hash_bucket("doc_id", 1_048_576).alias("ord_h"),
+    )
+    counts = b.groupBy("bucket", "shard").agg(F.count(F.lit(1)).alias("cnt"))
+    w_meta = (
+        Window.orderBy("bucket", "shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "bucket",
+        "shard",
+        F.coalesce(F.sum("cnt").over(w_meta), F.lit(0))
+        .cast("bigint")
+        .alias("off"),
+    )
+    w_rank = Window.partitionBy("bucket", "shard").orderBy("ord_h", "doc_id")
+    return (
+        b.join(F.broadcast(offsets), ["bucket", "shard"])
+        .select(
+            "doc_id",
+            "bucket",
+            (F.col("off") + F.row_number().over(w_rank) - 1)
+            .cast("bigint")
+            .alias("global_pos"),
+        )
+    )
+
+
+@register(
+    "llm_tokenizer_fertility",
+    oracle=f"""
+    WITH {bpe_units_cte(_BPE_MERGES)}
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(list_filter(string_split(d.text, ' '),
+                                    x -> x <> ''))) AS BIGINT) AS ws_tokens,
+           CAST(sum(u.n_bpe_units) AS BIGINT) AS bpe_units,
+           round(sum(u.n_bpe_units) * 1.0 /
+                 sum(len(list_filter(string_split(d.text, ' '),
+                                     x -> x <> ''))), 6) AS fertility,
+           round(sum(u.n_chars) * 1.0 / sum(u.n_bpe_units), 6)
+             AS chars_per_unit
+    FROM doc_units u JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """,
+)
+def llm_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer-fertility report under the LEARNED BPE
+    merge table: BPE units per whitespace token and characters per unit,
+    by language — the standard multilingual-tokenizer health check (a
+    vocabulary trained on one language's corpus fragments the others;
+    fertility per lang is how that shows up). Rides the memoized per-doc
+    encode (`bpe_doc_units`), so the only new work is one doc_id join to
+    recover `lang` plus one aggregate; the oracle replays the full
+    training via the shared CTE, re-certifying the merge table through a
+    third consumer."""
+    du = bpe_doc_units(spark, sf_dir)
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", T.token_count("text").alias("ws")
+    )
+    return (
+        du.join(d, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").cast("bigint").alias("ws_tokens"),
+            F.sum("n_bpe_units").cast("bigint").alias("bpe_units"),
+            F.round(F.sum("n_bpe_units") / F.sum("ws"), 6).alias(
+                "fertility"
+            ),
+            F.round(F.sum("n_chars") / F.sum("n_bpe_units"), 6).alias(
+                "chars_per_unit"
+            ),
+        )
     )

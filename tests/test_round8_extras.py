@@ -90,3 +90,52 @@ def test_quality_prune_keeps_top80_per_domain(spark):
     kept = out.groupBy("source").count().collect()
     assert len(kept) == 20  # every source survives
     assert out.filter(F.col("qtile") < 0.2).count() == 0
+
+
+def test_curriculum_order_is_contiguous_staged_permutation(spark):
+    """global_pos must be an exact permutation of 0..N-1 (the stitched
+    shard offsets leave no gaps), and stages must be contiguous: every
+    bucket-b position precedes every bucket-(b+1) position."""
+    from flink_cdc_msk_spark.plans.round8_extras import sample_curriculum_order
+
+    rows = sample_curriculum_order(spark, SF_ORACLE).collect()
+    positions = sorted(r.global_pos for r in rows)
+    assert positions == list(range(len(rows)))
+    max_pos = {}
+    min_pos = {}
+    for r in rows:
+        max_pos[r.bucket] = max(max_pos.get(r.bucket, -1), r.global_pos)
+        min_pos[r.bucket] = min(
+            min_pos.get(r.bucket, 1 << 60), r.global_pos
+        )
+    buckets = sorted(max_pos)
+    for lo, hi in zip(buckets, buckets[1:]):
+        assert max_pos[lo] < min_pos[hi]
+
+
+def test_tokenizer_fertility_sane(spark):
+    """Fertility under a learned BPE vocabulary is >= 1 unit per
+    whitespace token (BPE can only split words, never merge across
+    whitespace — the pre-tokenizer guarantees it), for every language."""
+    from flink_cdc_msk_spark.plans.round8_extras import llm_tokenizer_fertility
+
+    rows = llm_tokenizer_fertility(spark, SF_ORACLE).collect()
+    assert len(rows) == 5  # en/de/fr/es/zh
+    for r in rows:
+        assert r.fertility >= 1.0, r
+        assert r.chars_per_unit > 0, r
+
+
+def test_bpe_memo_survives_parent_unpersist(spark):
+    """The memoized BPE encode must be lineage-truncated (checkpointed):
+    a persisted-but-dependent relation is silently re-computed on every
+    action after its parents are unpersisted (PERF §23). Scan the
+    memoized plan for the checkpoint scan node and pin the re-scan cost
+    class by asserting the plan no longer contains the encode join."""
+    from flink_cdc_msk_spark.plans.round6_extras import bpe_doc_units
+    from tests.conftest import SF_ORACLE
+
+    du = bpe_doc_units(spark, SF_ORACLE)
+    plan = du._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan, plan
+    assert "Join" not in plan, plan
