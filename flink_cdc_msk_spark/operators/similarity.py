@@ -328,11 +328,17 @@ def lsh_near_dup_pairs(
         F.col(id_col).alias("id"), as_double(vec_col).alias("v")
     )
     return (
-        # SHUFFLE_HASH built on the candidate side — never broadcast the
-        # corpus-sized vector relation (see dedup.py verify-join note)
-        candidates.hint("shuffle_hash")
+        # MERGE, not SHUFFLE_HASH: a hash-relation build cannot spill,
+        # and the build side here is the CANDIDATE PAIR relation —
+        # quadratic in near-dup group size on a duplicate-heavy corpus.
+        # The §21 verify-join lesson (jaccard/minhash died at sfx10
+        # with "Can't acquire ... to build hash relation") reproduced
+        # for this operator at sfx1 on the replica working set; sorts
+        # spill, so SMJ survives any candidate volume. Still never
+        # broadcast: the vector relation is corpus-sized.
+        candidates.hint("merge")
         .join(vecs.withColumnsRenamed({"id": "id1", "v": "v1"}), "id1")
-        .hint("shuffle_hash")
+        .hint("merge")
         .join(vecs.withColumnsRenamed({"id": "id2", "v": "v2"}), "id2")
         .withColumn("cos", F.round(cosine(F.col("v1"), F.col("v2")), 6))
         .filter(F.col("cos") >= threshold)
