@@ -113,7 +113,20 @@ def main() -> None:
                 threading.Thread(target=reaper, daemon=True).start()
                 t0 = time.perf_counter()
                 try:
-                    con.execute(osql[name]).fetchall()
+                    # count-wrapper, not fetchall: the Spark side is
+                    # timed under .count() (Catalyst prunes the final
+                    # projection; every shuffle/join still runs), so
+                    # fetching DuckDB's full result set to Python would
+                    # charge it materialization Spark never pays — at
+                    # sfx10 a 32M-pair result is tens of seconds of pure
+                    # fetch. The wrapper gives DuckDB the same pruning
+                    # freedom. Corollary for BOTH engines: a MAP-ONLY
+                    # query (no shuffle) collapses to a near-empty scan
+                    # count under this protocol — its row is a floor
+                    # measurement, not operator work.
+                    con.execute(
+                        f"SELECT count(*) FROM ({osql[name]}) _q"
+                    ).fetchone()
                     duck_t[name].append(time.perf_counter() - t0)
                 except Exception:
                     duck_dnf.add(name)
