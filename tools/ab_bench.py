@@ -73,7 +73,12 @@ def main() -> None:
             qs[name](spark, SF_DIR).count()
             spark_t[name].append(time.perf_counter() - t0)
             t0 = time.perf_counter()
-            con.execute(osql[name]).fetchall()
+            # count-wrapper = the same materialization contract as the
+            # Spark side's .count() (PERF §25: fetchall charged DuckDB
+            # full-result Python materialization Spark never pays; at
+            # sf0.1 outputs are small so historical totals moved <5%,
+            # but the contract should be symmetric everywhere)
+            con.execute(f"SELECT count(*) FROM ({osql[name]}) _q").fetchone()
             duck_t[name].append(time.perf_counter() - t0)
 
     med_s = {n: round(statistics.median(v), 3) for n, v in spark_t.items()}
