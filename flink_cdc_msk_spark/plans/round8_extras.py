@@ -1,5 +1,5 @@
-"""Round-8 additions: six training-data-pipeline operators that round out
-the dedup/curation surface.
+"""Round-8 additions: seven training-data-pipeline operators that round
+out the dedup/curation surface.
 
 * ``text_substring_dedup`` — the exact-substring dedup of Lee et al. 2022
   ("Deduplicating Training Data Makes Language Models Better"), re-expressed
@@ -29,6 +29,9 @@ the dedup/curation surface.
 * ``llm_tokenizer_fertility`` — per-language fertility (BPE units per
   whitespace token) under the corpus-trained merge table, riding the
   memoized encode of ``round6_extras.bpe_doc_units``.
+* ``streaming_substring_dedup_ingest`` — the tile-granularity streaming
+  ingest gate (streaming/substring_stream.py): cross-batch substring
+  dedup against a persistent tile store, the third stateful dedup twin.
 
 Reference parity note: the reference repo (yhyyz/flink-cdc-msk) has no
 data-curation surface — these extend the Part-B capability closure the
@@ -546,3 +549,130 @@ def llm_tokenizer_fertility(spark, sf_dir):
             ),
         )
     )
+
+
+# ------------------------------- streaming substring-dedup ingest gate
+
+_SS_SLABS = 4
+_SS_TAU = 0.5
+
+
+def _substring_ingest_oracle() -> str:
+    """Unrolled replay of StreamingSubstringDedupFilter's admission
+    semantics (the `streaming_neardup_ingest` oracle pattern at tile
+    granularity): per slab, reject docs with >= tau of their tile
+    INSTANCES present in the admitted tile multiset (greedy across
+    slabs), then within the slab reject docs with >= tau of their tiles
+    among LOWER-id slab survivors' tiles (the filter's one-step closed
+    form)."""
+    rounds = ["a0 AS (SELECT CAST(NULL AS BIGINT) AS id WHERE false)"]
+    for k in range(1, _SS_SLABS + 1):
+        rounds.append(f"""
+    sm{k} AS (
+      SELECT t.id, CAST(count(*) AS BIGINT) AS m
+      FROM tiles t JOIN slabs s ON s.id = t.id AND s.slab = {k}
+      WHERE EXISTS (SELECT 1 FROM tiles st JOIN a{k - 1} a ON st.id = a.id
+                    WHERE st.tile = t.tile)
+      GROUP BY t.id
+    ),
+    surv{k} AS (
+      SELECT s.id FROM slabs s
+      JOIN tc ON tc.id = s.id
+      LEFT JOIN sm{k} f ON f.id = s.id
+      WHERE s.slab = {k}
+        AND round(coalesce(f.m, 0) * 1.0 / tc.nt, 6) < {_SS_TAU}
+    ),
+    im{k} AS (
+      SELECT t.id, CAST(count(*) AS BIGINT) AS m
+      FROM tiles t JOIN surv{k} sv ON sv.id = t.id
+      WHERE EXISTS (SELECT 1 FROM tiles lt JOIN surv{k} lo ON lo.id = lt.id
+                    WHERE lt.tile = t.tile AND lo.id < t.id)
+      GROUP BY t.id
+    ),
+    adm{k} AS (
+      SELECT sv.id FROM surv{k} sv
+      JOIN tc ON tc.id = sv.id
+      LEFT JOIN im{k} f ON f.id = sv.id
+      WHERE round(coalesce(f.m, 0) * 1.0 / tc.nt, 6) < {_SS_TAU}
+    ),
+    a{k} AS (SELECT id FROM a{k - 1} UNION ALL SELECT id FROM adm{k})""")
+    return f"""
+    WITH corpus AS (
+      {DOCS_WITH_NEAR_DUPS_SQL}
+    ), docs AS (
+      SELECT doc_id AS id, text FROM corpus
+    ), tiles AS (
+      SELECT id, CAST(s.i AS BIGINT) AS tile_no,
+             substr(text, CAST(s.i * {TILE} + 1 AS BIGINT), {TILE}) AS tile
+      FROM docs, unnest(generate_series(0,
+               CAST(floor((length(text) - 1) / {TILE}.0) AS BIGINT))) AS s(i)
+    ), tc AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS nt FROM tiles GROUP BY id
+    ), slabs AS (
+      SELECT id, ntile({_SS_SLABS}) OVER (ORDER BY id) AS slab FROM docs
+    ),
+    {','.join(rounds)}
+    SELECT id AS doc_id FROM a{_SS_SLABS}
+    """
+
+
+@register(
+    "streaming_substring_dedup_ingest", oracle=_substring_ingest_oracle()
+)
+def streaming_substring_dedup_ingest(spark, sf_dir):
+    """The SUBSTRING-granularity streaming ingest gate run end-to-end —
+    the third cross-batch dedup twin (MinHash text twin, vector twin,
+    now tile twin): every micro-batch tiles its docs, semi-joins the
+    tile instances against the PERSISTENT tile store of everything
+    admitted (unbounded lookback), rejects docs whose duplicated-tile
+    fraction reaches tau=0.5, applies the greedy one-step rule within
+    the batch, and appends the survivors' tiles.  This drops
+    boilerplate-assembled arrivals whose text is stitched from MANY
+    admitted docs' fragments — invisible to whole-doc near-dup filters
+    because no single admitted doc is close.  The corpus replays as 4
+    doc_id-ordered slabs (forced mtimes => deterministic batch order,
+    >= 2 batches asserted in-query); the oracle replays the exact
+    admission semantics as 4 unrolled SQL rounds, so a green row
+    certifies the tile matching AND the cross-batch state machinery
+    with no convergence assumption."""
+    import glob as _glob
+    import os
+
+    from ..streaming.dedup_stream import start_near_dup_stream
+    from ..streaming.materialize import session_tmpdir
+    from ..streaming.substring_stream import StreamingSubstringDedupFilter
+
+    docs = _docs_with_near_dups(spark, sf_dir).select("doc_id", "text")
+    d = session_tmpdir("substr_ingest_")
+    src = f"{d}/src"
+    slabbed = docs.withColumn(
+        "slab", F.ntile(_SS_SLABS).over(Window.orderBy("doc_id"))
+    )
+    for s in range(1, _SS_SLABS + 1):
+        (
+            slabbed.filter(F.col("slab") == s)
+            .drop("slab")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .json(f"{src}/s{s:02d}")
+        )
+    base = os.stat(src).st_mtime
+    for s in range(1, _SS_SLABS + 1):
+        for f in _glob.glob(f"{src}/s{s:02d}/part-*.json"):
+            os.utime(f, (base + s, base + s))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(f"{src}/s*")
+    )
+    filt = StreamingSubstringDedupFilter(
+        f"{d}/store", f"{d}/out", tau=_SS_TAU
+    )
+    q = start_near_dup_stream(stream, filt, f"{d}/ckpt", available_now=True)
+    q.awaitTermination(300)
+    n_batches = len(_glob.glob(f"{d}/store/batch_id=*"))
+    if n_batches < 2:
+        raise ValueError(
+            f"expected incremental ingest, got {n_batches} batches"
+        )
+    return spark.read.parquet(f"{d}/out").select("doc_id")

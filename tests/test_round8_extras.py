@@ -139,3 +139,34 @@ def test_bpe_memo_survives_parent_unpersist(spark):
     plan = du._jdf.queryExecution().optimizedPlan().toString()
     assert "LogicalRDD" in plan or "ExistingRDD" in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_substring_stream_rejects_assembled_boilerplate(spark, tmp_path):
+    """The tile filter's reason to exist: a doc STITCHED from two
+    admitted docs' halves is rejected (its tiles are 100% duplicated)
+    even though its whole-doc similarity to EITHER source is far below
+    any near-dup threshold — invisible to the MinHash twin."""
+    from flink_cdc_msk_spark.streaming.substring_stream import (
+        StreamingSubstringDedupFilter,
+    )
+
+    a_text = "".join(chr(ord("a") + i % 26) * 4 for i in range(40))  # 160ch
+    b_text = "".join(chr(ord("z") - i % 26) * 4 for i in range(40))  # 160ch
+    stitched = a_text + b_text  # every 32-char tile comes from a or b
+    fresh = "qu" * 80  # novel content, must pass
+    filt = StreamingSubstringDedupFilter(
+        str(tmp_path / "store"), str(tmp_path / "out"), tau=0.5
+    )
+    b1 = spark.createDataFrame(
+        [(1, a_text), (2, b_text)], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(3, stitched), (4, fresh)], "doc_id long, text string"
+    )
+    filt(b1, 0)
+    filt(b2, 1)
+    out = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert out == {1, 2, 4}
