@@ -170,3 +170,36 @@ def test_substring_stream_rejects_assembled_boilerplate(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     }
     assert out == {1, 2, 4}
+
+
+def test_substring_dedup_prefix_property(spark):
+    """Property (hypothesis): two docs sharing a random prefix P and
+    diverging after it report EXACTLY the full tiles of P as one
+    contiguous span — the operator's aligned-repeat guarantee, on
+    inputs it never saw in a fixture."""
+    import random
+    from unittest import mock
+
+    rng = random.Random(828)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    for trial in range(5):
+        plen = rng.randint(64, 200)
+        prefix = "".join(rng.choice(alpha) for _ in range(plen))
+        tail_a = "".join(rng.choice(alpha.upper()) for _ in range(97))
+        tail_b = "".join(rng.choice("0123456789") for _ in range(53))
+        docs = spark.createDataFrame(
+            [(1, prefix + tail_a), (2, prefix + tail_b)],
+            "doc_id long, text string",
+        )
+        with mock.patch.object(
+            r8, "_docs_with_near_dups", lambda spark, sf_dir: docs
+        ):
+            rows = {
+                r.doc_id: r
+                for r in r8.text_substring_dedup(spark, "-").collect()
+            }
+        full_tiles = plen // r8.TILE
+        for d in (1, 2):
+            assert rows[d].n_spans == 1, (trial, plen, rows[d])
+            assert rows[d].n_dup_tiles == full_tiles, (trial, plen, rows[d])
+            assert rows[d].dup_chars == full_tiles * r8.TILE
