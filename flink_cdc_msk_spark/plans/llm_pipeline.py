@@ -2274,7 +2274,7 @@ def _neardup_ingest_oracle() -> str:
     rounds = ["a0 AS (SELECT CAST(NULL AS BIGINT) AS id WHERE false)"]
     for k in range(1, _ND_SLABS + 1):
         rounds.append(f"""
-    surv{k} AS (
+    surv{k} AS MATERIALIZED (
       SELECT s.id FROM slabs s WHERE s.slab = {k} AND NOT EXISTS (
         SELECT 1 FROM pairs p JOIN a{k - 1} a
           ON (p.id1 = s.id AND p.id2 = a.id)
@@ -2285,7 +2285,8 @@ def _neardup_ingest_oracle() -> str:
         SELECT 1 FROM pairs p JOIN surv{k} y ON p.id1 = y.id
         WHERE p.id2 = x.id)
     ),
-    a{k} AS (SELECT id FROM a{k - 1} UNION ALL SELECT id FROM adm{k})""")
+    a{k} AS MATERIALIZED (
+      SELECT id FROM a{k - 1} UNION ALL SELECT id FROM adm{k})""")
     return f"""
     WITH {_JACCARD_CTES},
     slabs AS (

@@ -568,14 +568,14 @@ def _substring_ingest_oracle() -> str:
     rounds = ["a0 AS (SELECT CAST(NULL AS BIGINT) AS id WHERE false)"]
     for k in range(1, _SS_SLABS + 1):
         rounds.append(f"""
-    sm{k} AS (
+    sm{k} AS MATERIALIZED (
       SELECT t.id, CAST(count(*) AS BIGINT) AS m
       FROM tiles t JOIN slabs s ON s.id = t.id AND s.slab = {k}
       WHERE EXISTS (SELECT 1 FROM tiles st JOIN a{k - 1} a ON st.id = a.id
                     WHERE st.tile = t.tile)
       GROUP BY t.id
     ),
-    surv{k} AS (
+    surv{k} AS MATERIALIZED (
       SELECT s.id FROM slabs s
       JOIN tc ON tc.id = s.id
       LEFT JOIN sm{k} f ON f.id = s.id
@@ -595,7 +595,8 @@ def _substring_ingest_oracle() -> str:
       LEFT JOIN im{k} f ON f.id = sv.id
       WHERE round(coalesce(f.m, 0) * 1.0 / tc.nt, 6) < {_SS_TAU}
     ),
-    a{k} AS (SELECT id FROM a{k - 1} UNION ALL SELECT id FROM adm{k})""")
+    a{k} AS MATERIALIZED (
+      SELECT id FROM a{k - 1} UNION ALL SELECT id FROM adm{k})""")
     return f"""
     WITH corpus AS (
       {DOCS_WITH_NEAR_DUPS_SQL}
