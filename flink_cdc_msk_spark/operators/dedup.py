@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import shingles_from_tokens, tokens
 
@@ -75,19 +76,35 @@ def _unit_sets(
 # sources.tables).
 _UNITS_MEMO: dict[tuple, DataFrame] = {}
 
+# Memo for the DF-ORDERED unit arrays (r8's sfx10 explosion fix): the
+# df-ascending re-ordering costs a token-stream aggregation + merge join +
+# re-collect, and it depends only on the (corpus, ngram, hashed) unit sets
+# — NOT on the threshold — so it can price once per session exactly like
+# the plain unit sets above. Without this memo every cold jaccard action
+# re-ran the ordering (~0.9 s at sf0.1, the sole cause of the r8 one-shot
+# bench regression).
+_ORDERED_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _units_memo_key(
+    df: DataFrame, text_col: str, id_col: str, ngram: int, hashed: bool
+) -> tuple:
+    return (
+        df.sparkSession.sparkContext.applicationId,
+        df._jdf.queryExecution().analyzed().semanticHash(),
+        text_col, id_col, ngram, hashed,
+    )
+
 
 def _unit_sets_persisted(
     df: DataFrame, text_col: str, id_col: str, ngram: int, hashed: bool
 ) -> DataFrame:
     from ..sources.tables import evict_stale_entries
 
-    app_id = df.sparkSession.sparkContext.applicationId
-    evict_stale_entries(_UNITS_MEMO, app_id)
-    key = (
-        app_id,
-        df._jdf.queryExecution().analyzed().semanticHash(),
-        text_col, id_col, ngram, hashed,
+    evict_stale_entries(
+        _UNITS_MEMO, df.sparkSession.sparkContext.applicationId
     )
+    key = _units_memo_key(df, text_col, id_col, ngram, hashed)
     cached = _UNITS_MEMO.get(key)
     if cached is None:
         cached = _spread_and_persist(
@@ -96,6 +113,80 @@ def _unit_sets_persisted(
         )
         _UNITS_MEMO[key] = cached
     return cached
+
+
+def _ordered_units_persisted(
+    df: DataFrame, text_col: str, id_col: str, ngram: int, hashed: bool
+) -> tuple[DataFrame, DataFrame]:
+    """(units, df_ordered) pair for jaccard_pairs, ONE materialization.
+
+    The df-ascending ordering (see jaccard_pairs) is threshold-
+    independent, so it memoizes under the same (corpus, ngram) session
+    key as the unit sets. Three paths, cheapest that applies:
+
+    - ordered memo warm → zero cost;
+    - plain-units memo warm (a minhash/simhash call got there first) →
+      build the ordering from the cached arrays (one token re-explode);
+    - both cold → build the ordering FUSED from the corpus (tokenize →
+      explode → dfreq → merge join → collect), persist ONLY the ordered
+      relation, and back-fill the plain memo with a map-side
+      ``transform(ord, x -> x.t)`` view of the same cache — every array
+      consumer (minhash signatures, simhash, array_intersect verify) is
+      element-order-invariant, so the view is a drop-in. One persist
+      pass instead of two (measured 1.26 s vs 2.04 s at sf0.1); empty
+      docs drop out of the grouped relation, which is also a no-op for
+      consumers (a doc with zero units can never reach any similarity
+      threshold).
+    """
+    from ..sources.tables import evict_stale_entries
+
+    app_id = df.sparkSession.sparkContext.applicationId
+    evict_stale_entries(_ORDERED_MEMO, app_id)
+    evict_stale_entries(_UNITS_MEMO, app_id)
+    key = _units_memo_key(df, text_col, id_col, ngram, hashed)
+
+    def toks_view(ordered: DataFrame) -> DataFrame:
+        return ordered.select(
+            "id", F.transform("ord", lambda x: x["t"]).alias("toks")
+        )
+
+    us = _ORDERED_MEMO.get(key)
+    if us is not None:
+        return _UNITS_MEMO.get(key) or toks_view(us), us
+
+    units = _UNITS_MEMO.get(key)
+    if units is not None:
+        tok = units.select("id", F.explode("toks").alias("t"))
+    else:
+        tok = (
+            _unit_sets(df, text_col, id_col, ngram, hashed)
+            .select("id", F.explode_outer("toks").alias("t"))
+            .filter(F.col("t").isNotNull())
+        )
+    # df via WINDOW count over partitionBy(t), not a groupBy+join: the
+    # join shape tokenizes the corpus TWICE (column pruning makes the
+    # dfreq side's scan differ from the probe side's, defeating
+    # ReuseExchange — verified on the executed plan), i.e. two full
+    # corpus scans at 100 TB. The window needs ONE tokenize pass and ONE
+    # exchange on t; WindowExec buffers each t-group in a spillable
+    # ExternalAppendOnlyUnsafeRowArray, so a stopword-shingle group with
+    # a billion rows degrades to disk, never OOM (unlike a
+    # collect_list-per-token shape, whose hot row is unbounded memory).
+    w = Window.partitionBy("t")
+    ordered = (
+        tok.select("id", "t", F.count(F.lit(1)).over(w).alias("df"))
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "t"))).alias("ord"))
+    )
+    us = _spread_and_persist(
+        ordered.select("id", "ord", F.size("ord").cast("long").alias("sz")),
+        df.sparkSession,
+    )
+    _ORDERED_MEMO[key] = us
+    if units is None:
+        units = toks_view(us)
+        _UNITS_MEMO[key] = units
+    return units, us
 
 
 # ~docs per task for map-side work over the memoized unit sets: small
@@ -244,7 +335,6 @@ def jaccard_pairs(
     # sort_array (needed only for the prefix index) is a cheap derived
     # projection; the verify joins use the unsorted arrays —
     # array_intersect doesn't care.
-    units = _unit_sets_persisted(df, text_col, id_col, ngram, hashed)
     # GLOBAL ORDER = (document frequency ASC, unit hash ASC) — the
     # AllPairs/PPJoin papers' canonical ordering (Bayardo et al. WWW'07
     # §3.1, "order by increasing frequency"), NOT plain hash order.
@@ -257,25 +347,10 @@ def jaccard_pairs(
     # candidate rows, and the run died spilling the distinct to disk
     # exhaustion. df-ascending puts each doc's RAREST units in its
     # prefix, bounding every prefix posting list by the near-dup group
-    # size. Cost: one df aggregation + one join + one re-collect, all
-    # linear in corpus tokens. The df join is MERGE-pinned: dfreq is
-    # vocab-sized, and for shingles the vocabulary is CORPUS-scale at
-    # 100 TB — Catalyst's post-aggregation stats estimate can land it
-    # under the broadcast threshold regardless (the same trap as the
-    # verify joins, pinned by test_dedup_verify_joins_never_broadcast_
-    # corpus); both join sides hash-partition on t (dfreq IS a groupBy
-    # over tok's exchange), so the shuffle is shared, never extra.
-    tok = units.select("id", F.explode("toks").alias("t"))
-    dfreq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
-    ordered = (
-        tok.hint("merge")
-        .join(dfreq, "t")
-        .groupBy("id")
-        .agg(F.sort_array(F.collect_list(F.struct("df", "t"))).alias("ord"))
-    )
-    us = ordered.select(
-        "id", "ord", F.size("ord").cast("long").alias("sz")
-    )
+    # size. The ordering costs one window-df pass + one re-collect, both
+    # linear in corpus tokens — memoized (r9) in _ORDERED_MEMO so it
+    # prices once per (corpus, ngram) session key, not per cold action.
+    units, us = _ordered_units_persisted(df, text_col, id_col, ngram, hashed)
     plen = (
         F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + F.lit(1)
     ).cast("int")
