@@ -445,6 +445,12 @@ def semantic_dedup(
     # on every later use (the round-8 bpe_doc_units finding). The
     # checkpoint materializes the rows and truncates lineage; its
     # blocks release with the RDD when the handle is dropped.
+    # Tradeoff: localCheckpoint is NON-RELIABLE storage — lose an
+    # executor holding its blocks (dynamic allocation, preemption) and
+    # every later use of kept fails unrecoverably, because the
+    # truncated lineage cannot recompute. Fine for the single-JVM
+    # bench target; a cluster deployment should set a reliable
+    # checkpoint dir and use checkpoint() here when one is configured.
     kept = (
         members.join(pairs, "id", "left_anti")
         .select("id", "cl")

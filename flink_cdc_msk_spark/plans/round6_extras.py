@@ -295,12 +295,17 @@ def bpe_doc_units(spark, sf_dir):
     """→ memoized (doc_id, n_bpe_units, n_chars) under the merge table
     trained on this corpus — the shared Spark half of ``bpe_units_cte``.
 
-    Cache hygiene (round-6 advice + verdict item 5): every intermediate
-    is eagerly materialized and released — the spread toks relation and
-    each merge round's vocab are unpersisted as soon as the next stage
-    holds their content (round r's plan embeds round r−1 TWICE, pair
-    branch + rewrite branch, so each round is counted before the prior
-    cache drops — the CC-iteration pattern with a bounded tail).  The
+    Cache hygiene (round-6 advice + verdict item 5, reworked round 8):
+    each merge round's unit relation is localCheckpoint-ed — the rows
+    materialize and the LINEAGE truncates, so round r's plan no longer
+    embeds round r−1 twice (pair branch + rewrite branch), and dropping
+    the previous round's Python handle releases its blocks to the GC.
+    persist/unpersist was abandoned here because unpersisting a PARENT
+    recompiles dependent cache entries back to lazy (the round-8 memo-
+    invalidation finding). localCheckpoint is non-reliable storage: an
+    executor loss makes later uses fail unrecoverably (acceptable for
+    the local bench target; at cluster scale gate on a reliable
+    checkpoint dir — same tradeoff as operators/clustering.py). The
     only cache that survives is this memo's per-doc relation, evicted
     with the SparkContext like every other (app, corpus) memo."""
     from ..operators.dedup import _spread_and_persist

@@ -117,9 +117,13 @@ def text_substring_dedup(spark, sf_dir):
     and one shuffle on doc_id for the island window. No step holds more
     than one tile's postings or one doc's tiles in a task."""
     corpus = _docs_with_near_dups(spark, sf_dir)
+    # length > 0 guard: for an empty doc the tile upper bound is -1 and
+    # Spark's sequence(0, -1) DESCENDS ([0, -1] — two phantom empty
+    # tiles), while the oracle's generate_series(0, -1) is zero rows;
+    # the filter keeps both sides at zero rows for empty docs
     t = corpus.select(
         "doc_id", "text", F.length("text").alias("n_chars")
-    )
+    ).filter(F.col("n_chars") > 0)
     tiles = t.select(
         "doc_id",
         "n_chars",
@@ -670,10 +674,15 @@ def streaming_substring_dedup_ingest(spark, sf_dir):
         f"{d}/store", f"{d}/out", tau=_SS_TAU
     )
     q = start_near_dup_stream(stream, filt, f"{d}/ckpt", available_now=True)
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "substring-dedup ingest stream did not drain in 300s — a "
+            "partial admitted set would silently corrupt the oracle replay"
+        )
     n_batches = len(_glob.glob(f"{d}/store/batch_id=*"))
-    if n_batches < 2:
+    if n_batches != _SS_SLABS:
         raise ValueError(
-            f"expected incremental ingest, got {n_batches} batches"
+            f"expected {_SS_SLABS} incremental batches, got {n_batches}"
         )
     return spark.read.parquet(f"{d}/out").select("doc_id")

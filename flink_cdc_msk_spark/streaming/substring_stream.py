@@ -50,9 +50,16 @@ TILE = 32  # must match plans/round8_extras.py text_substring_dedup
 def _tile_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, tile_no, tile) — one row per aligned TILE-char window,
     the last tile possibly short (same construction, and therefore the
-    same matching unit, as text_substring_dedup)."""
+    same matching unit, as text_substring_dedup).
+
+    Empty docs are dropped BEFORE tiling: for length 0 the upper bound
+    floor((n-1)/TILE) is -1 and Spark's sequence(0, -1) DESCENDS,
+    fabricating two phantom empty-string tile rows per empty doc — the
+    DuckDB oracle's generate_series(0, -1) yields zero rows, so the
+    filter is what keeps the replay bit-identical (and stops empty docs
+    spuriously matching each other's phantom tiles)."""
     n = F.length(text_col)
-    return docs.select(
+    return docs.filter(n > 0).select(
         F.col(id_col).alias("id"),
         F.explode(
             F.sequence(
@@ -94,7 +101,7 @@ class StreamingSubstringDedupFilter:
         self.id_col = id_col
 
     def _frac_reject(
-        self, tiles: DataFrame, counts: DataFrame, matched: DataFrame
+        self, counts: DataFrame, matched: DataFrame
     ) -> DataFrame:
         """ids whose round(matched_tiles / total_tiles, 6) >= tau."""
         m = matched.groupBy("id").agg(F.count(F.lit(1)).alias("m"))
@@ -125,7 +132,7 @@ class StreamingSubstringDedupFilter:
                 F.col("batch_id") != F.lit(batch_id)
             ).select("tile")
             matched = tiles.join(store_tiles, "tile", "semi")
-            rejected = self._frac_reject(tiles, counts, matched)
+            rejected = self._frac_reject(counts, matched)
             survivors = batch.join(
                 rejected,
                 F.col(self.id_col) == rejected["id"],
@@ -143,7 +150,7 @@ class StreamingSubstringDedupFilter:
             & (F.col("l.id") < F.col("x.id")),
             "semi",
         )
-        internal_rejected = self._frac_reject(tiles, counts, lower_matched)
+        internal_rejected = self._frac_reject(counts, lower_matched)
         admitted = survivors.join(
             internal_rejected,
             F.col(self.id_col) == internal_rejected["id"],
