@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..operators.bcast import dim_broadcast
+
 from ..config import TableRouting
 from ..envelope import MYSQL_ENVELOPE_COMPACT_SCHEMA
 from ..operators.route import route_mysql_cdc
@@ -741,7 +743,7 @@ def streaming_cdc_join_view(spark, sf_dir):
             F.try_element_at("payload", F.lit("o_custkey")).cast("bigint"),
         )
         return keyed.join(
-            F.broadcast(cust),
+            dim_broadcast(cust),
             keyed["o_custkey"] == cust["c_custkey"],
             "left",
         ).drop("c_custkey")

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.bcast import dim_broadcast
 from ..sources.tables import load_tables
 from .registry import register
 
@@ -98,8 +99,7 @@ def q3_shipping_priority(spark, sf_dir):
     cu, o, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
     cutoff = F.lit("1998-03-15").cast("timestamp_ntz")
     return (
-        cu.filter(F.col("c_mktsegment") == "BUILDING")
-        .hint("broadcast")
+        dim_broadcast(cu.filter(F.col("c_mktsegment") == "BUILDING"))
         .join(o, F.col("c_custkey") == F.col("o_custkey"))
         .filter(F.col("o_orderdate") < cutoff)
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -156,7 +156,7 @@ def q5_local_supplier_volume(spark, sf_dir):
         )
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(s),
+            dim_broadcast(s),
             (F.col("s_suppkey") == F.col("l_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
@@ -276,7 +276,7 @@ def q18_large_volume_customer(spark, sf_dir):
     )
     return (
         big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cu), F.col("c_custkey") == F.col("o_custkey"))
+        .join(dim_broadcast(cu), F.col("c_custkey") == F.col("o_custkey"))
         .select(
             "c_custkey",
             "c_name",
@@ -345,7 +345,7 @@ def q14_promo_revenue(spark, sf_dir):
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(dim_broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 100.0
@@ -379,7 +379,7 @@ def q19_disjunctive_revenue(spark, sf_dir):
     PushedFilter; the cross-side conjuncts evaluate post-join) — the
     disjunction never blocks the broadcast hash join."""
     li, p = _t(spark, sf_dir, "lineitem", "part")
-    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    j = li.join(dim_broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
     arm = lambda brand, s_lo, s_hi, q_lo, q_hi: (
         (F.col("p_brand") == brand)
         & F.col("p_size").between(s_lo, s_hi)
@@ -415,7 +415,7 @@ def join_inner(spark, sf_dir):
     o, cu = _t(spark, sf_dir, "orders", "customer")
     return (
         o.filter(F.col("o_orderstatus") == "F")
-        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .join(dim_broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", "c_name", "c_mktsegment", "o_totalprice")
     )
 
@@ -1546,7 +1546,7 @@ def q15_top_supplier(spark, sf_dir):
     top = rev.agg(F.max("total_revenue").alias("max_rev"))
     return (
         rev.join(F.broadcast(top), F.col("total_revenue") == F.col("max_rev"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(dim_broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -1582,7 +1582,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
     return (
         li.join(per_part, F.col("l_partkey") == F.col("pk"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(dim_broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand")
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -1635,7 +1635,7 @@ def q21_last_shipper(spark, sf_dir):
     )
     return (
         last.join(
-            F.broadcast(s), F.col("s_suppkey") == F.col("l1.l_suppkey")
+            dim_broadcast(s), F.col("s_suppkey") == F.col("l1.l_suppkey")
         )
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
@@ -1752,7 +1752,7 @@ def q2_min_cost_supplier(spark, sf_dir):
         .agg(F.min("uc").alias("unit_cost"))
     )
     euro_offers = offers.join(
-        F.broadcast(euro), F.col("s_suppkey") == F.col("l_suppkey")
+        dim_broadcast(euro), F.col("s_suppkey") == F.col("l_suppkey")
     )
     per_part_min = euro_offers.groupBy(
         F.col("l_partkey").alias("mpk")
@@ -1764,7 +1764,7 @@ def q2_min_cost_supplier(spark, sf_dir):
             & (F.col("unit_cost") == F.col("min_cost")),
         )
         .join(
-            F.broadcast(
+            dim_broadcast(
                 p.filter((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE"))
             ),
             F.col("p_partkey") == F.col("l_partkey"),
@@ -1829,7 +1829,7 @@ def q7_volume_shipping(spark, sf_dir):
             )
         )
         .join(
-            F.broadcast(
+            dim_broadcast(
                 s.join(n1, F.col("s_nationkey") == F.col("n1_key")).select(
                     "s_suppkey", "supp_nation"
                 )
@@ -1914,10 +1914,10 @@ def q8_market_share(spark, sf_dir):
     ).select("s_suppkey", F.col("n_name").alias("nation"))
     joined = (
         li.join(
-            F.broadcast(p.filter(F.col("p_type") == "ECONOMY")),
+            dim_broadcast(p.filter(F.col("p_type") == "ECONOMY")),
             F.col("p_partkey") == F.col("l_partkey"),
         )
-        .join(F.broadcast(supp_nation), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(dim_broadcast(supp_nation), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(
             o.filter(
                 F.col("o_orderdate").between(
@@ -1980,11 +1980,11 @@ def q9_product_profit(spark, sf_dir):
     )
     joined = (
         li.join(
-            F.broadcast(p.filter(F.col("p_name").like("%bolt%"))),
+            dim_broadcast(p.filter(F.col("p_name").like("%bolt%"))),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .join(
-            F.broadcast(
+            dim_broadcast(
                 s.join(n, F.col("s_nationkey") == F.col("n_nationkey")).select(
                     "s_suppkey", F.col("n_name").alias("nation")
                 )
@@ -2046,7 +2046,7 @@ def q11_important_stock(spark, sf_dir):
     )
     val = (
         li.join(
-            F.broadcast(euro_supp),
+            dim_broadcast(euro_supp),
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_semi",
         )
@@ -2094,7 +2094,7 @@ def q16_supplier_part_count(spark, sf_dir):
     li, p, s = _t(spark, sf_dir, "lineitem", "part", "supplier")
     bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
     keep = li.join(
-        F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        dim_broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
     )
     pf = p.filter(
         (F.col("p_brand") != "Brand#1")
@@ -2102,7 +2102,7 @@ def q16_supplier_part_count(spark, sf_dir):
         & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
     )
     return (
-        keep.join(F.broadcast(pf), F.col("p_partkey") == F.col("l_partkey"))
+        keep.join(dim_broadcast(pf), F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -2145,7 +2145,7 @@ def q20_part_promotion(spark, sf_dir):
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
         )
         .join(
-            F.broadcast(p.filter(F.col("p_name").like("red%"))),
+            dim_broadcast(p.filter(F.col("p_name").like("red%"))),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .groupBy("l_suppkey", "l_partkey")

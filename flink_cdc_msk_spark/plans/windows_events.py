@@ -10,6 +10,7 @@ import pandas as pd  # module scope: pandas-UDF type hints must resolve here
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.bcast import dim_broadcast
 from ..sources.tables import load_tables
 from .registry import register
 
@@ -1112,7 +1113,7 @@ def streaming_static_enrich(spark, sf_dir):
         "ts timestamp, user_id bigint, value double"
     ).parquet(f"{d}/src")
     enriched = stream.withWatermark("ts", "2 hours").join(
-        F.broadcast(cust), F.col("user_id") == F.col("c_custkey")
+        dim_broadcast(cust), F.col("user_id") == F.col("c_custkey")
     )
     agg = (
         enriched.groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
