@@ -586,3 +586,128 @@ def test_debezium_jsonl_source_quarantines_malformed(spark, tmp_path):
     ok = [r for r in rows if r.op == "c"]
     assert all(r.db == "d" and r.table == "t" and r.ts_ms == 5 for r in ok)
     assert df.rdd.getNumPartitions() == 2
+
+
+# ---- JVM re-serialization fast path (A17+A20, VERDICT r8 item 6) ----
+
+PAYLOAD_SCHEMA = None
+
+
+def _payload_schema():
+    global PAYLOAD_SCHEMA
+    if PAYLOAD_SCHEMA is None:
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        PAYLOAD_SCHEMA = StructType(
+            [
+                StructField("pid", LongType()),
+                StructField("col1", StringType()),
+                StructField("col2", StringType()),
+                StructField("n", LongType()),
+            ]
+        )
+    return PAYLOAD_SCHEMA
+
+
+def _event_declared(table, op="c", before=None, after=None):
+    """mysql_event with the payload emitted in DECLARED field order and
+    every declared field present — the certified-envelope contract the
+    JVM path requires for byte parity."""
+
+    def full(d):
+        if d is None:
+            return None
+        return {
+            "pid": d.get("pid"),
+            "col1": d.get("col1"),
+            "col2": d.get("col2"),
+            "n": d.get("n"),
+        }
+
+    return mysql_event(table=table, op=op, before=full(before), after=full(after))
+
+
+def _route_both(spark, lines, **kw):
+    """(pandas rows, jvm rows) for the same input."""
+    pd_rows = route(spark, lines, **kw)
+    jvm_rows = route(spark, lines, payload_schema=_payload_schema(), **kw)
+    return pd_rows, jvm_rows
+
+
+def test_jvm_mode_truncation_golden_parity(spark):
+    """Both modes byte-agree on the full truncation golden set: the >=
+    boundary, delete-side truncation, null preservation, numeric types."""
+    rows = [
+        _event_declared("product_01", after={"pid": 1, "col1": "a" * 9}),
+        _event_declared("product_01", after={"pid": 2, "col1": "b" * 10}),
+        _event_declared("product_01", after={"pid": 3, "col1": "c" * 11}),
+        _event_declared(
+            "product_01", op="d", before={"pid": 4, "col2": "z" * 25}
+        ),
+        _event_declared(
+            "product_01", after={"pid": 5, "col1": "x" * 12, "n": 3}
+        ),
+    ]
+    pd_rows, jvm_rows = _route_both(spark, rows)
+    pd_out = {r.partition_key: r for r in pd_rows}
+    jvm_out = {r.partition_key: r for r in jvm_rows}
+    assert set(pd_out) == set(jvm_out)
+    for k in pd_out:
+        assert pd_out[k].value == jvm_out[k].value, k
+    v = json.loads(jvm_out["test_db.product_01.3"].value)
+    assert v["after"]["col1"] == "c" * 10
+    v = json.loads(jvm_out["test_db.product_01.4"].value)
+    assert v["before"]["col2"] == "z" * 20
+    assert v["after"] is None
+    v = json.loads(jvm_out["test_db.product_01.5"].value)
+    assert v["after"]["n"] == 3
+    assert v["source"]["gtid"] is None
+
+
+def test_jvm_mode_untruncated_tables_canonical(spark):
+    """A matched rule WITHOUT column_max_length: the JVM path re-emits
+    the canonical (compact, nulls-preserved) envelope — byte-identical
+    to the pandas reserialize="always" Gson-parity mode, and to the
+    input itself when the producer already emits compact JSON in the
+    declared order."""
+    line = _event_declared("product", after={"pid": 1, "col1": "x"})
+    compact = json.dumps(json.loads(line), separators=(",", ":"))
+    [r] = route(spark, [line], payload_schema=_payload_schema())
+    assert r.value == compact
+    [r2] = route(spark, [compact], payload_schema=_payload_schema())
+    assert r2.value == compact
+    [rp] = route(spark, [line], reserialize="always")
+    assert rp.value == compact
+    assert r.partition_key == "test_db.product.1"
+
+
+def test_jvm_mode_malformed_line_forwarded_raw(spark):
+    """from_json -> null envelope must forward the original bytes so the
+    A21 quarantine still sees them (pandas-mode behavior)."""
+    bad = "not json at all"
+    [r] = route(spark, [bad], payload_schema=_payload_schema())
+    assert r.value == bad
+    assert r.db is None and r.table is None
+
+
+def test_jvm_mode_plan_has_no_python(spark):
+    """The point of the fast path: no Python worker in the plan."""
+    df = spark.createDataFrame(
+        [(_event_declared("product_01", after={"pid": 1, "col1": "y" * 30}),)],
+        "value string",
+    )
+    out = route_mysql_cdc(
+        df, ROUTING, topic_prefix="cdc_", num_partitions=12,
+        payload_schema=_payload_schema(),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    pd_plan = route_mysql_cdc(
+        df, ROUTING, topic_prefix="cdc_", num_partitions=12
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in pd_plan
