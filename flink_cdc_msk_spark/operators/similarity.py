@@ -292,10 +292,18 @@ def random_hyperplane_buckets(
                 # unrolled literal-weight dot: bit-identical to the
                 # fold over the zipped literal array (same left-deep
                 # order) but whole-stage-codegen instead of interpreted
-                proj = weighted_sum_unrolled(
-                    as_double(vec_col),
-                    portable_plane_weights(seed, t, p, portable_dims),
-                )
+                # — UNLESS the projection count is large (a 10-plane ×
+                # 8-table variant inlines 80 × 64-term chains, blowing
+                # the stage past JIT method limits so everything
+                # interprets at the UNROLLED cost, the worst of both;
+                # measured 313 s vs ~60 s at sfx1). Past the cap, the
+                # fold form keeps each projection one compact embedded
+                # call.
+                weights = portable_plane_weights(seed, t, p, portable_dims)
+                if n_tables * n_planes <= 40:
+                    proj = weighted_sum_unrolled(as_double(vec_col), weights)
+                else:
+                    proj = dot(as_double(vec_col), F.lit(weights))
             else:
                 proj = F.aggregate(
                     F.zip_with(
@@ -323,6 +331,14 @@ def random_hyperplane_buckets(
         # array literal is never empty so outer semantics are identical
         F.col(id_col).alias("id"), F.explode_outer(F.array(*entries)).alias("tb")
     ).select("id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+
+
+# probe-side salt slices for the LSH verify self-join: the hottest
+# bucket's pair enumeration spreads over this many tasks. 32 matches
+# the bench core count; at cluster scale set ~2-4× the executor-core
+# count of one stage wave (pure parallelism knob — results identical
+# for any value ≥ 1).
+_LSH_SALT = 32
 
 
 def lsh_near_dup_pairs(
@@ -378,32 +394,58 @@ def lsh_near_dup_pairs(
         corpus, n_planes, n_tables, id_col, vec_col,
         portable_dims=portable_dims,
     )
+    # Expression forms are PER STAGE, chosen from measurement (sfx1,
+    # 104M in-stream pairs):
+    #   * map-side (per-vector norms, hyperplane projections): UNROLLED
+    #     left-deep chains — whole-stage codegen, ~2 core-µs/row, 7.5×
+    #     the interpreted fold;
+    #   * join-side (the per-pair dot): the sequential FOLD. The join
+    #     stage's generated method (SMJ + condition + downstream) blows
+    #     the JIT method limit with a 128-node chain inlined, and the
+    #     whole stage falls back to INTERPRETED evaluation at ~118 µs/
+    #     pair (measured: 383 s for the projection alone). The HOF fold
+    #     is a single embedded call the surrounding codegen keeps at
+    #     ~13 µs/pair — 9× faster in exactly the context that matters.
+    # Both forms are bit-identical (same left-deep summation order).
+    # The cast to double happens ONCE, map-side, in the vecs projection
+    # (codegen'd): folding over pre-cast double arrays saves two
+    # per-pair transform() allocations that the interpreted fall-back
+    # context charges per reference. The entries relation that carries
+    # the double arrays through the salt exchange is corpus × tables ×
+    # salt rows — linear, never pair-volume.
     if portable_dims is not None:
-        def elem(c: Column, i: int) -> Column:
-            return F.element_at(c, i).cast("double")
-
         def nrm(c: Column) -> Column:
-            acc = F.lit(0.0)
-            for i in range(1, portable_dims + 1):
-                acc = acc + elem(c, i) * elem(c, i)
-            return F.sqrt(acc)
-
-        def dpr(x: Column, y: Column) -> Column:
-            acc = F.lit(0.0)
-            for i in range(1, portable_dims + 1):
-                acc = acc + elem(x, i) * elem(y, i)
-            return acc
-
-        raw = F.col(vec_col)  # keep float payload through the shuffles
+            return norm_unrolled(c, portable_dims)
     else:
-        nrm, dpr = norm, dot
-        raw = as_double(vec_col)
+        nrm = norm
+    raw = as_double(vec_col)
+    # zip_with fold for the per-pair dot: A/B'd at sfx1 against (a) the
+    # unrolled chain (118 µs/pair — the join stage's generated method
+    # exceeds JIT limits and the whole stage interprets) and (b) an
+    # index-sequence fold (cold 469 s / warm 247 s vs this form's
+    # 422/168 s) — the zip_with fold is the fastest evaluable form in
+    # the join context.
+    dpr = dot
     vecs = corpus.select(
         F.col(id_col).alias("id"), raw.alias("v")
     ).withColumn("nv", nrm(F.col("v")))
     entries = buckets.hint("merge").join(vecs, "id")
-    a = entries.alias("a")
-    b = entries.alias("b")
+    # SALTED self-join (output-skew breaker): a dense bucket of n
+    # vectors emits C(n, 2) in-stream pairs from ONE merge group — an
+    # explosion AQE's skew splitting cannot see (it keys off INPUT
+    # partition bytes; a 10⁴-vector bucket is ~3 MB in but 5·10⁷ pairs
+    # out, so the hot task runs alone while 31 cores idle — observed at
+    # sfx1: load ~8/32, 18+ min). Slicing the probe side by id hash
+    # into _LSH_SALT groups and replicating the build side across the
+    # salt spreads every bucket's pair enumeration over _LSH_SALT
+    # tasks; the replicated sort volume (entries × _LSH_SALT rows) is
+    # corpus-scale, cheap next to the pair stream it parallelizes.
+    a = entries.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_LSH_SALT - 1)))
+    ).alias("a")
+    b = entries.withColumn(
+        "salt", F.pmod(F.xxhash64("id"), F.lit(_LSH_SALT)).cast("int")
+    ).alias("b")
     return (
         # MERGE hint: corpus-sized self-join (same rationale as the
         # simhash/minhash band joins — never broadcast, spillable SMJ)
@@ -412,6 +454,7 @@ def lsh_near_dup_pairs(
             b,
             (F.col("a.table") == F.col("b.table"))
             & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(

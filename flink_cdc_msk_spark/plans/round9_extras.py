@@ -186,3 +186,93 @@ def text_substring_dedup_cdc(spark, sf_dir):
             "dup_frac"
         ),
     )
+
+
+def _lsh_oracle_sql(n_tables: int, n_planes: int, threshold: float) -> str:
+    """Parameterized DuckDB oracle for the portable random-hyperplane
+    LSH pipeline — the same first-principles re-derivation as the
+    ``embedding_near_dup_lsh`` oracle (md5-parity weights → sign
+    buckets → bucket join → fold cosine), with the table/plane counts
+    as parameters so density-scaled variants share one template."""
+    return f"""
+    WITH w AS (
+      SELECT tt.t, pp.p,
+             list(CASE WHEN CAST(concat('0x',
+                    substr(md5('42_' || tt.t || '_' || pp.p || '_' || d.i),
+                           1, 8)) AS BIGINT) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END ORDER BY d.i) AS wv
+      FROM (SELECT unnest(generate_series(0, {n_tables - 1})) AS t) tt,
+           (SELECT unnest(generate_series(0, {n_planes - 1})) AS p) pp,
+           (SELECT unnest(generate_series(0, 63)) AS i) d
+      GROUP BY tt.t, pp.p
+    ),
+    vecs AS (
+      SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    proj AS (
+      SELECT id, w.t, w.p,
+             list_reduce(list_transform(generate_series(1, 64),
+                                        i -> v[i] * wv[i]),
+                         (a, b) -> a + b) AS pr
+      FROM vecs, w
+    ),
+    buckets AS (
+      SELECT id, t,
+             sum(CASE WHEN pr > 0 THEN 1 << p ELSE 0 END) AS bucket
+      FROM proj GROUP BY id, t
+    ),
+    cands AS (
+      SELECT DISTINCT a.id AS id1, b.id AS id2
+      FROM buckets a
+      JOIN buckets b
+        ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    scored AS (
+      SELECT id1, id2,
+             round(
+               list_reduce(list_transform(generate_series(1, 64),
+                                          i -> x.v[i] * y.v[i]),
+                           (a, b) -> a + b)
+               / (sqrt(list_reduce(list_transform(generate_series(1, 64),
+                                                  i -> x.v[i] * x.v[i]),
+                                   (a, b) -> a + b))
+                  * sqrt(list_reduce(list_transform(generate_series(1, 64),
+                                                    i -> y.v[i] * y.v[i]),
+                                     (a, b) -> a + b))), 6) AS cos
+      FROM cands JOIN vecs x ON x.id = id1 JOIN vecs y ON y.id = id2
+    )
+    SELECT id1, id2, cos FROM scored WHERE cos >= {threshold}
+    """
+
+
+@register(
+    "embedding_near_dup_lsh_scaled",
+    oracle=_lsh_oracle_sql(n_tables=8, n_planes=10, threshold=0.3),
+)
+def embedding_near_dup_lsh_scaled(spark, sf_dir):
+    """Density-scaled LSH near-dup pairs: 8 tables × 10 planes (1024
+    buckets/table vs the base query's 16). PERF §24's prescription made
+    concrete: bucket occupancy — hence in-bucket candidate volume — is
+    the operator's scale knob, and it must grow with corpus density
+    because C(occupancy, 2) work is quadratic. The base 4-plane query
+    at sfx10 (200k clustered vectors) would evaluate ~10 BILLION
+    in-bucket pairs (16 buckets/table × ~12.5k occupancy); at 10 planes
+    the same corpus bucketizes to sfx1-like occupancy and the decade
+    point completes. Same portable md5-parity pipeline, full DuckDB
+    oracle; the recall tradeoff is the LSH contract (collision prob per
+    table (1−θ/π)^planes, OR-amplified over 8 tables — near-dups at
+    cos ≥ 0.9 still collide with P > 0.99)."""
+    from ..operators import similarity as S
+
+    return S.lsh_near_dup_pairs(
+        _emb_r9(spark, sf_dir), threshold=0.3, n_planes=10, n_tables=8,
+        portable_dims=64,
+    )
+
+
+def _emb_r9(spark, sf_dir):
+    from ..sources.tables import load_tables
+
+    return load_tables(spark, sf_dir)["embeddings"]
