@@ -157,27 +157,49 @@ def _ordered_units_persisted(
     units = _UNITS_MEMO.get(key)
     if units is not None:
         tok = units.select("id", F.explode("toks").alias("t"))
+        # warm units: dfreq from the cache (map-side partial agg) +
+        # merge join — no second tokenize, no instance-volume window
+        dfreq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+        ordered = (
+            tok.hint("merge")
+            .join(dfreq, "t")
+            .groupBy("id")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("df", "t"))).alias(
+                    "ord"
+                )
+            )
+        )
     else:
         tok = (
             _unit_sets(df, text_col, id_col, ngram, hashed)
             .select("id", F.explode_outer("toks").alias("t"))
             .filter(F.col("t").isNotNull())
         )
-    # df via WINDOW count over partitionBy(t), not a groupBy+join: the
-    # join shape tokenizes the corpus TWICE (column pruning makes the
-    # dfreq side's scan differ from the probe side's, defeating
-    # ReuseExchange — verified on the executed plan), i.e. two full
-    # corpus scans at 100 TB. The window needs ONE tokenize pass and ONE
-    # exchange on t; WindowExec buffers each t-group in a spillable
-    # ExternalAppendOnlyUnsafeRowArray, so a stopword-shingle group with
-    # a billion rows degrades to disk, never OOM (unlike a
-    # collect_list-per-token shape, whose hot row is unbounded memory).
-    w = Window.partitionBy("t")
-    ordered = (
-        tok.select("id", "t", F.count(F.lit(1)).over(w).alias("df"))
-        .groupBy("id")
-        .agg(F.sort_array(F.collect_list(F.struct("df", "t"))).alias("ord"))
-    )
+        # df via WINDOW count over partitionBy(t): ONE tokenize pass,
+        # ONE exchange (a groupBy+join shape tokenizes the corpus twice
+        # — column pruning defeats ReuseExchange between the probe and
+        # dfreq scans, verified on the executed plan). Cost model,
+        # measured A/B/C at sfx10 (PERF §29): the window ships every
+        # token INSTANCE (29.5 s) where a partial-agged dfreq +
+        # tok-cache shape ships once and aggregates map-side (17.9 s) —
+        # but the cache shape costs +0.7 s on every sf0.1 cold action,
+        # and the materialization is <5% of the operator at sfx10, so
+        # the single-pass window wins the deployment range this repo
+        # benches. Past ~10⁹-token corpora flip to the tok-cache shape
+        # (the comment in the warm branch is that shape). WindowExec
+        # buffers each t-group in a spillable array — a stopword-
+        # shingle group degrades to disk, never OOM.
+        w = Window.partitionBy("t")
+        ordered = (
+            tok.select("id", "t", F.count(F.lit(1)).over(w).alias("df"))
+            .groupBy("id")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("df", "t"))).alias(
+                    "ord"
+                )
+            )
+        )
     us = _spread_and_persist(
         ordered.select("id", "ord", F.size("ord").cast("long").alias("sz")),
         df.sparkSession,
