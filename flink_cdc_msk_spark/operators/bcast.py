@@ -24,8 +24,56 @@ with its growth bound; tests/test_broadcast_census.py pins the set.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_UNIT = {
+    "": 1,
+    "b": 1,
+    "k": 1 << 10,
+    "kb": 1 << 10,
+    "m": 1 << 20,
+    "mb": 1 << 20,
+    "g": 1 << 30,
+    "gb": 1 << 30,
+    "t": 1 << 40,
+    "tb": 1 << 40,
+}
+
+
+def _parse_bytes(v: str) -> int:
+    """Parse Spark's byte-size conf renderings ('10485760', '10485760b',
+    '10MB', '512m', '-1'). Raises ValueError on anything else."""
+    m = re.fullmatch(r"\s*(-?\d+)\s*([a-zA-Z]*)\s*", v)
+    if not m:
+        raise ValueError(v)
+    return int(m.group(1)) * _UNIT[m.group(2).lower()]
+
+
+def broadcast_threshold(df: DataFrame) -> int:
+    """The session's resolved autoBroadcastJoinThreshold in bytes.
+
+    Prefers the JVM session state's already-resolved numeric value;
+    falls back to parsing the conf string WITH byte-unit suffixes
+    (ADVICE r9: a bare int() threw on '10mb'/'10485760b', silently
+    pinning a user-raised threshold back to 10 MiB), then to the Spark
+    default (10 MiB) only if both are unavailable."""
+    try:
+        return int(
+            df.sparkSession._jsparkSession.sessionState()
+            .conf()
+            .autoBroadcastJoinThreshold()
+        )
+    except Exception:
+        pass
+    try:
+        return _parse_bytes(
+            df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        )
+    except Exception:
+        return 10 * 1024 * 1024
 
 
 def dim_broadcast(df: DataFrame) -> DataFrame:
@@ -33,12 +81,7 @@ def dim_broadcast(df: DataFrame) -> DataFrame:
     the session's autoBroadcastJoinThreshold. For dimensions that grow
     with the scale factor; constant/metadata relations should keep a
     plain ``F.broadcast``."""
-    try:
-        limit = int(
-            df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        )
-    except Exception:
-        limit = 10 * 1024 * 1024
+    limit = broadcast_threshold(df)
     if limit <= 0:
         # broadcasts disabled session-wide — never hint against that
         return df

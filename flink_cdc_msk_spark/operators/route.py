@@ -123,11 +123,18 @@ def _jvm_reserialize(
     topic by the golden tests): the producer emits payload fields in
     the declared order (``to_json`` renders struct fields in schema
     order), and nulls are preserved (``ignoreNullFields=false`` ==
-    Gson ``serializeNulls``, scala:38). Two deliberate deltas from the
-    pandas mode, both TOWARD Gson: non-ASCII is emitted raw UTF-8
-    (Python ``json.dumps`` escapes it), and a payload column absent
-    from the declared schema cannot be truncated (the pandas mode is
-    the fallback for schema-drifting topics)."""
+    Gson ``serializeNulls``, scala:38). One deliberate delta from the
+    pandas mode, toward Gson: non-ASCII is emitted raw UTF-8 (Python
+    ``json.dumps`` escapes it).
+
+    SCHEMA-DRIFT WARNING (ADVICE r9): the from_json → to_json
+    round-trip DROPS every payload/envelope field absent from the
+    declared schema — on a drifted topic this path loses those columns
+    on EVERY row, not merely "cannot truncate" them (the pandas mode
+    forwards the full parsed JSON and is the correct mode for drifting
+    topics). Run :func:`payload_schema_drift` against a sample of the
+    topic before declaring a schema, and re-run it on schema-change
+    events; the golden tests pin the drop behavior."""
     # env is an ATTRIBUTE (bound by route_mysql_cdc via withColumn), not
     # the from_json expression itself: the coalesce(when(...)) chain
     # references the envelope many times, and inlining the parse there
@@ -187,6 +194,42 @@ def _jvm_reserialize(
     ).otherwise(F.to_json(routed_env, {"ignoreNullFields": "false"}))
 
 
+def payload_schema_drift(
+    df: DataFrame, payload_schema, value_col: str = "value"
+) -> DataFrame:
+    """Drift guard for the JVM fast path (ADVICE r9): returns
+    ``(undeclared_column, n_rows)`` for every payload field that appears
+    in the topic's before/after images but is ABSENT from
+    ``payload_schema`` — exactly the fields :func:`_jvm_reserialize`
+    would silently drop. Empty result == the declared schema covers the
+    topic and the fast path is loss-free.
+
+    Run it on a bounded sample (``df.limit(n)``) as a pre-flight, or on
+    a whole batch as a loud gate (``assert drift.isEmpty()``). Payload
+    values are parsed as MAP<STRING,STRING>, so only top-level field
+    NAMES are inspected — sufficient for MySQL row images, which are
+    flat."""
+    declared = sorted(f.name for f in payload_schema.fields)
+    keys = F.from_json(
+        F.col(value_col),
+        "STRUCT<before: MAP<STRING,STRING>, after: MAP<STRING,STRING>>",
+    )
+    observed = F.array_distinct(
+        F.concat(
+            F.coalesce(F.map_keys(keys["before"]), F.array()),
+            F.coalesce(F.map_keys(keys["after"]), F.array()),
+        )
+    )
+    undeclared = F.array_except(
+        observed, F.array(*[F.lit(c) for c in declared])
+    )
+    return (
+        df.select(F.explode(undeclared).alias("undeclared_column"))
+        .groupBy("undeclared_column")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
 def route_mysql_cdc(
     df: DataFrame,
     routing: TableRouting,
@@ -209,6 +252,13 @@ def route_mysql_cdc(
     order) selects the JVM re-serialization fast path — see
     :func:`_jvm_reserialize`; without it, truncation runs in the
     byte-parity Arrow pandas UDF.
+
+    CAUTION: the fast path re-emits only DECLARED fields — a stale
+    ``payload_schema`` on a drifted topic silently sheds the new
+    columns from every re-serialized row (ADVICE r9). Validate with
+    :func:`payload_schema_drift` before declaring, and leave
+    ``payload_schema=None`` (pandas byte-parity mode, which forwards
+    the full parsed JSON) for topics that drift.
     """
     if rebalance:
         # A12: `source.rebalance` (scala:95) — round-robin skew breaker.

@@ -366,10 +366,15 @@ def lsh_near_dup_pairs(
     93% of the operator's 500+ s):
 
     * ship each vector INTO its buckets once — one (table, bucket)
-      shuffle of corpus × n_tables rows, the RAW float arrays (half the
-      bytes of double; each element is cast to double at the multiply,
-      which is exact, so results are bit-identical to the all-double
-      oracle);
+      shuffle of corpus × n_tables rows. The float→double cast happens
+      ONCE, map-side, so the entries relation carries DOUBLE arrays
+      through the merge join and the salt replication (ADVICE r9: an
+      earlier draft of this note claimed a float-width shuffle saving
+      that the shipped plan does not have — the cast is exact and
+      map-side-once is the cheaper compute shape; deferring it past the
+      salt exchange would halve those bytes at the cost of a per-pair
+      transform allocation in the interpreted join context, the exact
+      regression the fold-form A/B below measured at 9×);
     * per-vector norms computed ONCE here (not per pair — the r8 form
       re-derived both norms for every candidate);
     * self-join on (table, bucket): SMJ sorts only the bucket entry

@@ -136,3 +136,35 @@ def test_growing_dims_use_threshold_gate(spark):
         ).logical().toString()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_broadcast_threshold_unit_suffixes(spark):
+    """ADVICE r9 (low): a user-raised threshold expressed with a byte
+    unit ('20mb') must be honored, not silently replaced by the 10 MiB
+    fallback."""
+    from flink_cdc_msk_spark.operators.bcast import (
+        _parse_bytes,
+        broadcast_threshold,
+        dim_broadcast,
+    )
+    from flink_cdc_msk_spark.sources.tables import load_tables
+
+    assert _parse_bytes("10485760") == 10 * 1024 * 1024
+    assert _parse_bytes("10485760b") == 10 * 1024 * 1024
+    assert _parse_bytes("10MB") == 10 * 1024 * 1024
+    assert _parse_bytes("512m") == 512 * 1024 * 1024
+    assert _parse_bytes("2g") == 2 * 1024 ** 3
+    assert _parse_bytes("-1") == -1
+
+    sup = load_tables(spark, os.environ.get(
+        "SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01"
+    ))["supplier"]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "512mb")
+        assert broadcast_threshold(sup) == 512 * 1024 * 1024
+        # under a raised unit-suffixed bar the hint IS applied
+        plan = dim_broadcast(sup)._jdf.queryExecution().logical().toString()
+        assert "Hint" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -711,3 +711,34 @@ def test_jvm_mode_plan_has_no_python(spark):
         df, ROUTING, topic_prefix="cdc_", num_partitions=12
     )._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in pd_plan
+
+
+def test_payload_schema_drift_guard(spark):
+    """ADVICE r9: the JVM fast path DROPS undeclared payload fields.
+    payload_schema_drift must surface exactly those fields (the loud
+    pre-flight), and this test pins the drop itself: the pandas mode
+    forwards the drifted column, the JVM mode sheds it."""
+    from flink_cdc_msk_spark.operators.route import payload_schema_drift
+
+    drifted = mysql_event(
+        table="product_01",
+        after={"pid": 1, "col1": "a" * 11, "new_col": "surprise"},
+    )
+    clean = _event_declared("product_01", after={"pid": 2, "col1": "b"})
+    df = spark.createDataFrame([(drifted,), (clean,)], "value string")
+
+    drift = payload_schema_drift(df, _payload_schema()).collect()
+    assert [(r.undeclared_column, r.n_rows) for r in drift] == [
+        ("new_col", 1)
+    ]
+    clean_df = spark.createDataFrame([(clean,)], "value string")
+    assert payload_schema_drift(clean_df, _payload_schema()).count() == 0
+
+    # the drop this guard exists to catch:
+    [pd_r] = route(spark, [drifted])
+    [jvm_r] = route(spark, [drifted], payload_schema=_payload_schema())
+    assert json.loads(pd_r.value)["after"]["new_col"] == "surprise"
+    assert "new_col" not in json.loads(jvm_r.value)["after"]
+    # both modes still truncate the declared column
+    assert json.loads(pd_r.value)["after"]["col1"] == "a" * 10
+    assert json.loads(jvm_r.value)["after"]["col1"] == "a" * 10

@@ -92,3 +92,99 @@ def test_double_compaction_idempotent(spark, tmp_path):
     s2 = compact_store(spark, f"{root}/store", upto=3)
     assert spark.read.parquet(f"{root}/store").count() == total
     assert s1["rows"] >= s2["rows"]
+
+
+def _crash_state(spark, tmp_path, stage):
+    """Build a live store, then reproduce compact_store's on-disk state
+    as of a crash at `stage` ('pre_manifest' | 'mid_swap' |
+    'pre_rename_in' | 'post_promote')."""
+    import json as _json
+    import shutil
+
+    root = str(tmp_path / f"crash_{stage}")
+    _feed(
+        spark,
+        root,
+        [[(i, f"crash corpus doc {i} {'q' * (i % 5)} " * 8)] for i in range(5)],
+    )
+    store = f"{root}/store"
+    upto = 4
+    dirs = sorted(
+        d
+        for d in os.listdir(store)
+        if d.startswith("batch_id=") and int(d.split("=")[1]) < upto
+    )
+    state = spark.read.option("basePath", store).parquet(store)
+    old = state.filter(F.col("batch_id") < upto).drop("batch_id")
+    tmp = f"{store}.compact_tmp"
+    old.repartition(1).write.mode("overwrite").parquet(tmp)
+    if stage == "pre_manifest":
+        return root, store
+    with open(f"{store}/.compact_manifest.json", "w") as fh:
+        _json.dump({"upto": upto, "folded": dirs}, fh)
+    if stage == "pre_rename_in":
+        return root, store
+    os.rename(tmp, f"{store}/batch_id=-2")
+    if stage == "mid_swap":
+        # crash after deleting SOME of the superseded dirs
+        shutil.rmtree(os.path.join(store, dirs[0]))
+        shutil.rmtree(os.path.join(store, dirs[1]))
+        return root, store
+    for d in dirs:
+        shutil.rmtree(os.path.join(store, d))
+    os.rename(f"{store}/batch_id=-2", f"{store}/batch_id=-1")
+    # crash before manifest removal
+    return root, store
+
+
+def _store_keys(spark, store):
+    df = spark.read.option("basePath", store).parquet(store)
+    key_cols = [c for c in df.columns if c != "batch_id"]
+    return sorted(
+        tuple(r[c] for c in key_cols)
+        for r in df.select(*key_cols).distinct().collect()
+    )
+
+
+def test_recover_store_every_crash_point(spark, tmp_path):
+    """ADVICE r9 (medium): a crash anywhere inside the swap must never
+    lose admitted state. For each crash point, recovery restores a
+    store whose DISTINCT row set equals the uncompacted original's."""
+    from flink_cdc_msk_spark.streaming.store_maint import recover_store
+
+    # ground truth: same feed, never compacted
+    ref_root = str(tmp_path / "ref")
+    _feed(
+        spark,
+        ref_root,
+        [[(i, f"crash corpus doc {i} {'q' * (i % 5)} " * 8)] for i in range(5)],
+    )
+    truth = _store_keys(spark, f"{ref_root}/store")
+
+    expected = {
+        "pre_manifest": "rolled_back",
+        "pre_rename_in": "rolled_back",
+        "mid_swap": "completed",
+        "post_promote": "completed",
+    }
+    for stage, want in expected.items():
+        root, store = _crash_state(spark, tmp_path, stage)
+        assert recover_store(store) == want, stage
+        assert not os.path.exists(f"{store}.compact_tmp"), stage
+        assert not os.path.exists(f"{store}/.compact_manifest.json"), stage
+        assert not os.path.isdir(f"{store}/batch_id=-2"), stage
+        assert _store_keys(spark, store) == truth, stage
+        # a fresh compaction over the recovered store succeeds
+        compact_store(spark, store, upto=5)
+        assert _store_keys(spark, store) == truth, stage
+        assert recover_store(store) == "clean", stage
+
+
+def test_compact_entry_recovers_interrupted_swap(spark, tmp_path):
+    """compact_store itself must self-heal: calling it on a mid-swap
+    crashed store completes the old swap first, then compacts."""
+    root, store = _crash_state(spark, tmp_path, "mid_swap")
+    stats = compact_store(spark, store, upto=5)
+    assert stats["after_dirs"] <= 2
+    assert os.path.isdir(f"{store}/batch_id={COMPACTED_ID}")
+    assert not os.path.exists(f"{store}/.compact_manifest.json")
