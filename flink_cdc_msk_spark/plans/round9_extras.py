@@ -37,27 +37,48 @@ CDC_W = 8  # anchor window (chars): hash of the W chars ending at i
 CDC_M = 32  # anchor modulus: expected chunk length = M chars
 
 
-def _cdc_chunks(corpus, text_col="text", id_col="doc_id"):
+def _cdc_chunks(corpus, text_col="text", id_col="doc_id", boundary="md5"):
     """(doc_id, n_chars, chunk_no, chunk) — content-defined chunks, all
-    map-side (no shuffle): anchors via a higher-order filter over the
+    map-side (no shuffle): anchors via a boundary function over the
     position sequence, chunks via substring between consecutive bounds.
     Empty docs are dropped (a zero-char doc has no substrings — and
     Spark's sequence(W, 0) would descend, fabricating phantom rows; the
-    DuckDB mirror's generate_series is empty there)."""
+    DuckDB mirror's generate_series is empty there).
+
+    ``boundary`` selects the anchor hash (VERDICT r9 item 1, the §30
+    two-mode precedent):
+
+    * ``"md5"`` — the portable-SQL parity form: one md5 (plus one
+      O(position) substring scan) PER CHARACTER inside a JVM
+      higher-order filter. Registered as ``text_substring_dedup_cdc``
+      with the boundary re-derived by the DuckDB oracle.
+    * ``"rk"`` — the Rabin-Karp polynomial window hash, evaluated as a
+      batch-vectorized Arrow UDF (``functions/rolling_hash.py``):
+      O(1) amortized arithmetic per character, no cryptographic hash,
+      no per-position substring. Different (but equally content-
+      defined) anchor positions; same chunk-length distribution, same
+      downstream plan. Registered as ``text_substring_dedup_rk`` with
+      its own full DuckDB oracle (the same polynomial in SQL).
+    """
     t = corpus.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("text"),
         F.length(text_col).cast("bigint").alias("n_chars"),
     ).filter(F.col("n_chars") > 0)
-    anchors = F.expr(
-        f"""CASE WHEN n_chars >= {CDC_W} THEN
+    if boundary == "rk":
+        from ..functions.rolling_hash import rk_anchors
+
+        anchors = rk_anchors(F.col("text"))
+    else:
+        anchors = F.expr(
+            f"""CASE WHEN n_chars >= {CDC_W} THEN
               filter(sequence(CAST({CDC_W} AS BIGINT), n_chars),
                      i -> CAST(conv(substring(md5(CAST(substring(
                               text, CAST(i - {CDC_W} + 1 AS INT), {CDC_W})
                             AS BINARY)), 1, 8), 16, 10) AS BIGINT)
                           % {CDC_M} = 0)
             ELSE CAST(array() AS ARRAY<BIGINT>) END"""
-    )
+        )
     bounds = F.concat(
         F.array(F.lit(0).cast("bigint")),
         anchors,
@@ -82,7 +103,11 @@ def _cdc_chunks(corpus, text_col="text", id_col="doc_id"):
     return chunked.filter(F.length("chunk") > 0)
 
 
-_CDC_CHUNKS_SQL = f"""
+def _cdc_chunks_sql(anchor_pred: str) -> str:
+    """DuckDB CTE chain (t -> b -> chunks) for content-defined chunking
+    with a pluggable anchor predicate over position ``i`` (1-based
+    window end) and column ``text``."""
+    return f"""
       SELECT doc_id, text, length(text) AS n_chars FROM corpus
       WHERE length(text) > 0
     ), b AS (
@@ -90,10 +115,7 @@ _CDC_CHUNKS_SQL = f"""
              [CAST(0 AS BIGINT)]
              || list_filter(generate_series(CAST({CDC_W} AS BIGINT),
                                             n_chars),
-                  i -> CAST(concat('0x',
-                         substr(md5(substr(text, i - {CDC_W} + 1,
-                                           {CDC_W})), 1, 8)) AS BIGINT)
-                       % {CDC_M} = 0)
+                  i -> {anchor_pred})
              || [n_chars] AS bounds
       FROM t
     ), chunks AS (
@@ -105,13 +127,14 @@ _CDC_CHUNKS_SQL = f"""
 """
 
 
-@register(
-    "text_substring_dedup_cdc",
-    oracle=f"""
-    WITH corpus AS (
-      {DOCS_WITH_NEAR_DUPS_SQL}
-    ), t AS (
-      {_CDC_CHUNKS_SQL}
+_MD5_ANCHOR_PRED = f"""CAST(concat('0x',
+                         substr(md5(substr(text, i - {CDC_W} + 1,
+                                           {CDC_W})), 1, 8)) AS BIGINT)
+                       % {CDC_M} = 0"""
+
+_CDC_CHUNKS_SQL = _cdc_chunks_sql(_MD5_ANCHOR_PRED)
+
+_DUP_SPAN_SQL_TAIL = """
     ), flagged AS (
       SELECT doc_id, n_chars, chunk_no, length(chunk) AS chunk_chars,
              min(doc_id) OVER (PARTITION BY chunk) AS d_lo,
@@ -137,7 +160,22 @@ _CDC_CHUNKS_SQL = f"""
            CAST(sum(span_chars) AS BIGINT) AS dup_chars,
            round(sum(span_chars) * 1.0 / max(n_chars), 6) AS dup_frac
     FROM spans GROUP BY doc_id
-    """,
+    """
+
+
+def _dup_span_oracle(chunks_sql: str) -> str:
+    """Full DuckDB oracle: near-dup corpus -> chunks (per the given
+    boundary predicate) -> cross-doc spans report."""
+    return f"""
+    WITH corpus AS (
+      {DOCS_WITH_NEAR_DUPS_SQL}
+    ), t AS (
+      {chunks_sql}{_DUP_SPAN_SQL_TAIL}"""
+
+
+@register(
+    "text_substring_dedup_cdc",
+    oracle=_dup_span_oracle(_CDC_CHUNKS_SQL),
 )
 def text_substring_dedup_cdc(spark, sf_dir):
     """Offset-invariant exact-substring dedup (Lee et al. 2022
@@ -156,7 +194,15 @@ def text_substring_dedup_cdc(spark, sf_dir):
     place, and one shuffle on doc_id for the island window. Chunk rows
     ~= corpus chars / M, same volume as the tiling explode; no step
     holds more than one chunk's postings or one doc's chunks."""
-    chunks = _cdc_chunks(_docs_with_near_dups(spark, sf_dir))
+    return _dup_span_report(
+        _cdc_chunks(_docs_with_near_dups(spark, sf_dir))
+    )
+
+
+def _dup_span_report(chunks):
+    """chunks -> per-doc duplicated-span report (shared by the md5 and
+    Rabin-Karp boundary modes; see text_substring_dedup_cdc for the
+    shuffle accounting)."""
     w_chunk = Window.partitionBy("chunk")
     marked = (
         chunks.withColumn("d_lo", F.min("doc_id").over(w_chunk))

@@ -2,12 +2,24 @@
 """PERF §21 decade-scaling harness: sfx1 → sfx10 medians for the
 relational + dedup families (q18, q3, token-jaccard, minhash-LSH).
 
-Protocol: interleaved Spark/DuckDB per query within each round (the
-same co-tenant-noise defense as tools/ab_bench.py), median of
-AB_ROUNDS rounds, one ``RESULT`` JSON line per SF directory.  DuckDB
-gets a per-query interrupt cap (DUCK_CAP seconds) — a quadratic-pair
-oracle over 495k docs runs for hours; record DNF honestly instead of
-waiting.
+PINNED PROTOCOL (VERDICT r9 item 3 — every PERF decade table must say
+which column it quotes; round-over-round deltas are only meaningful
+within one column):
+
+* queries run interleaved Spark/DuckDB within each round (the same
+  co-tenant-noise defense as tools/ab_bench.py), AB_ROUNDS rounds;
+* ``cold``   = round-0 wall time, one per engine/query — the first
+  execution in the session (plan compilation + codegen + first file
+  reads; the number a one-shot batch job pays);
+* ``warm``   = median of rounds 1..N-1 — the steady-state number a
+  resident service pays. With AB_ROUNDS=1 warm is null.
+* both columns are emitted in the RESULT line
+  (``spark_cold/spark_warm/duckdb_cold/duckdb_warm``); quote them as
+  "cold"/"warm median" — never mix columns across rounds.
+
+DuckDB gets a per-query interrupt cap (DUCK_CAP seconds) — a
+quadratic-pair oracle over 495k docs runs for hours; record DNF
+honestly instead of waiting.
 
 Unlike ab_bench.py this runs the ENGINE-DEFAULT session conf (AQE on,
 shuffle partitions = core count): ab_bench's floor-tuned conf
@@ -138,15 +150,34 @@ def main() -> None:
                     f"{'DNF' if name in duck_dnf else f'{duck_t[name][-1]:.2f}s'}",
                     flush=True,
                 )
-        med_s = {n: round(statistics.median(v), 3) for n, v in spark_t.items()}
-        med_d = {
-            n: (round(statistics.median(v), 3) if v else f"DNF>{DUCK_CAP:.0f}s")
-            for n, v in duck_t.items()
-        }
+        def cold(v):
+            return round(v[0], 3) if v else None
+
+        def warm(v):
+            return round(statistics.median(v[1:]), 3) if len(v) > 1 else None
+
         print(
             "RESULT " + json.dumps(
-                {"sf_dir": sf_dir, "rounds": ROUNDS,
-                 "spark": med_s, "duckdb": med_d}),
+                {
+                    "sf_dir": sf_dir,
+                    "rounds": ROUNDS,
+                    "protocol": "cold=round0, warm=median(rounds 1..)",
+                    "spark_cold": {n: cold(v) for n, v in spark_t.items()},
+                    "spark_warm": {n: warm(v) for n, v in spark_t.items()},
+                    "duckdb_cold": {
+                        n: (cold(v) if v else f"DNF>{DUCK_CAP:.0f}s")
+                        for n, v in duck_t.items()
+                    },
+                    "duckdb_warm": {
+                        n: (
+                            warm(v)
+                            if n not in duck_dnf
+                            else f"DNF>{DUCK_CAP:.0f}s"
+                        )
+                        for n, v in duck_t.items()
+                    },
+                }
+            ),
             flush=True,
         )
         con.close()
