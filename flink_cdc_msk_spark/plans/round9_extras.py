@@ -234,12 +234,18 @@ def _dup_span_report(chunks):
     )
 
 
-def _lsh_oracle_sql(n_tables: int, n_planes: int, threshold: float) -> str:
+def _lsh_oracle_sql(
+    n_tables: int,
+    n_planes: int,
+    threshold: float,
+    source_sql: str = "SELECT vec_id, embedding FROM embeddings",
+) -> str:
     """Parameterized DuckDB oracle for the portable random-hyperplane
     LSH pipeline — the same first-principles re-derivation as the
     ``embedding_near_dup_lsh`` oracle (md5-parity weights → sign
     buckets → bucket join → fold cosine), with the table/plane counts
-    as parameters so density-scaled variants share one template."""
+    and the corpus relation as parameters so density-scaled and
+    planted-corpus variants share one template."""
     return f"""
     WITH w AS (
       SELECT tt.t, pp.p,
@@ -255,7 +261,7 @@ def _lsh_oracle_sql(n_tables: int, n_planes: int, threshold: float) -> str:
     vecs AS (
       SELECT vec_id AS id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
+      FROM ({source_sql}) _src
     ),
     proj AS (
       SELECT id, w.t, w.p,
