@@ -36,6 +36,10 @@ def kafka_source_options(
         "minPartitions": str(params.parallel),
         "failOnDataLoss": "false",
     }
+    # A30-style property passthrough applies to the CONSUMER too (an
+    # MSK/SASL deployment needs security.protocol etc. on the reader,
+    # not just the producer): kafka_properties -> kafka.* options.
+    opts.update(params.kafka_options())
     opts.update(
         parse_kafka_startup_position(
             params.position, topic=topic, binlog_offset_index=binlog_offset_index
