@@ -135,8 +135,22 @@ def compact_store(
     # to one ~2x-target file; ceil keeps every file <= the target bound
     parts = max(1, -(-n // target_rows_per_file))
     tmp, manifest, staging, _ = _paths(store_path)
+    # preserve any sub-partitioning below batch_id (the unified near-dup
+    # stores write kind={band,set} / kind={bucket,vec} dirs): partition
+    # discovery requires a homogeneous directory depth, so the folded
+    # base must keep the same nested layout the live generations have
+    sub_parts = sorted(
+        {
+            e.split("=")[0]
+            for e in os.listdir(os.path.join(store_path, dirs[0]))
+            if "=" in e and not e.startswith(".")
+        }
+    )
     # tmp cannot exist here: recover_store above removed any leftover
-    old.repartition(parts).write.mode("overwrite").parquet(tmp)
+    writer = old.repartition(parts).write.mode("overwrite")
+    if sub_parts:
+        writer = writer.partitionBy(*sub_parts)
+    writer.parquet(tmp)
     with open(manifest, "w") as fh:
         json.dump({"upto": upto, "folded": dirs}, fh)
     os.rename(tmp, staging)  # from here every folded row is IN the store

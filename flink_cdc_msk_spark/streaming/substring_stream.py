@@ -77,10 +77,37 @@ def _tile_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _cdc_unit_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, tile_no, tile) — content-defined chunks via the Rabin-Karp
+    boundary fast path (round 10): the OFFSET-INVARIANT unit. An aligned
+    tile store misses a passage re-arriving at a shifted offset (zero
+    shared tiles by construction — the same gap text_substring_dedup_cdc
+    closed for the batch operator); content-defined boundaries reproduce
+    a copied passage's interior chunks at ANY offset, so the cross-batch
+    semi-join catches it. Same output contract as _tile_rows (unit text
+    in ``tile``), so every downstream step — store layout, semi-joins,
+    fraction math, compaction — is unit-agnostic."""
+    from ..plans.round9_extras import _cdc_chunks
+
+    return _cdc_chunks(docs, text_col, id_col, boundary="rk").select(
+        F.col("doc_id").alias("id"),
+        F.col("chunk_no").cast("bigint").alias("tile_no"),
+        F.col("chunk").alias("tile"),
+    )
+
+
 class StreamingSubstringDedupFilter:
-    """foreachBatch target: admit only docs whose duplicated-tile
-    fraction — against the admitted tile store, then against lower-id
+    """foreachBatch target: admit only docs whose duplicated-unit
+    fraction — against the admitted unit store, then against lower-id
     batch survivors — stays below ``tau``.
+
+    ``unit`` selects the matching granularity: ``"tile"`` (aligned
+    32-char windows — the text_substring_dedup unit; cheapest, misses
+    offset-shifted copies) or ``"cdc"`` (Rabin-Karp content-defined
+    chunks — offset-invariant, the text_substring_dedup_rk unit). The
+    unit is a property of the STORE: the first batch stamps it into
+    ``store_path/.unit`` and later constructions refuse a mismatch
+    (mixed-unit stores would silently never match).
 
     The fraction is rounded to 6 decimals before the compare so the
     admit/reject boundary is bit-identical to the DuckDB oracle replay
@@ -93,12 +120,40 @@ class StreamingSubstringDedupFilter:
         tau: float = 0.5,
         text_col: str = "text",
         id_col: str = "doc_id",
+        unit: str = "tile",
     ):
+        if unit not in ("tile", "cdc"):
+            raise ValueError(f"unknown substring unit {unit!r}")
         self.store_path = store_path
         self.out_path = out_path
         self.tau = tau
         self.text_col = text_col
         self.id_col = id_col
+        self.unit = unit
+        self._check_or_stamp_unit()
+
+    def _check_or_stamp_unit(self) -> None:
+        import os
+
+        marker = os.path.join(self.store_path, ".unit")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                stored = fh.read().strip()
+            if stored != self.unit:
+                raise ValueError(
+                    f"store at {self.store_path} was built with "
+                    f"unit={stored!r}; refusing unit={self.unit!r} "
+                    "(mixed-unit stores never match)"
+                )
+        else:
+            os.makedirs(self.store_path, exist_ok=True)
+            with open(marker, "w") as fh:
+                fh.write(self.unit)
+
+    def _unit_rows(self, docs: DataFrame) -> DataFrame:
+        if self.unit == "cdc":
+            return _cdc_unit_rows(docs, self.id_col, self.text_col)
+        return _tile_rows(docs, self.id_col, self.text_col)
 
     def _frac_reject(
         self, counts: DataFrame, matched: DataFrame
@@ -119,7 +174,7 @@ class StreamingSubstringDedupFilter:
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         batch = batch.select(self.id_col, self.text_col).cache()
-        tiles = _tile_rows(batch, self.id_col, self.text_col).cache()
+        tiles = self._unit_rows(batch).cache()
         counts = tiles.groupBy("id").agg(F.count(F.lit(1)).alias("nt"))
 
         # --- cross-batch: tile-instance semi-join against the store

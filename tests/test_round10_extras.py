@@ -150,3 +150,65 @@ def test_rk_clone_flagged_as_full_span(spark):
     assert clones.filter(
         (F.col("n_spans") != 1) | (F.col("dup_frac") < 1.0)
     ).count() == 0
+
+
+def test_streaming_cdc_unit_catches_shifted_rearrival(spark, tmp_path):
+    """The streaming gate's round-10 unit mode: a passage admitted in an
+    earlier batch re-arrives at a shifted offset. The aligned-tile store
+    shares ~no tiles with the shifted copy (admits it — the documented
+    gap); the content-defined unit store reproduces the passage's
+    interior chunks at any offset (rejects it)."""
+    from flink_cdc_msk_spark.streaming.substring_stream import (
+        StreamingSubstringDedupFilter,
+    )
+
+    rng = random.Random(42)
+    passage = "".join(rng.choice(ALPHA) for _ in range(700))
+    host_a = passage + "".join(rng.choice("0123456789") for _ in range(40))
+    # shift by 17 — not a multiple of the 32-char tile width
+    host_b = (
+        "".join(rng.choice("ABCDEFGHIJKLMNOP") for _ in range(17))
+        + passage
+        + "".join(rng.choice("!@#$%^&*()") for _ in range(23))
+    )
+    outcomes = {}
+    for unit in ("tile", "cdc"):
+        root = str(tmp_path / unit)
+        filt = StreamingSubstringDedupFilter(
+            f"{root}/store", f"{root}/out", tau=0.5, unit=unit
+        )
+        filt(
+            spark.createDataFrame([(1, host_a)], "doc_id long, text string"),
+            0,
+        )
+        filt(
+            spark.createDataFrame([(2, host_b)], "doc_id long, text string"),
+            1,
+        )
+        admitted = sorted(
+            r.doc_id
+            for r in spark.read.parquet(f"{root}/out").collect()
+        )
+        outcomes[unit] = admitted
+    assert outcomes["tile"] == [1, 2]  # aligned tiles miss the shift
+    assert outcomes["cdc"] == [1]      # content-defined chunks catch it
+
+
+def test_streaming_unit_marker_refuses_mismatch(spark, tmp_path):
+    """The unit is a property of the store: re-opening a tile store with
+    unit='cdc' (or vice versa) must refuse loudly — mixed-unit stores
+    silently never match."""
+    import pytest
+
+    from flink_cdc_msk_spark.streaming.substring_stream import (
+        StreamingSubstringDedupFilter,
+    )
+
+    root = str(tmp_path / "s")
+    StreamingSubstringDedupFilter(f"{root}/store", f"{root}/out", unit="tile")
+    with pytest.raises(ValueError, match="unit"):
+        StreamingSubstringDedupFilter(
+            f"{root}/store", f"{root}/out", unit="cdc"
+        )
+    # same unit re-opens fine
+    StreamingSubstringDedupFilter(f"{root}/store", f"{root}/out", unit="tile")

@@ -188,3 +188,68 @@ def test_compact_entry_recovers_interrupted_swap(spark, tmp_path):
     assert stats["after_dirs"] <= 2
     assert os.path.isdir(f"{store}/batch_id={COMPACTED_ID}")
     assert not os.path.exists(f"{store}/.compact_manifest.json")
+
+
+def _vecs(spark, rows):
+    """rows: [(vec_id, hot_dim)] — one-hot 64-dim vectors: distinct dims
+    are exactly orthogonal (cos 0), same dim = exact clone (cos 1)."""
+    data = [
+        (vid, [1.0 if i == dim else 0.0 for i in range(64)])
+        for vid, dim in rows
+    ]
+    return spark.createDataFrame(data, "vec_id long, embedding array<double>")
+
+
+def _feed_vec(spark, root, batches):
+    from flink_cdc_msk_spark.streaming.dedup_stream import (
+        StreamingVectorNearDupFilter,
+    )
+
+    filt = StreamingVectorNearDupFilter(f"{root}/store", f"{root}/out")
+    for i, rows in enumerate(batches):
+        filt(_vecs(spark, rows), i)
+    return filt
+
+
+def test_vector_store_compaction_preserves_gate_decisions(spark, tmp_path):
+    """VERDICT r9 item 5: the vector near-dup ingest store (unified
+    kind=bucket/kind=vec layout) compacts with admit decisions
+    unchanged, and the folded base keeps the kind= sub-partitioning."""
+    from flink_cdc_msk_spark.streaming.dedup_stream import (
+        StreamingVectorNearDupFilter,
+    )
+
+    batches = [
+        [(0, 0), (1, 1), (2, 2)],
+        [(3, 3), (4, 4)],
+        [(5, 0), (6, 5)],   # 5 = clone of vec 0 -> reject
+        [(7, 6), (8, 7)],
+        [(9, 8)],
+    ]
+    a = str(tmp_path / "va")
+    b = str(tmp_path / "vb")
+    _feed_vec(spark, a, batches)
+    _feed_vec(spark, b, batches)
+
+    stats = compact_store(spark, f"{b}/store", upto=4)
+    assert stats["before_dirs"] >= 3
+    assert stats["after_dirs"] < stats["before_dirs"]
+    assert os.path.isdir(f"{b}/store/batch_id={COMPACTED_ID}/kind=bucket")
+    assert os.path.isdir(f"{b}/store/batch_id={COMPACTED_ID}/kind=vec")
+
+    nxt = [(20, 0), (21, 40), (22, 3)]  # clone of 0, fresh, clone of 3
+    fa = StreamingVectorNearDupFilter(f"{a}/store", f"{a}/out")
+    fb = StreamingVectorNearDupFilter(f"{b}/store", f"{b}/out")
+    fa(_vecs(spark, nxt), 10)
+    fb(_vecs(spark, nxt), 10)
+    out = {}
+    for tag, root in (("a", a), ("b", b)):
+        out[tag] = sorted(
+            r.vec_id
+            for r in spark.read.parquet(f"{root}/out").filter(
+                F.col("batch_id") == 10
+            ).collect()
+        )
+    assert out["a"] == out["b"]
+    assert 20 not in out["a"] and 22 not in out["a"]  # clones rejected
+    assert 21 in out["a"]                              # fresh admitted
