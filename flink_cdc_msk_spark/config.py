@@ -131,6 +131,7 @@ def parse_kafka_startup_position(
     position: str,
     topic: str | None = None,
     binlog_offset_index: dict[int, int] | None = None,
+    gtid_offset_index: dict[int, int] | None = None,
 ) -> dict[str, str]:
     """Map the reference's startup-position grammar (scala:224-244) onto
     Spark Kafka-source options (SURVEY.md A2-A6).
@@ -159,7 +160,15 @@ def parse_kafka_startup_position(
     order against topic offsets, so read from earliest and enforce the
     exact cut on the envelope payload via :func:`gtid_resume_filter`
     (Debezium carries ``source.gtid``), applied automatically by
-    ``sources/kafka.read_cdc_stream``.
+    ``sources/kafka.read_cdc_stream``. With ``gtid_offset_index``
+    (round 10 — the direct-seek answer to the replay cost the earliest
+    form pays): a ``{kafka_partition: kafka_offset}`` SEEK HINT maps to
+    explicit per-partition ``startingOffsets``, skipping the topic
+    head. Unlike the binlog index, the hint need only be AT OR BEFORE
+    the cut — the envelope gtid filter still runs on top (the reference
+    seeks the MySQL source directly, MySQLCDC2AWSMSK.scala:239-240; on
+    a Kafka replay the filter is what certifies exactness, the index
+    just bounds the scan).
     """
     import json as _json
 
@@ -179,6 +188,11 @@ def parse_kafka_startup_position(
         return {"startingOffsets": "earliest"}
     if position.startswith("gtid:"):
         parse_gtid_set(position.split("gtid:", 1)[1])  # validate eagerly
+        if gtid_offset_index is not None and topic:
+            per_part = {
+                str(p): int(o) for p, o in sorted(gtid_offset_index.items())
+            }
+            return {"startingOffsets": _json.dumps({topic: per_part})}
         return {"startingOffsets": "earliest"}
     raise ValueError(
         f"startup position {position!r} has no Kafka-source analog"

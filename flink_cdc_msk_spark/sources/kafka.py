@@ -24,12 +24,15 @@ def kafka_source_options(
     params: CDCParams,
     topic: str,
     binlog_offset_index: dict[int, int] | None = None,
+    gtid_offset_index: dict[int, int] | None = None,
 ) -> dict[str, str]:
     """Reader options for a Debezium topic, honoring the reference's
     startup-position grammar (A2-A6) and parallel-read sizing (A7/A8 →
     minPartitions). ``binlog_offset_index`` (if the caller tracked one)
     turns an A4 ``file:pos`` resume into explicit per-partition
-    ``startingOffsets`` JSON instead of earliest+filter."""
+    ``startingOffsets`` JSON instead of earliest+filter;
+    ``gtid_offset_index`` is the A5 analog — a seek HINT that bounds
+    the scan while the envelope gtid cut still certifies exactness."""
     opts = {
         "kafka.bootstrap.servers": params.broker_list,
         "subscribe": topic,
@@ -42,7 +45,10 @@ def kafka_source_options(
     opts.update(params.kafka_options())
     opts.update(
         parse_kafka_startup_position(
-            params.position, topic=topic, binlog_offset_index=binlog_offset_index
+            params.position,
+            topic=topic,
+            binlog_offset_index=binlog_offset_index,
+            gtid_offset_index=gtid_offset_index,
         )
     )
     return opts
@@ -53,13 +59,18 @@ def read_cdc_stream(
     params: CDCParams,
     topic: str,
     binlog_offset_index: dict[int, int] | None = None,
+    gtid_offset_index: dict[int, int] | None = None,
 ) -> DataFrame:
     """→ streaming DataFrame[value: string] of envelope JSON lines, the
     exact shape the route operator consumes. An A4 ``file:pos`` startup
     without an offset index reads from earliest and applies the exact
-    binlog-coordinate cut on the envelope (config.binlog_resume_filter)."""
+    binlog-coordinate cut on the envelope (config.binlog_resume_filter);
+    an A5 ``gtid:`` startup always applies the exact gtid-set cut, with
+    ``gtid_offset_index`` optionally seeking past the topic head."""
     reader = spark.readStream.format("kafka")
-    for k, v in kafka_source_options(params, topic, binlog_offset_index).items():
+    for k, v in kafka_source_options(
+        params, topic, binlog_offset_index, gtid_offset_index
+    ).items():
         reader = reader.option(k, v)
     out = reader.load().selectExpr("CAST(value AS STRING) AS value")
     if params.position.startswith("file:") and binlog_offset_index is None:

@@ -114,3 +114,36 @@ def test_kafka_cdc_route_end_to_end(spark, tmp_path):
         out.columns
     )
     assert out.count() >= 0  # empty topic is a pass; malformed rows are not
+
+
+def test_gtid_seek_hint_maps_to_explicit_offsets():
+    """A5 direct-seek (round 10): a {partition: offset} seek hint turns
+    the gtid startup into explicit startingOffsets (no topic-head
+    replay); without it the mapping stays earliest. The envelope gtid
+    cut runs in BOTH cases (read_cdc_stream applies it whenever the
+    position is gtid:) — the hint bounds the scan, the filter certifies
+    exactness."""
+    gtid = "gtid:3E11FA47-71CA-11E1-9E33-C80AA9429562:1-5"
+    base = dict(broker_list="k:9092", parallel=2)
+    opts = kafka_source_options(
+        CDCParams(position=gtid, **base), "t",
+        gtid_offset_index={0: 500, 1: 730},
+    )
+    import json
+
+    assert json.loads(opts["startingOffsets"]) == {"t": {"0": 500, "1": 730}}
+    assert (
+        kafka_source_options(CDCParams(position=gtid, **base), "t")[
+            "startingOffsets"
+        ]
+        == "earliest"
+    )
+    # a malformed set still refuses loudly even with a hint
+    import pytest
+
+    with pytest.raises(ValueError):
+        kafka_source_options(
+            CDCParams(position="gtid:3E11FA47-71CA-11E1-9E33:1-5", **base),
+            "t",
+            gtid_offset_index={0: 1},
+        )
