@@ -113,16 +113,87 @@ def rk_anchors(col):
     return _RK_UDF(col)
 
 
-def rk_anchor_filter_duckdb(pos_var: str = "i") -> str:
+def rk_byte_anchors_py(payload: bytes, modulus: int = RK_M) -> list[int]:
+    """Pure-Python reference for the BYTE-stream variant (binary media
+    payloads): identical polynomial over raw byte values instead of
+    code points. For ASCII payloads the two variants produce identical
+    anchors (byte value == code point), which is what lets the DuckDB
+    oracle re-derive byte-mode boundaries with character arithmetic."""
+    n = len(payload)
+    out = []
+    for i in range(RK_W, n + 1):
+        h = 0
+        for j in range(RK_W):
+            h = (h + payload[i - RK_W + j] * RK_POW[RK_W - 1 - j]) % RK_P
+        if h % modulus == 0:
+            out.append(i)
+    return out
+
+
+def _rk_byte_anchor_lists(
+    payloads: list, modulus: int = RK_M
+) -> list[list[int]]:
+    """Vectorized batch form over binary payloads — same concatenated-
+    array trick as ``_rk_anchor_lists`` with ``np.frombuffer(uint8)``
+    replacing the utf-32 decode."""
+    n_docs = len(payloads)
+    safe = [b"" if p is None else bytes(p) for p in payloads]
+    lens = np.fromiter((len(p) for p in safe), dtype=np.int64, count=n_docs)
+    total = int(lens.sum())
+    if total < RK_W:
+        return [[] for _ in safe]
+    cp = np.frombuffer(b"".join(safe), dtype=np.uint8).astype(np.int64)
+    n_win = total - RK_W + 1
+    h = np.zeros(n_win, dtype=np.int64)
+    for j in range(RK_W):
+        h += (cp[j : n_win + j] * RK_POW[RK_W - 1 - j]) % RK_P
+    h %= RK_P
+    starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    win_start = np.nonzero(h % modulus == 0)[0]
+    doc_idx = np.searchsorted(starts, win_start, side="right") - 1
+    local_end = win_start - starts[doc_idx] + RK_W
+    keep = local_end <= lens[doc_idx]
+    doc_idx, local_end = doc_idx[keep], local_end[keep]
+    cuts = np.searchsorted(doc_idx, np.arange(1, n_docs))
+    return [a.tolist() for a in np.split(local_end, cuts)]
+
+
+_RK_BYTE_UDFS: dict[int, object] = {}
+
+
+def rk_byte_anchors(col, modulus: int = RK_M):
+    """Binary column -> array<bigint> of anchor positions (1-based byte
+    offsets of window ends). ``modulus`` sets the expected chunk length
+    in bytes; one UDF is built (lazily) per modulus."""
+    udf = _RK_BYTE_UDFS.get(modulus)
+    if udf is None:
+
+        @F.pandas_udf("array<bigint>")
+        def _udf(payloads: pd.Series) -> pd.Series:
+            return pd.Series(
+                _rk_byte_anchor_lists(payloads.tolist(), modulus),
+                index=payloads.index,
+            )
+
+        _RK_BYTE_UDFS[modulus] = udf = _udf
+    return udf(col)
+
+
+def rk_anchor_filter_duckdb(
+    pos_var: str = "i", modulus: int = RK_M, text_col: str = "text"
+) -> str:
     """The anchor predicate as a DuckDB lambda body over position
-    ``i`` (1-based window end) and column ``text`` — the oracle-side
-    mirror of the numpy hash, written as W explicit polynomial terms."""
+    ``i`` (1-based window end) and ``text_col`` — the oracle-side
+    mirror of the numpy hash, written as W explicit polynomial terms.
+    With a non-default ``modulus`` it also mirrors the BYTE variant on
+    ASCII payloads (byte value == code point there)."""
     # power B^j multiplies the char j positions left of the window end
     # (1-based position i - j): h = sum_j cp[i - j] * B^j  ==  the
     # leftmost char (i - W + 1) at B^(W-1), matching rk_anchors_py
     terms = " + ".join(
-        f"(ascii(substr(text, CAST({pos_var} - {j} AS INT), 1))"
+        f"(ascii(substr({text_col}, CAST({pos_var} - {j} AS INT), 1))"
         f" * {RK_POW[j]}) % {RK_P}"
         for j in range(RK_W)
     )
-    return f"({terms}) % {RK_P} % {RK_M} = 0"
+    return f"({terms}) % {RK_P} % {modulus} = 0"

@@ -32,7 +32,7 @@ from ..functions.rolling_hash import (
     RK_W,
     rk_anchor_filter_duckdb,
 )
-from .llm_pipeline import _docs_with_near_dups
+from .llm_pipeline import DOCS_WITH_NEAR_DUPS_SQL, _docs_with_near_dups
 from .registry import register
 from .round9_extras import (
     CDC_M,
@@ -143,3 +143,132 @@ def _emb(spark, sf_dir):
     from ..sources.tables import load_tables
 
     return load_tables(spark, sf_dir)["embeddings"]
+
+
+# ---------------------------- binary content-defined chunk dedup (FastCDC)
+
+_MEDIA_CHUNK_M = 64  # expected chunk length in BYTES (anchor modulus)
+_MEDIA_TAU = 0.8
+
+
+@register(
+    "multimodal_cdc_chunk_dedup",
+    oracle=f"""
+    WITH docs AS (
+      {DOCS_WITH_NEAR_DUPS_SQL}
+    ), t AS (
+      SELECT doc_id AS media_id, text, length(text) AS nb FROM docs
+      WHERE length(text) > 0 AND strlen(text) = length(text)
+    ), b AS (
+      SELECT media_id, text, nb,
+             [CAST(0 AS BIGINT)]
+             || list_filter(generate_series(CAST({RK_W} AS BIGINT), nb),
+                  i -> {rk_anchor_filter_duckdb("i", _MEDIA_CHUNK_M)})
+             || [nb] AS bounds
+      FROM t
+    ), chunks AS (
+      SELECT DISTINCT media_id,
+             md5(substr(text, bounds[k.k] + 1,
+                        bounds[k.k + 1] - bounds[k.k])) AS h
+      FROM b, unnest(generate_series(1, len(bounds) - 1)) AS k(k)
+      WHERE bounds[k.k + 1] > bounds[k.k]
+    ), sizes AS (
+      SELECT media_id, count(*) AS sz FROM chunks GROUP BY media_id
+    ), shared AS (
+      SELECT a.media_id AS id1, b.media_id AS id2,
+             CAST(count(*) AS BIGINT) AS shared_chunks
+      FROM chunks a JOIN chunks b
+        ON a.h = b.h AND a.media_id < b.media_id
+      GROUP BY 1, 2
+    )
+    SELECT id1, id2, shared_chunks,
+           round(shared_chunks / least(s1.sz, s2.sz), 6) AS overlap
+    FROM shared
+    JOIN sizes s1 ON s1.media_id = id1
+    JOIN sizes s2 ON s2.media_id = id2
+    WHERE round(shared_chunks / least(s1.sz, s2.sz), 6) >= {_MEDIA_TAU}
+    """,
+)
+def multimodal_cdc_chunk_dedup(spark, sf_dir):
+    """Offset-invariant chunk-level dedup over BINARY media payloads —
+    the FastCDC/LBFS use case proper: content-defined boundaries over
+    the raw BYTE stream (``rk_byte_anchors``, the byte twin of the
+    round-10 text chunker), so a payload re-uploaded with bytes
+    INSERTED anywhere (new container header, prepended metadata,
+    spliced segment) still shares its interior chunks with the
+    original. The aligned 64-char block pass (multimodal_chunk_dedup)
+    misses every such shift by construction — it only catches
+    appended/patched TAILS.
+
+    Link rule and scale shape are the block pass's: distinct chunk
+    hashes per asset, inverted-index join on the hash, link when the
+    smaller side shares >= tau of its chunks. Payload bytes never
+    shuffle — boundaries + chunk md5s are one map-side Arrow batch +
+    one codegen'd projection; only fixed-width hashes enter the
+    exchange.
+
+    Oracle equivalence: the synthetic payloads are utf-8 text, and the
+    corpus is filtered to ASCII docs ON BOTH SIDES (octet_length ==
+    char length), where byte values == code points — so DuckDB
+    re-derives the BYTE-mode boundaries and chunk md5s exactly with
+    character arithmetic. The byte/char agreement on ASCII is itself
+    pinned by tests (rk_byte_anchors_py == rk_anchors_py there); real
+    binary payloads exercise the same UDF code path."""
+    from pyspark.sql import functions as F
+
+    from ..functions.rolling_hash import rk_byte_anchors
+    from ..operators.multimodal import synthesize_media
+
+    media = synthesize_media(_docs_with_near_dups(spark, sf_dir))
+    t = media.select(
+        "media_id",
+        "payload",
+        F.length("payload").cast("bigint").alias("nb"),
+    ).filter(
+        (F.col("nb") > 0)
+        & (F.col("nb") == F.length(F.decode(F.col("payload"), "utf-8")))
+    )
+    bounds = F.concat(
+        F.array(F.lit(0).cast("bigint")),
+        rk_byte_anchors(F.col("payload"), modulus=_MEDIA_CHUNK_M),
+        F.array(F.col("nb")),
+    )
+    chunk_hashes = F.expr(
+        """transform(
+             filter(sequence(1, size(bounds) - 1),
+                    k -> element_at(bounds, k + 1) > element_at(bounds, k)),
+             k -> md5(substring(payload,
+                      CAST(element_at(bounds, k) + 1 AS INT),
+                      CAST(element_at(bounds, k + 1)
+                           - element_at(bounds, k) AS INT))))"""
+    )
+    chunks = (
+        t.withColumn("bounds", bounds)
+        .select(
+            "media_id",
+            F.explode(F.array_distinct(chunk_hashes)).alias("h"),
+        )
+    )
+    sizes = chunks.groupBy("media_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = chunks.select(F.col("media_id").alias("id1"), "h")
+    b = chunks.select(F.col("media_id").alias("id2"), "h")
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("shared_chunks"))
+    )
+    s1 = sizes.select(F.col("media_id").alias("id1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("media_id").alias("id2"), F.col("sz").alias("sz2"))
+    return (
+        shared.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn(
+            "overlap",
+            F.round(
+                F.col("shared_chunks") / F.least("sz1", "sz2"), 6
+            ),
+        )
+        .filter(F.col("overlap") >= _MEDIA_TAU)
+        .select("id1", "id2", "shared_chunks", "overlap")
+    )

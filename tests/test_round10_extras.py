@@ -212,3 +212,67 @@ def test_streaming_unit_marker_refuses_mismatch(spark, tmp_path):
         )
     # same unit re-opens fine
     StreamingSubstringDedupFilter(f"{root}/store", f"{root}/out", unit="tile")
+
+
+@given(st.lists(st.binary(max_size=300), max_size=8))
+@settings(max_examples=60, deadline=None)
+def test_rk_byte_batch_matches_python_reference(payloads):
+    """The byte-stream batch form must agree with the byte-at-a-time
+    Python reference on arbitrary BINARY payloads (all 256 byte values,
+    empty payloads, payloads shorter than the window)."""
+    from flink_cdc_msk_spark.functions.rolling_hash import (
+        _rk_byte_anchor_lists,
+        rk_byte_anchors_py,
+    )
+
+    assert _rk_byte_anchor_lists(payloads, 64) == [
+        rk_byte_anchors_py(p, 64) for p in payloads
+    ]
+
+
+def test_rk_byte_char_agreement_on_ascii():
+    """The oracle-equivalence premise: on ASCII, byte values == code
+    points, so the byte chunker and the text chunker anchor at the same
+    positions (same modulus)."""
+    from flink_cdc_msk_spark.functions.rolling_hash import (
+        RK_M,
+        rk_anchors_py,
+        rk_byte_anchors_py,
+    )
+
+    rng = random.Random(3)
+    for _ in range(20):
+        s = "".join(rng.choice(ALPHA + "0123456789.,!?") for _ in range(400))
+        assert rk_byte_anchors_py(s.encode("ascii"), RK_M) == rk_anchors_py(s)
+
+
+def test_binary_cdc_dedup_catches_inserted_prefix(spark):
+    """The capability the aligned block pass lacks: a payload re-upload
+    with bytes INSERTED at the front (offset not a multiple of the
+    block width). multimodal_chunk_dedup misses it; the content-defined
+    version links the pair."""
+    from flink_cdc_msk_spark.plans import round5_extras as r5
+
+    rng = random.Random(77)
+    body = "".join(rng.choice(ALPHA) for _ in range(900))
+    shifted = "".join(rng.choice("0123456789") for _ in range(37)) + body
+    docs = spark.createDataFrame(
+        [(1, body), (2, shifted)], "doc_id long, text string"
+    )
+
+    with mock.patch.object(
+        r10, "_docs_with_near_dups", lambda spark, sf_dir: docs
+    ):
+        cdc_pairs = {
+            (r.id1, r.id2)
+            for r in r10.multimodal_cdc_chunk_dedup(spark, "-").collect()
+        }
+    with mock.patch.object(
+        r5, "_docs_with_near_dups", lambda spark, sf_dir: docs
+    ):
+        block_pairs = {
+            (r.id1, r.id2)
+            for r in r5.multimodal_chunk_dedup(spark, "-").collect()
+        }
+    assert (1, 2) in cdc_pairs      # content-defined: caught
+    assert (1, 2) not in block_pairs  # aligned blocks: zero shared
