@@ -52,6 +52,7 @@ def load_all() -> None:
     from . import round8_extras  # noqa: F401
     from . import round9_extras  # noqa: F401
     from . import round10_extras  # noqa: F401
+    from . import round10b_extras  # noqa: F401
 
 
 _loaded = False

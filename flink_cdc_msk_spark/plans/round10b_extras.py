@@ -1,0 +1,364 @@
+"""Round-10 second-session additions: ranked retrieval (BM25) and
+importance-resampling data selection (DSIR).
+
+Two staples of a public training-data curation stack that the registry
+did not yet cover:
+
+* ``text_bm25_rank`` — Okapi BM25 ranked retrieval over the corpus for
+  a fixed query-term set (Robertson & Zaragoza 2009; the Lucene
+  ``k1/b`` form with the +1-inside-the-log idf). The curation use is
+  targeted corpus probing: "show me the strongest documents for these
+  terms" over billions of docs without an external index.
+* ``llm_dsir_select`` — Data Selection via Importance Resampling
+  (Xie et al. 2023): fit hashed-n-gram bag models over a small TARGET
+  slice and the RAW pool, weight every raw document by its summed
+  log-likelihood ratio, and Gumbel-top-k resample — the standard
+  "make web crawl look like the target domain" selection stage.
+
+Both are expressed as pure DataFrame plans with full DuckDB oracles
+(same tokenizer, same md5 feature hash, same deterministic Gumbel
+noise), so they get the row/schema/value-hash gate, not a rows-only
+check.
+
+Reference parity note: the reference repo (yhyyz/flink-cdc-msk) has no
+data-curation surface — Part-B capability closure (SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from .llm_pipeline import _docs
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# shared portable hash: first 8 hex chars of md5, parsed as a 32-bit int
+# (the bloom/minhash idiom — operators/dedup.py::_bloom_bit and its SQL twin)
+# ---------------------------------------------------------------------------
+
+
+def _md5_32(col: Column) -> Column:
+    return F.conv(
+        F.substring(F.md5(col.cast("binary")), 1, 8), 16, 10
+    ).cast("long")
+
+
+def _md5_32_sql(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+_TOKENS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("join", "filter", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 50
+
+
+def _tf(tok_col: Column | str, term: str) -> Column:
+    """Term frequency as a map-side array expression (no explode).
+    NB: the filter lambda must be single-argument — a second parameter
+    would be bound to the ELEMENT INDEX by the higher-order-function
+    protocol, not to a Python closure default."""
+    return F.size(F.filter(tok_col, lambda x: x == F.lit(term)))
+
+
+def bm25_rank(
+    docs: DataFrame,
+    terms: tuple[str, ...] = BM25_TERMS,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    topk: int = BM25_TOPK,
+) -> DataFrame:
+    """Okapi BM25 top-k over ``docs(doc_id, source, text)``.
+
+    Scale shape (the reason this needs no inverted index at 100 TB):
+
+    * per-doc term frequencies are MAP-SIDE array expressions
+      (``size(filter(tokens, = term))``) — the corpus-scale relation is
+      never exploded and never shuffled;
+    * the only global state is ONE row (N, avgdl, per-term df) from a
+      map-side-combinable aggregate, broadcast back via crossJoin;
+    * the final top-k is ``orderBy().limit()`` → TakeOrdered — a
+      per-partition heap + driver merge of topk rows, no global sort.
+
+    Two passes over the token projection (stats, then scores); both are
+    projection-pruned scans. Ranking uses the 6-dp-rounded score (ties
+    broken by doc_id) so the cutoff set is engine-stable; the emitted
+    score is rounded to 4 dp per the registry convention.
+    """
+    base = docs.select(
+        "doc_id",
+        "source",
+        T.tokens("text").alias("_t"),
+    ).select(
+        "doc_id",
+        "source",
+        F.size("_t").alias("dl"),
+        *[_tf("_t", t).alias(f"tf_{i}") for i, t in enumerate(terms)],
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("int")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    norm = F.lit(k1) * (
+        F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    score: Column = F.lit(0.0)
+    any_tf: Column = F.lit(0)
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        score = score + idf * tf * F.lit(k1 + 1.0) / (tf + norm)
+        any_tf = any_tf + tf
+    ranked = (
+        scored.filter(any_tf > 0)
+        .select(
+            "doc_id",
+            "source",
+            "dl",
+            score.alias("_score"),
+        )
+        .orderBy(F.round("_score", 6).desc(), "doc_id")
+        .limit(topk)
+    )
+    return ranked.select(
+        "doc_id", "source", "dl", F.round("_score", 4).alias("bm25")
+    )
+
+
+def _bm25_oracle(
+    terms: tuple[str, ...] = BM25_TERMS,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    topk: int = BM25_TOPK,
+) -> str:
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(a, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+    score = " + ".join(
+        f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        f" * tf_{i} * {k1 + 1.0}"
+        f" / (tf_{i} + {k1} * ({1 - b} + {b} * dl / avgdl))"
+        for i in range(len(terms))
+    )
+    any_tf = " + ".join(f"tf_{i}" for i in range(len(terms)))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKENS_SQL} AS a FROM documents
+    ), base AS (
+      SELECT doc_id, source, len(a) AS dl,
+             {tf_cols}
+      FROM toks
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl, {df_cols} FROM base
+    ), scored AS (
+      SELECT doc_id, source, dl, {score} AS score
+      FROM base, stats
+      WHERE {any_tf} > 0
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        ORDER BY round(score, 6) DESC, doc_id) AS rn
+      FROM scored
+    )
+    SELECT doc_id, source, dl, round(score, 4) AS bm25
+    FROM ranked WHERE rn <= {topk}
+    """
+
+
+@register("text_bm25_rank", oracle=_bm25_oracle())
+def text_bm25_rank(spark, sf_dir):
+    """BM25 ranked retrieval for a fixed term set — see
+    :func:`bm25_rank` for the scale shape (no explode, one broadcast
+    stats row, TakeOrdered top-k)."""
+    return bm25_rank(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 512
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2")
+DSIR_TOPK = 100
+
+
+def _features(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, bucket) — one row per hashed unigram+bigram
+    occurrence. Map-side explode; the bucket domain is DSIR_BUCKETS."""
+    toks = T.tokens("text")
+    base = docs.select("doc_id", "source", toks.alias("_t"))
+    bigrams = F.transform(
+        F.slice("_t", 1, F.greatest(F.size("_t") - 1, F.lit(0))),
+        lambda x, i: F.concat(
+            x, F.lit(" "), F.element_at("_t", i.cast("int") + 2)
+        ),
+    )
+    feats = base.select(
+        "doc_id",
+        "source",
+        F.explode(F.concat("_t", bigrams)).alias("feat"),
+    )
+    return feats.select(
+        "doc_id",
+        "source",
+        F.pmod(_md5_32(F.col("feat")), F.lit(DSIR_BUCKETS)).alias("bucket"),
+    )
+
+
+_FEATS_SQL = f"""
+    toks AS (
+      SELECT doc_id, source, {_TOKENS_SQL} AS a FROM documents
+    ), featlists AS (
+      SELECT doc_id, source,
+             list_concat(
+               a,
+               CASE WHEN len(a) >= 2 THEN
+                 list_transform(a[1:len(a) - 1],
+                                (x, i) -> x || ' ' || a[i + 1])
+               ELSE [] END) AS fs
+      FROM toks
+    ), feats AS (
+      SELECT doc_id, source,
+             {_md5_32_sql('f.x')} % {DSIR_BUCKETS} AS bucket
+      FROM featlists, unnest(fs) AS f(x)
+    )
+"""
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_sources: tuple[str, ...] = DSIR_TARGET_SOURCES,
+    topk: int = DSIR_TOPK,
+) -> DataFrame:
+    """DSIR (Xie et al. 2023) over ``docs(doc_id, source, text)``:
+    target slice = ``source IN target_sources``, raw pool = the rest.
+
+    Plan shape (why this is 100 TB-safe):
+
+    * the fitted model is BOUNDED-DOMAIN: the feature stream aggregates
+      to at most DSIR_BUCKETS rows (map-side partial combine, then a
+      ≤512-row shuffle) no matter the corpus size;
+    * totals (Nt, Nr) are one more row over the model; the per-bucket
+      log-ratio table is then BROADCAST into the scoring pass — the
+      corpus-scale side never shuffles for the join;
+    * per-doc weights shuffle once on doc_id (linear, partial-agg
+      combinable); selection is TakeOrdered over k rows.
+
+    Determinism across engines: the Gumbel noise is derived from
+    md5(doc_id) (u = (h + 0.5) / 2^32, g = -ln(-ln(u))), ranking uses
+    the 6-dp-rounded score so float summation order cannot flip the
+    cutoff, and the emitted weight is rounded to 4 dp.
+    """
+    feats = _features(docs)
+    is_target = F.col("source").isin(*target_sources)
+    model = feats.groupBy("bucket").agg(
+        F.sum(is_target.cast("int")).alias("c_t"),
+        F.sum((~is_target).cast("int")).alias("c_r"),
+    )
+    totals = model.agg(
+        F.sum("c_t").alias("nt"), F.sum("c_r").alias("nr")
+    )
+    lr = model.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log(F.col("c_t") + 1)
+            - F.log(F.col("nt") + F.lit(DSIR_BUCKETS))
+            - F.log(F.col("c_r") + 1)
+            + F.log(F.col("nr") + F.lit(DSIR_BUCKETS))
+        ).alias("lr"),
+    )
+    weights = (
+        feats.filter(~is_target)
+        .join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("lr").alias("w"))
+    )
+    u = (
+        _md5_32(F.col("doc_id").cast("string")) + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    scored = weights.select(
+        "doc_id",
+        "source",
+        "w",
+        (F.col("w") - F.log(-F.log(u))).alias("_score"),
+    )
+    picked = scored.orderBy(F.round("_score", 6).desc(), "doc_id").limit(
+        topk
+    )
+    return picked.select(
+        "doc_id",
+        "source",
+        F.round("w", 4).alias("log_ratio"),
+        F.round("_score", 4).alias("dsir_score"),
+    )
+
+
+def _dsir_oracle(
+    target_sources: tuple[str, ...] = DSIR_TARGET_SOURCES,
+    topk: int = DSIR_TOPK,
+) -> str:
+    tgt = ", ".join(f"'{s}'" for s in target_sources)
+    b = DSIR_BUCKETS
+    return f"""
+    WITH {_FEATS_SQL},
+    model AS (
+      SELECT bucket,
+             sum(CASE WHEN source IN ({tgt}) THEN 1 ELSE 0 END) AS c_t,
+             sum(CASE WHEN source IN ({tgt}) THEN 0 ELSE 1 END) AS c_r
+      FROM feats GROUP BY bucket
+    ), tot AS (
+      SELECT sum(c_t) AS nt, sum(c_r) AS nr FROM model
+    ), lr AS (
+      SELECT bucket,
+             ln(c_t + 1) - ln(nt + {b}) - ln(c_r + 1) + ln(nr + {b}) AS lr
+      FROM model, tot
+    ), weights AS (
+      SELECT doc_id, source, sum(lr.lr) AS w
+      FROM feats JOIN lr USING (bucket)
+      WHERE source NOT IN ({tgt})
+      GROUP BY doc_id, source
+    ), scored AS (
+      SELECT doc_id, source, w,
+             w - ln(-ln(({_md5_32_sql('CAST(doc_id AS VARCHAR)')} + 0.5)
+                        / 4294967296.0)) AS score
+      FROM weights
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        ORDER BY round(score, 6) DESC, doc_id) AS rn
+      FROM scored
+    )
+    SELECT doc_id, source, round(w, 4) AS log_ratio,
+           round(score, 4) AS dsir_score
+    FROM ranked WHERE rn <= {topk}
+    """
+
+
+@register("llm_dsir_select", oracle=_dsir_oracle())
+def llm_dsir_select(spark, sf_dir):
+    """DSIR importance resampling: hashed unigram+bigram bag models for
+    the target slice vs the raw pool, per-doc log-likelihood-ratio
+    weights, Gumbel-top-k selection — see :func:`dsir_select` for the
+    bounded-domain model / broadcast-scoring scale shape."""
+    return dsir_select(_docs(spark, sf_dir))
