@@ -277,16 +277,18 @@ def dsir_select(
         F.sum(is_target.cast("int")).alias("c_t"),
         F.sum((~is_target).cast("int")).alias("c_r"),
     )
-    totals = model.agg(
-        F.sum("c_t").alias("nt"), F.sum("c_r").alias("nr")
-    )
-    lr = model.crossJoin(F.broadcast(totals)).select(
+    # totals via a global window over the <=DSIR_BUCKETS-row model — a
+    # separate `model.agg(...)` + crossJoin would RE-DERIVE the model
+    # (one extra full corpus scan, census-caught); the window funnels
+    # only the bounded-domain relation through a single partition
+    everything = Window.partitionBy()
+    lr = model.select(
         "bucket",
         (
             F.log(F.col("c_t") + 1)
-            - F.log(F.col("nt") + F.lit(DSIR_BUCKETS))
+            - F.log(F.sum("c_t").over(everything) + F.lit(DSIR_BUCKETS))
             - F.log(F.col("c_r") + 1)
-            + F.log(F.col("nr") + F.lit(DSIR_BUCKETS))
+            + F.log(F.sum("c_r").over(everything) + F.lit(DSIR_BUCKETS))
         ).alias("lr"),
     )
     weights = (
