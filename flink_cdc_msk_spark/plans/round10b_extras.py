@@ -364,3 +364,213 @@ def llm_dsir_select(spark, sf_dir):
     weights, Gumbel-top-k selection — see :func:`dsir_select` for the
     bounded-domain model / broadcast-scoring scale shape."""
     return dsir_select(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Cross-source contamination matrix
+# ---------------------------------------------------------------------------
+
+
+def source_overlap_matrix(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Exact pairwise shingle-set Jaccard between SOURCES — the corpus
+    forensics view ("how much does crawl slice A replicate slice B")
+    that decides which sources a mixture plan can treat as independent.
+
+    Scale shape: the corpus-scale relation is the DISTINCT
+    (source, shingle) set — one shuffle on (source, shingle); the
+    per-shingle source list is bounded by the SOURCE COUNT (tens), so
+    the collect_set groups never skew and the pair fan-out per shingle
+    is at most C(n_sources, 2); the result is n_sources² rows. No
+    corpus self-join: the quadratic relation here is over SOURCES, not
+    documents. All counts are integers — the only float is the final
+    division, so the hash needs no summation-order defense.
+    """
+    base = docs.select("source", T.tokens("text").alias("_t"))
+    sh = base.select(
+        "source",
+        F.explode(
+            F.array_distinct(T.shingles_from_tokens(F.col("_t"), n))
+        ).alias("sh"),
+    ).distinct()
+    sizes = sh.groupBy("source").agg(F.count("*").alias("sz"))
+    srcs = F.col("srcs")
+    pair_structs = F.flatten(
+        F.transform(
+            srcs,
+            lambda x, i: F.transform(
+                F.slice(srcs, i + F.lit(2), F.size(srcs)),
+                lambda y: F.struct(x.alias("s1"), y.alias("s2")),
+            ),
+        )
+    )
+    inter = (
+        sh.groupBy("sh")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
+        .agg(F.count("*").alias("intersecting"))
+    )
+    a = sizes.select(F.col("source").alias("s1"), F.col("sz").alias("sz1"))
+    b = sizes.select(F.col("source").alias("s2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(F.broadcast(a), "s1")
+        .join(F.broadcast(b), "s2")
+        .select(
+            "s1",
+            "s2",
+            "intersecting",
+            F.round(
+                F.col("intersecting")
+                / (F.col("sz1") + F.col("sz2") - F.col("intersecting")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+_OVERLAP_ORACLE = """
+    WITH arrs AS (
+      SELECT source, list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '') AS a
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT source, s.sh AS sh
+      FROM arrs, unnest(list_distinct(list_transform(
+        generate_series(1, len(a) - 2),
+        i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2]))) AS s(sh)
+    ), sizes AS (
+      SELECT source, count(*) AS sz FROM sh GROUP BY source
+    ), inter AS (
+      SELECT x.source AS s1, y.source AS s2, count(*) AS intersecting
+      FROM sh x JOIN sh y ON x.sh = y.sh AND x.source < y.source
+      GROUP BY 1, 2
+    )
+    SELECT s1, s2, intersecting,
+           round(intersecting / (za.sz + zb.sz - intersecting), 6)
+             AS jaccard
+    FROM inter
+    JOIN sizes za ON za.source = s1
+    JOIN sizes zb ON zb.source = s2
+    """
+
+
+@register("text_source_overlap_matrix", oracle=_OVERLAP_ORACLE)
+def text_source_overlap_matrix(spark, sf_dir):
+    """Pairwise source-level shingle Jaccard — see
+    :func:`source_overlap_matrix` (distinct (source, shingle) relation,
+    source-count-bounded pair fan-out, no document self-join)."""
+    return source_overlap_matrix(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Streaming BM25: additive corpus statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_bm25_rank",
+    # BM25's corpus state (N, sum_dl, per-term df) is ADDITIVE — the
+    # cell-wise sum of per-batch partials equals the whole-corpus stats
+    # exactly, so the final ranking is bit-identical to the batch
+    # query's and shares its oracle verbatim.
+    oracle=_bm25_oracle(),
+)
+def streaming_bm25_rank(spark, sf_dir):
+    """BM25 with its global statistics maintained INCREMENTALLY through
+    Structured Streaming: each micro-batch (maxFilesPerTrigger=1 over a
+    6-file replay of documents, >=2 batches asserted) reduces to ONE
+    stats row (n_docs, sum_dl, df per term) written to a batch_id-keyed
+    store (overwrite => retry-idempotent); the partials are summed and
+    broadcast into the scoring pass. At 100 TB this is the point: the
+    ranking state a stream must carry is O(|terms|) counters per batch
+    — never documents — and a new day's crawl updates the corpus model
+    by ADDING its one-row partial, not by re-aggregating history."""
+    from ..sources.tables import load_tables
+    from ..streaming.materialize import session_tmpdir
+
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "source", "text"
+    )
+    d = session_tmpdir("stream_bm25_")
+    src = f"{d}/src"
+    docs.repartition(6).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    store = f"{d}/partials"
+    terms = BM25_TERMS
+
+    def maintain(bdf: DataFrame, batch_id: int) -> None:
+        part = bdf.select(T.tokens("text").alias("_t")).select(
+            F.size("_t").alias("dl"),
+            *[_tf("_t", t).alias(f"tf_{i}") for i, t in enumerate(terms)],
+        )
+        part.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+            *[
+                F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+                for i in range(len(terms))
+            ],
+        ).write.mode("overwrite").parquet(f"{store}/batch={batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(maintain)
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    import glob as _glob
+
+    n_batches = len(_glob.glob(f"{store}/batch=*"))
+    assert n_batches >= 2, f"expected a multi-batch replay, got {n_batches}"
+
+    stats = spark.read.parquet(store).agg(
+        F.sum("n_docs").alias("n_docs"),
+        (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
+        *[
+            F.sum(f"df_{i}").alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+
+    base = docs.select(
+        "doc_id",
+        "source",
+        T.tokens("text").alias("_t"),
+    ).select(
+        "doc_id",
+        "source",
+        F.size("_t").alias("dl"),
+        *[_tf("_t", t).alias(f"tf_{i}") for i, t in enumerate(terms)],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    norm = F.lit(BM25_K1) * (
+        F.lit(1 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    score: Column = F.lit(0.0)
+    any_tf: Column = F.lit(0)
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        score = score + idf * tf * F.lit(BM25_K1 + 1.0) / (tf + norm)
+        any_tf = any_tf + tf
+    return (
+        scored.filter(any_tf > 0)
+        .select("doc_id", "source", "dl", score.alias("_score"))
+        .orderBy(F.round("_score", 6).desc(), "doc_id")
+        .limit(BM25_TOPK)
+        .select(
+            "doc_id", "source", "dl", F.round("_score", 4).alias("bm25")
+        )
+    )

@@ -147,3 +147,65 @@ def test_dsir_topk_and_determinism(spark):
 def test_dsir_excludes_target_slice_from_selection(spark):
     got = dsir_select(_corpus(spark), target_sources=("tgt",), topk=10).collect()
     assert all(r.source == "raw" for r in got)
+
+
+# ---------------------------------------------------------------------------
+# source overlap matrix
+# ---------------------------------------------------------------------------
+
+
+def test_overlap_matrix_detects_shared_shingles(spark):
+    docs = _docs_df(
+        spark,
+        [
+            (1, "a", "one two three four five"),
+            (2, "b", "one two three nine ten"),
+            (3, "c", "p q r s t"),
+        ],
+    )
+    from flink_cdc_msk_spark.plans.round10b_extras import (
+        source_overlap_matrix,
+    )
+
+    got = {(r.s1, r.s2): r for r in source_overlap_matrix(docs).collect()}
+    # a: {one two three, two three four, three four five}
+    # b: {one two three, two three nine, three nine ten} → inter=1, union=5
+    assert set(got) == {("a", "b")}
+    assert got[("a", "b")].intersecting == 1
+    assert abs(got[("a", "b")].jaccard - 0.2) < 1e-9
+
+
+def test_overlap_matrix_identical_sources_jaccard_one(spark):
+    docs = _docs_df(
+        spark,
+        [
+            (1, "a", "one two three four"),
+            (2, "b", "one two three four"),
+        ],
+    )
+    from flink_cdc_msk_spark.plans.round10b_extras import (
+        source_overlap_matrix,
+    )
+
+    [row] = source_overlap_matrix(docs).collect()
+    assert (row.s1, row.s2) == ("a", "b")
+    assert row.jaccard == 1.0
+
+
+def test_overlap_matrix_three_way_pairs(spark):
+    # one shingle shared by all three sources → 3 pairs, each inter=1
+    docs = _docs_df(
+        spark,
+        [
+            (1, "a", "x y z"),
+            (2, "b", "x y z unique1 tail1 tail2"),
+            (3, "c", "x y z other1 other2 other3"),
+        ],
+    )
+    from flink_cdc_msk_spark.plans.round10b_extras import (
+        source_overlap_matrix,
+    )
+
+    got = {(r.s1, r.s2): r.intersecting
+           for r in source_overlap_matrix(docs).collect()}
+    assert got == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1}
