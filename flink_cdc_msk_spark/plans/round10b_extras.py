@@ -284,10 +284,22 @@ _FEATS_SQL = f"""
 """
 
 
+def _feat_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, bucket, cnt) — the feature stream reduced to
+    per-doc bucket counts. Both DSIR passes (model fit, scoring) are
+    derivable from this relation, so materializing it runs the
+    expensive projection (tokenize + bigram build + one md5 per
+    feature occurrence) ONCE instead of once per pass."""
+    return _features(docs).groupBy("doc_id", "source", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
 def dsir_select(
     docs: DataFrame,
     target_sources: tuple[str, ...] = DSIR_TARGET_SOURCES,
     topk: int = DSIR_TOPK,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR (Xie et al. 2023) over ``docs(doc_id, source, text)``:
     target slice = ``source IN target_sources``, raw pool = the rest.
@@ -307,12 +319,23 @@ def dsir_select(
     md5(doc_id) (u = (h + 0.5) / 2^32, g = -ln(-ln(u))), ranking uses
     the 6-dp-rounded score so float summation order cannot flip the
     cutoff, and the emitted weight is rounded to 4 dp.
+
+    Pass ``counts`` (a materialized :func:`_feat_counts`) to run the
+    expensive feature projection once — the registered query does, via
+    a session-keyed memoized localCheckpoint; without it both passes
+    work from cnt=1 occurrence rows derived straight from the scan
+    (same integers, no extra shuffle).
     """
-    feats = _features(docs)
+    if counts is None:
+        counts = _features(docs).withColumn("cnt", F.lit(1))
     is_target = F.col("source").isin(*target_sources)
-    model = feats.groupBy("bucket").agg(
-        F.sum(is_target.cast("int")).alias("c_t"),
-        F.sum((~is_target).cast("int")).alias("c_r"),
+    model = counts.groupBy("bucket").agg(
+        F.sum(F.when(is_target, F.col("cnt")).otherwise(F.lit(0))).alias(
+            "c_t"
+        ),
+        F.sum(F.when(is_target, F.lit(0)).otherwise(F.col("cnt"))).alias(
+            "c_r"
+        ),
     )
     # totals via a global window over the <=DSIR_BUCKETS-row model — a
     # separate `model.agg(...)` + crossJoin would RE-DERIVE the model
@@ -329,10 +352,10 @@ def dsir_select(
         ).alias("lr"),
     )
     weights = (
-        feats.filter(~is_target)
+        counts.filter(~is_target)
         .join(F.broadcast(lr), "bucket")
         .groupBy("doc_id", "source")
-        .agg(F.sum("lr").alias("w"))
+        .agg(F.sum(F.col("cnt") * F.col("lr")).alias("w"))
     )
     u = (
         _md5_32(F.col("doc_id").cast("string")) + F.lit(0.5)
@@ -394,13 +417,33 @@ def _dsir_oracle(
     """
 
 
+# session-keyed memo for the materialized per-doc bucket counts (the
+# same pattern as _BM25_BASE_MEMO): one feature projection per
+# (application, corpus) instead of one per pass per call
+_DSIR_COUNTS_MEMO: dict[tuple, DataFrame] = {}
+
+
 @register("llm_dsir_select", oracle=_dsir_oracle())
 def llm_dsir_select(spark, sf_dir):
     """DSIR importance resampling: hashed unigram+bigram bag models for
     the target slice vs the raw pool, per-doc log-likelihood-ratio
     weights, Gumbel-top-k selection — see :func:`dsir_select` for the
-    bounded-domain model / broadcast-scoring scale shape."""
-    return dsir_select(_docs(spark, sf_dir))
+    bounded-domain model / broadcast-scoring scale shape. The per-doc
+    bucket-count relation (4 compact columns) is localCheckpoint-
+    materialized so the feature projection (tokenize + bigrams + one
+    md5 per occurrence) runs once, not once per pass."""
+    from ..sources.tables import evict_stale_entries
+
+    docs = _docs(spark, sf_dir)
+    evict_stale_entries(
+        _DSIR_COUNTS_MEMO, spark.sparkContext.applicationId
+    )
+    key = (spark.sparkContext.applicationId, sf_dir, DSIR_BUCKETS)
+    counts = _DSIR_COUNTS_MEMO.get(key)
+    if counts is None:
+        counts = _feat_counts(docs).localCheckpoint(eager=False)
+        _DSIR_COUNTS_MEMO[key] = counts
+    return dsir_select(docs, counts=counts)
 
 
 # ---------------------------------------------------------------------------

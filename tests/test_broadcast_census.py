@@ -66,6 +66,13 @@ ALLOWED = {
     ("plans/round6_extras.py", "_bpe_round"): 1,  # 1-row merge pick
     ("plans/round8_extras.py", "llm_mixture_plan"): 1,  # 1-row totals
     ("plans/round8_extras.py", "sample_curriculum_order"): 1,  # bucket×shard
+    ("plans/round10b_extras.py", "bm25_rank"): 1,  # 1-row stats
+    ("plans/round10b_extras.py", "dsir_select"): 1,  # ≤DSIR_BUCKETS rows
+    # sizes table ≤ n_sources rows, joined from both sides
+    ("plans/round10b_extras.py", "source_overlap_matrix"): 2,
+    # streaming_bm25_rank's merged 1-row stats (the census keys the site
+    # by the nearest preceding def, which is the foreachBatch maintain)
+    ("plans/round10b_extras.py", "maintain"): 1,
     ("plans/windows_events.py", "events_resample_gapfill"): 1,  # types
     ("plans/windows_events.py", "streaming_incremental_batches"): 1,  # 1-row
 }
