@@ -451,7 +451,21 @@ def llm_dsir_select(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def source_overlap_matrix(docs: DataFrame, n: int = 3) -> DataFrame:
+def _source_shingles(docs: DataFrame, n: int) -> DataFrame:
+    """DISTINCT (source, shingle) — the corpus-scale relation both
+    overlap-matrix consumers (sizes, intersections) read."""
+    base = docs.select("source", T.tokens("text").alias("_t"))
+    return base.select(
+        "source",
+        F.explode(
+            F.array_distinct(T.shingles_from_tokens(F.col("_t"), n))
+        ).alias("sh"),
+    ).distinct()
+
+
+def source_overlap_matrix(
+    docs: DataFrame, n: int = 3, sh: DataFrame | None = None
+) -> DataFrame:
     """Exact pairwise shingle-set Jaccard between SOURCES — the corpus
     forensics view ("how much does crawl slice A replicate slice B")
     that decides which sources a mixture plan can treat as independent.
@@ -464,14 +478,14 @@ def source_overlap_matrix(docs: DataFrame, n: int = 3) -> DataFrame:
     corpus self-join: the quadratic relation here is over SOURCES, not
     documents. All counts are integers — the only float is the final
     division, so the hash needs no summation-order defense.
+
+    Pass ``sh`` (a materialized :func:`_source_shingles`) to run the
+    tokenize + shingle + distinct pipeline once — the registered query
+    does; without it each consumer re-derives it (including the
+    distinct SHUFFLE, the operator's dominant cost) from the scan.
     """
-    base = docs.select("source", T.tokens("text").alias("_t"))
-    sh = base.select(
-        "source",
-        F.explode(
-            F.array_distinct(T.shingles_from_tokens(F.col("_t"), n))
-        ).alias("sh"),
-    ).distinct()
+    if sh is None:
+        sh = _source_shingles(docs, n)
     sizes = sh.groupBy("source").agg(F.count("*").alias("sz"))
     srcs = F.col("srcs")
     pair_structs = F.flatten(
@@ -535,12 +549,30 @@ _OVERLAP_ORACLE = """
     """
 
 
+_OVERLAP_SH_MEMO: dict[tuple, DataFrame] = {}
+
+
 @register("text_source_overlap_matrix", oracle=_OVERLAP_ORACLE)
 def text_source_overlap_matrix(spark, sf_dir):
     """Pairwise source-level shingle Jaccard — see
     :func:`source_overlap_matrix` (distinct (source, shingle) relation,
-    source-count-bounded pair fan-out, no document self-join)."""
-    return source_overlap_matrix(_docs(spark, sf_dir))
+    source-count-bounded pair fan-out, no document self-join). The
+    distinct relation is localCheckpoint-materialized behind a
+    session-keyed memo: unlike the BM25/DSIR memos this helps the FIRST
+    call too, since both consumers otherwise re-run the distinct
+    shuffle (PERF §38)."""
+    from ..sources.tables import evict_stale_entries
+
+    docs = _docs(spark, sf_dir)
+    evict_stale_entries(
+        _OVERLAP_SH_MEMO, spark.sparkContext.applicationId
+    )
+    key = (spark.sparkContext.applicationId, sf_dir, 3)
+    sh = _OVERLAP_SH_MEMO.get(key)
+    if sh is None:
+        sh = _source_shingles(docs, 3).localCheckpoint(eager=False)
+        _OVERLAP_SH_MEMO[key] = sh
+    return source_overlap_matrix(docs, sh=sh)
 
 
 # ---------------------------------------------------------------------------
