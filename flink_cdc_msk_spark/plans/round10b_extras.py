@@ -686,3 +686,106 @@ def streaming_bm25_rank(spark, sf_dir):
             "doc_id", "source", "dl", F.round("_score", 4).alias("bm25")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming DSIR: additive model maintenance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_dsir_select",
+    # the hashed-n-gram bag model is ADDITIVE: per-batch (bucket, c_t,
+    # c_r) partials sum cell-wise to the whole-corpus model, so the
+    # final selection is bit-identical to the batch query's and shares
+    # its oracle verbatim (the streaming_cms_heavy_hitters /
+    # streaming_bm25_rank argument).
+    oracle=_dsir_oracle(),
+)
+def streaming_dsir_select(spark, sf_dir):
+    """DSIR with its bag models maintained INCREMENTALLY through
+    Structured Streaming: each micro-batch (maxFilesPerTrigger=1 over a
+    6-file replay of documents, >=2 batches asserted) reduces to at
+    most DSIR_BUCKETS (bucket, c_t, c_r) rows written to a
+    batch_id-keyed store (overwrite => retry-idempotent); partials sum
+    to the exact whole-corpus model, from which the log-ratio table is
+    derived and broadcast into the scoring pass. At 100 TB this is the
+    ingestion contract: a new crawl day updates the target/raw models
+    by ADDING its <=512-row partial — no history re-aggregation — and
+    re-selection over any pool then prices at the scoring pass alone."""
+    from ..sources.tables import load_tables
+    from ..streaming.materialize import session_tmpdir
+
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "source", "text"
+    )
+    d = session_tmpdir("stream_dsir_")
+    src = f"{d}/src"
+    docs.repartition(6).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    store = f"{d}/partials"
+    is_target = F.col("source").isin(*DSIR_TARGET_SOURCES)
+
+    def maintain(bdf: DataFrame, batch_id: int) -> None:
+        _features(bdf).groupBy("bucket").agg(
+            F.sum(is_target.cast("long")).alias("c_t"),
+            F.sum((~is_target).cast("long")).alias("c_r"),
+        ).write.mode("overwrite").parquet(f"{store}/batch={batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(maintain)
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    import glob as _glob
+
+    n_batches = len(_glob.glob(f"{store}/batch=*"))
+    assert n_batches >= 2, f"expected a multi-batch replay, got {n_batches}"
+
+    model = spark.read.parquet(store).groupBy("bucket").agg(
+        F.sum("c_t").alias("c_t"), F.sum("c_r").alias("c_r")
+    )
+    everything = Window.partitionBy()
+    lr = model.select(
+        "bucket",
+        (
+            F.log(F.col("c_t") + 1)
+            - F.log(F.sum("c_t").over(everything) + F.lit(DSIR_BUCKETS))
+            - F.log(F.col("c_r") + 1)
+            + F.log(F.sum("c_r").over(everything) + F.lit(DSIR_BUCKETS))
+        ).alias("lr"),
+    )
+    weights = (
+        _features(docs)
+        .filter(~is_target)
+        .join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("lr").alias("w"))
+    )
+    u = (
+        _md5_32(F.col("doc_id").cast("string")) + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    scored = weights.select(
+        "doc_id",
+        "source",
+        "w",
+        (F.col("w") - F.log(-F.log(u))).alias("_score"),
+    )
+    return (
+        scored.orderBy(F.round("_score", 6).desc(), "doc_id")
+        .limit(DSIR_TOPK)
+        .select(
+            "doc_id",
+            "source",
+            F.round("w", 4).alias("log_ratio"),
+            F.round("_score", 4).alias("dsir_score"),
+        )
+    )

@@ -209,3 +209,25 @@ def test_overlap_matrix_three_way_pairs(spark):
     got = {(r.s1, r.s2): r.intersecting
            for r in source_overlap_matrix(docs).collect()}
     assert got == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1}
+
+
+# ---------------------------------------------------------------------------
+# streaming twins
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_twins_match_batch(spark):
+    # the additive-stats argument, pinned end-to-end at sf0.001: the
+    # streaming replays must produce exactly the batch queries' rows
+    from flink_cdc_msk_spark.plans.round10b_extras import (
+        llm_dsir_select,
+        streaming_bm25_rank,
+        streaming_dsir_select,
+        text_bm25_rank,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    assert sorted(map(str, streaming_bm25_rank(spark, sf).collect())) == \
+        sorted(map(str, text_bm25_rank(spark, sf).collect()))
+    assert sorted(map(str, streaming_dsir_select(spark, sf).collect())) == \
+        sorted(map(str, llm_dsir_select(spark, sf).collect()))
