@@ -789,3 +789,156 @@ def streaming_dsir_select(spark, sf_dir):
             F.round("_score", 4).alias("dsir_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-overlap MinHash sketch — the shuffle-free scale path
+# ---------------------------------------------------------------------------
+
+_SIG_K = 32  # 8 md5 digests x 4 independent 32-bit slices
+
+
+def _sig_cols(sh_col: str = "sh") -> list[Column]:
+    """32 portable min-hash aggregates over a shingle column: seed s
+    prefixes the digest input, the four 8-hex slices of each digest are
+    independent 32-bit hashes (the operators/dedup.py _bloom_bit
+    idiom), so 32 signature components cost 8 md5 calls per row. All
+    algebraic mins — fully map-side combinable."""
+    cols = []
+    for i in range(_SIG_K):
+        seed, sl = divmod(i, 4)
+        digest = F.md5(
+            F.concat(F.lit(f"{seed}:"), F.col(sh_col)).cast("binary")
+        )
+        cols.append(
+            F.min(
+                F.conv(
+                    F.substring(digest, 1 + 8 * sl, 8), 16, 10
+                ).cast("long")
+            ).alias(f"h{i}")
+        )
+    return cols
+
+
+def _sig_sql(expr: str, i: int) -> str:
+    seed, sl = divmod(i, 4)
+    return (
+        f"min(CAST(concat('0x', substr(md5('{seed}:' || {expr}), "
+        f"{1 + 8 * sl}, 8)) AS BIGINT))"
+    )
+
+
+def source_minhash_sigs(sh: DataFrame) -> DataFrame:
+    """(source, h0..h31) from any (source, sh) relation. Min is
+    multiset-invariant, so raw shingle OCCURRENCES give the same
+    signature as the distinct set — the standalone scale path feeds
+    occurrences straight from the scan and never shuffles anything
+    larger than n_sources x 32 partial minima."""
+    return sh.groupBy("source").agg(*_sig_cols())
+
+
+@register(
+    "text_source_overlap_sketch",
+    oracle=f"""
+    WITH arrs AS (
+      SELECT source, list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '') AS a
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT source, s.sh AS sh
+      FROM arrs, unnest(list_distinct(list_transform(
+        generate_series(1, len(a) - 2),
+        i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2]))) AS s(sh)
+    ), sizes AS (
+      SELECT source, count(*) AS sz FROM sh GROUP BY source
+    ), inter AS (
+      SELECT x.source AS s1, y.source AS s2, count(*) AS intersecting
+      FROM sh x JOIN sh y ON x.sh = y.sh AND x.source < y.source
+      GROUP BY 1, 2
+    ), exact AS (
+      SELECT s1, s2,
+             round(intersecting / (za.sz + zb.sz - intersecting), 6)
+               AS exact_jaccard
+      FROM inter
+      JOIN sizes za ON za.source = s1
+      JOIN sizes zb ON zb.source = s2
+    ), sigs AS (
+      SELECT source,
+             {", ".join(f"{_sig_sql('sh', i)} AS h{i}" for i in range(_SIG_K))}
+      FROM sh GROUP BY source
+    ), est AS (
+      SELECT a.source AS s1, b.source AS s2,
+             ({" + ".join(f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(_SIG_K))})
+               AS matches
+      FROM sigs a JOIN sigs b ON a.source < b.source
+    )
+    SELECT est.s1, est.s2, CAST(matches AS BIGINT) AS matches,
+           round(matches / {_SIG_K}.0, 6) AS est_jaccard,
+           coalesce(exact.exact_jaccard, 0.0) AS exact_jaccard,
+           round(abs(round(matches / {_SIG_K}.0, 6)
+                     - coalesce(exact.exact_jaccard, 0.0)), 6) AS abs_err
+    FROM est LEFT JOIN exact ON est.s1 = exact.s1 AND est.s2 = exact.s2
+    """,
+)
+def text_source_overlap_sketch(spark, sf_dir):
+    """MinHash-signature estimate of the source-overlap matrix,
+    self-gated against the exact values — the SHUFFLE-FREE scale path
+    of ``text_source_overlap_matrix``: signature state is
+    n_sources x 32 algebraic minima, so standalone sketch use reduces
+    entirely map-side (no distinct shuffle, no pair explode; see
+    :func:`source_minhash_sigs` — occurrence-fed signatures equal
+    distinct-set signatures, min being multiset-invariant, pinned by
+    test). This registered form ALSO derives the exact matrix (from
+    the same memoized distinct relation) and emits per-pair estimate,
+    exact value, and absolute error — a green driver row certifies the
+    k=32 estimator's error profile on this corpus, the
+    agg_kmv_theta_ops sketch-vs-exact pattern."""
+    from ..sources.tables import evict_stale_entries
+
+    docs = _docs(spark, sf_dir)
+    evict_stale_entries(
+        _OVERLAP_SH_MEMO, spark.sparkContext.applicationId
+    )
+    key = (spark.sparkContext.applicationId, sf_dir, 3)
+    sh = _OVERLAP_SH_MEMO.get(key)
+    if sh is None:
+        sh = _source_shingles(docs, 3).localCheckpoint(eager=False)
+        _OVERLAP_SH_MEMO[key] = sh
+    sigs = source_minhash_sigs(sh)
+    a = sigs.select(
+        F.col("source").alias("s1"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(_SIG_K)],
+    )
+    b = sigs.select(
+        F.col("source").alias("s2"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(_SIG_K)],
+    )
+    matches: Column = F.lit(0)
+    for i in range(_SIG_K):
+        matches = matches + (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+    est = (
+        a.join(b, F.col("s1") < F.col("s2"))
+        .select("s1", "s2", matches.cast("bigint").alias("matches"))
+    )
+    exact = source_overlap_matrix(docs, sh=sh).select(
+        "s1", "s2", F.col("jaccard").alias("exact_jaccard")
+    )
+    est_j = F.round(F.col("matches") / F.lit(float(_SIG_K)), 6)
+    return (
+        est.join(exact, ["s1", "s2"], "left")
+        .select(
+            "s1",
+            "s2",
+            "matches",
+            est_j.alias("est_jaccard"),
+            F.coalesce(F.col("exact_jaccard"), F.lit(0.0)).alias(
+                "exact_jaccard"
+            ),
+            F.round(
+                F.abs(
+                    est_j - F.coalesce(F.col("exact_jaccard"), F.lit(0.0))
+                ),
+                6,
+            ).alias("abs_err"),
+        )
+    )

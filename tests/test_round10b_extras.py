@@ -231,3 +231,42 @@ def test_streaming_twins_match_batch(spark):
         sorted(map(str, text_bm25_rank(spark, sf).collect()))
     assert sorted(map(str, streaming_dsir_select(spark, sf).collect())) == \
         sorted(map(str, llm_dsir_select(spark, sf).collect()))
+
+
+def test_overlap_sketch_min_invariance_and_self_gate(spark):
+    # occurrence-fed signatures equal distinct-set signatures (min is
+    # multiset-invariant) — the claim that lets the standalone sketch
+    # path skip the distinct shuffle entirely
+    from pyspark.sql import functions as F
+
+    from flink_cdc_msk_spark.functions import text as T
+    from flink_cdc_msk_spark.plans.round10b_extras import (
+        _source_shingles,
+        source_minhash_sigs,
+        text_source_overlap_sketch,
+    )
+
+    docs = _docs_df(
+        spark,
+        [(1, "a", "x y z w x y z"), (2, "b", "x y z q r s t")],
+    )
+    occ = docs.select(
+        "source",
+        F.explode(T.shingles_from_tokens(T.tokens("text"), 3)).alias("sh"),
+    )
+    got_occ = sorted(map(str, source_minhash_sigs(occ).collect()))
+    got_dist = sorted(
+        map(str, source_minhash_sigs(_source_shingles(docs, 3)).collect())
+    )
+    assert got_occ == got_dist
+
+    # self-gate shape on real data: est in [0,1], err = |est - exact|
+    rows = text_source_overlap_sketch(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 190  # all C(20,2) pairs, zero-overlap included
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert abs(
+            r.abs_err - round(abs(r.est_jaccard - r.exact_jaccard), 6)
+        ) < 1e-9
