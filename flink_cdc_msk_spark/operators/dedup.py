@@ -853,26 +853,36 @@ def simhash_pairs(
     )
 
 
-def _bloom_bit(text_col, slot: int, m_bits: int):
-    """Engine-portable bloom position: disjoint 8-hex (32-bit) slices of
-    the md5 digest, parsed as integers, mod m — three independent-enough
-    hash functions with no 64-bit multiply (which ANSI mode would
-    overflow) and an exact DuckDB twin (see bloom_bit_sql)."""
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.pmod(
-        F.conv(
-            F.substring(F.md5(c.cast("binary")), 1 + 8 * slot, 8), 16, 10
-        ).cast("long"),
-        F.lit(m_bits),
+def md5_slice32(col, slot: int = 0):
+    """Engine-portable 32-bit hash: the ``slot``-th 8-hex slice of the
+    md5 digest, parsed as an integer — no 64-bit multiply (which ANSI
+    mode would overflow) and an exact DuckDB twin
+    (:func:`md5_slice32_sql`). The single definition of the portable
+    hash contract: bloom bits, DSIR feature buckets, Gumbel seeds, and
+    the source-overlap minhash family all derive from it."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(
+        F.substring(F.md5(c.cast("binary")), 1 + 8 * slot, 8), 16, 10
+    ).cast("long")
+
+
+def md5_slice32_sql(expr: str, slot: int = 0) -> str:
+    """DuckDB twin of :func:`md5_slice32`."""
+    return (
+        f"CAST(concat('0x', substr(md5({expr}), {1 + 8 * slot}, 8)) "
+        f"AS BIGINT)"
     )
+
+
+def _bloom_bit(text_col, slot: int, m_bits: int):
+    """Bloom position: :func:`md5_slice32` mod m — three
+    independent-enough hash functions from the disjoint slices."""
+    return F.pmod(md5_slice32(text_col, slot), F.lit(m_bits))
 
 
 def bloom_bit_sql(expr: str, slot: int, m_bits: int) -> str:
     """DuckDB twin of :func:`_bloom_bit`."""
-    return (
-        f"CAST(concat('0x', substr(md5({expr}), {1 + 8 * slot}, 8)) "
-        f"AS BIGINT) % {m_bits}"
-    )
+    return f"{md5_slice32_sql(expr, slot)} % {m_bits}"
 
 
 def bloom_prefilter_dedup(

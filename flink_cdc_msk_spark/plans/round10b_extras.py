@@ -30,26 +30,27 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..operators.dedup import md5_slice32, md5_slice32_sql
 from .llm_pipeline import _docs
 from .registry import register
 
-# ---------------------------------------------------------------------------
-# shared portable hash: first 8 hex chars of md5, parsed as a 32-bit int
-# (the bloom/minhash idiom — operators/dedup.py::_bloom_bit and its SQL twin)
-# ---------------------------------------------------------------------------
-
-
-def _md5_32(col: Column) -> Column:
-    return F.conv(
-        F.substring(F.md5(col.cast("binary")), 1, 8), 16, 10
-    ).cast("long")
-
-
-def _md5_32_sql(expr: str) -> str:
-    return f"CAST(concat('0x', substr(md5({expr}), 1, 8)) AS BIGINT)"
-
-
 _TOKENS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+
+def _memoized(memo: dict, spark, extra: tuple, build) -> DataFrame:
+    """Session-keyed lazy-localCheckpoint memo (the dedup.py
+    ``_ORDERED_MEMO`` pattern): one materialization per
+    (application, *extra), dead-app entries evicted on access."""
+    from ..sources.tables import evict_stale_entries
+
+    app = spark.sparkContext.applicationId
+    evict_stale_entries(memo, app)
+    key = (app,) + extra
+    got = memo.get(key)
+    if got is None:
+        got = build().localCheckpoint(eager=False)
+        memo[key] = got
+    return got
 
 
 # ---------------------------------------------------------------------------
@@ -97,6 +98,7 @@ def bm25_rank(
     b: float = BM25_B,
     topk: int = BM25_TOPK,
     base: DataFrame | None = None,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Okapi BM25 top-k over ``docs(doc_id, source, text)``.
 
@@ -118,17 +120,33 @@ def bm25_rank(
     6-dp-rounded score (ties broken by doc_id) so the cutoff set is
     engine-stable; the emitted score is rounded to 4 dp per the
     registry convention.
+
+    Pass ``stats`` (any 1-row (n_docs, avgdl, df_i...) relation, e.g.
+    merged streaming partials) to skip the stats pass — the streaming
+    twin does; both passes then share THIS function's scoring tail, so
+    the batch and streaming formulations cannot drift.
     """
     if base is None:
         base = _bm25_base(docs, terms)
-    stats = base.agg(
-        F.count("*").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-        *[
-            F.sum((F.col(f"tf_{i}") > 0).cast("int")).alias(f"df_{i}")
-            for i in range(len(terms))
-        ],
-    )
+    else:
+        want = ["doc_id", "source", "dl"] + [
+            f"tf_{i}" for i in range(len(terms))
+        ]
+        if list(base.columns) != want:
+            raise ValueError(
+                f"base columns {base.columns} do not match terms "
+                f"{terms} (expected {want}) — a base built for a "
+                "different term set would score silently wrong"
+            )
+    if stats is None:
+        stats = base.agg(
+            F.count("*").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+            *[
+                F.sum((F.col(f"tf_{i}") > 0).cast("int")).alias(f"df_{i}")
+                for i in range(len(terms))
+            ],
+        )
     scored = base.crossJoin(F.broadcast(stats))
     norm = F.lit(k1) * (
         F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
@@ -218,17 +236,13 @@ def text_bm25_rank(spark, sf_dir):
     columns — at 100 TB of text it is ~0.1% of the input) is
     localCheckpoint-materialized so the corpus is tokenized once, not
     once per pass; memoized per (application, sf_dir, terms)."""
-    from ..sources.tables import evict_stale_entries
-
     docs = _docs(spark, sf_dir)
-    evict_stale_entries(
-        _BM25_BASE_MEMO, spark.sparkContext.applicationId
+    base = _memoized(
+        _BM25_BASE_MEMO,
+        spark,
+        (sf_dir, BM25_TERMS),
+        lambda: _bm25_base(docs, BM25_TERMS),
     )
-    key = (spark.sparkContext.applicationId, sf_dir, BM25_TERMS)
-    base = _BM25_BASE_MEMO.get(key)
-    if base is None:
-        base = _bm25_base(docs, BM25_TERMS).localCheckpoint(eager=False)
-        _BM25_BASE_MEMO[key] = base
     return bm25_rank(docs, base=base)
 
 
@@ -260,7 +274,7 @@ def _features(docs: DataFrame) -> DataFrame:
     return feats.select(
         "doc_id",
         "source",
-        F.pmod(_md5_32(F.col("feat")), F.lit(DSIR_BUCKETS)).alias("bucket"),
+        F.pmod(md5_slice32(F.col("feat")), F.lit(DSIR_BUCKETS)).alias("bucket"),
     )
 
 
@@ -278,7 +292,7 @@ _FEATS_SQL = f"""
       FROM toks
     ), feats AS (
       SELECT doc_id, source,
-             {_md5_32_sql('f.x')} % {DSIR_BUCKETS} AS bucket
+             {md5_slice32_sql('f.x')} % {DSIR_BUCKETS} AS bucket
       FROM featlists, unnest(fs) AS f(x)
     )
 """
@@ -300,6 +314,7 @@ def dsir_select(
     target_sources: tuple[str, ...] = DSIR_TARGET_SOURCES,
     topk: int = DSIR_TOPK,
     counts: DataFrame | None = None,
+    model: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR (Xie et al. 2023) over ``docs(doc_id, source, text)``:
     target slice = ``source IN target_sources``, raw pool = the rest.
@@ -324,19 +339,24 @@ def dsir_select(
     expensive feature projection once — the registered query does, via
     a session-keyed memoized localCheckpoint; without it both passes
     work from cnt=1 occurrence rows derived straight from the scan
-    (same integers, no extra shuffle).
+    (same integers, no extra shuffle). Pass ``model`` (any
+    (bucket, c_t, c_r) relation, e.g. merged streaming partials) to
+    skip the fit pass — the streaming twin does; both twins then share
+    THIS function's log-ratio/Gumbel/top-k tail, so the formulations
+    cannot drift.
     """
     if counts is None:
         counts = _features(docs).withColumn("cnt", F.lit(1))
     is_target = F.col("source").isin(*target_sources)
-    model = counts.groupBy("bucket").agg(
-        F.sum(F.when(is_target, F.col("cnt")).otherwise(F.lit(0))).alias(
-            "c_t"
-        ),
-        F.sum(F.when(is_target, F.lit(0)).otherwise(F.col("cnt"))).alias(
-            "c_r"
-        ),
-    )
+    if model is None:
+        model = counts.groupBy("bucket").agg(
+            F.sum(
+                F.when(is_target, F.col("cnt")).otherwise(F.lit(0))
+            ).alias("c_t"),
+            F.sum(
+                F.when(is_target, F.lit(0)).otherwise(F.col("cnt"))
+            ).alias("c_r"),
+        )
     # totals via a global window over the <=DSIR_BUCKETS-row model — a
     # separate `model.agg(...)` + crossJoin would RE-DERIVE the model
     # (one extra full corpus scan, census-caught); the window funnels
@@ -358,7 +378,7 @@ def dsir_select(
         .agg(F.sum(F.col("cnt") * F.col("lr")).alias("w"))
     )
     u = (
-        _md5_32(F.col("doc_id").cast("string")) + F.lit(0.5)
+        md5_slice32(F.col("doc_id").cast("string")) + F.lit(0.5)
     ) / F.lit(4294967296.0)
     scored = weights.select(
         "doc_id",
@@ -403,7 +423,7 @@ def _dsir_oracle(
       GROUP BY doc_id, source
     ), scored AS (
       SELECT doc_id, source, w,
-             w - ln(-ln(({_md5_32_sql('CAST(doc_id AS VARCHAR)')} + 0.5)
+             w - ln(-ln(({md5_slice32_sql('CAST(doc_id AS VARCHAR)')} + 0.5)
                         / 4294967296.0)) AS score
       FROM weights
     ), ranked AS (
@@ -432,17 +452,13 @@ def llm_dsir_select(spark, sf_dir):
     bucket-count relation (4 compact columns) is localCheckpoint-
     materialized so the feature projection (tokenize + bigrams + one
     md5 per occurrence) runs once, not once per pass."""
-    from ..sources.tables import evict_stale_entries
-
     docs = _docs(spark, sf_dir)
-    evict_stale_entries(
-        _DSIR_COUNTS_MEMO, spark.sparkContext.applicationId
+    counts = _memoized(
+        _DSIR_COUNTS_MEMO,
+        spark,
+        (sf_dir, DSIR_BUCKETS),
+        lambda: _feat_counts(docs),
     )
-    key = (spark.sparkContext.applicationId, sf_dir, DSIR_BUCKETS)
-    counts = _DSIR_COUNTS_MEMO.get(key)
-    if counts is None:
-        counts = _feat_counts(docs).localCheckpoint(eager=False)
-        _DSIR_COUNTS_MEMO[key] = counts
     return dsir_select(docs, counts=counts)
 
 
@@ -561,17 +577,13 @@ def text_source_overlap_matrix(spark, sf_dir):
     session-keyed memo: unlike the BM25/DSIR memos this helps the FIRST
     call too, since both consumers otherwise re-run the distinct
     shuffle (PERF §38)."""
-    from ..sources.tables import evict_stale_entries
-
     docs = _docs(spark, sf_dir)
-    evict_stale_entries(
-        _OVERLAP_SH_MEMO, spark.sparkContext.applicationId
+    sh = _memoized(
+        _OVERLAP_SH_MEMO,
+        spark,
+        (sf_dir, 3),
+        lambda: _source_shingles(docs, 3),
     )
-    key = (spark.sparkContext.applicationId, sf_dir, 3)
-    sh = _OVERLAP_SH_MEMO.get(key)
-    if sh is None:
-        sh = _source_shingles(docs, 3).localCheckpoint(eager=False)
-        _OVERLAP_SH_MEMO[key] = sh
     return source_overlap_matrix(docs, sh=sh)
 
 
@@ -636,13 +648,19 @@ def streaming_bm25_rank(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    q.awaitTermination(300)
 
     import glob as _glob
 
     n_batches = len(_glob.glob(f"{store}/batch=*"))
-    assert n_batches >= 2, f"expected a multi-batch replay, got {n_batches}"
+    if n_batches < 2:
+        raise ValueError(
+            f"expected a multi-batch replay, got {n_batches}"
+        )
 
+    # avgdl = exact integer sums then one division — bit-identical to
+    # the batch path's F.avg; the scoring tail is bm25_rank's own, so
+    # the two formulations cannot drift
     stats = spark.read.parquet(store).agg(
         F.sum("n_docs").alias("n_docs"),
         (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
@@ -651,41 +669,7 @@ def streaming_bm25_rank(spark, sf_dir):
             for i in range(len(terms))
         ],
     )
-
-    base = docs.select(
-        "doc_id",
-        "source",
-        T.tokens("text").alias("_t"),
-    ).select(
-        "doc_id",
-        "source",
-        F.size("_t").alias("dl"),
-        *[_tf("_t", t).alias(f"tf_{i}") for i, t in enumerate(terms)],
-    )
-    scored = base.crossJoin(F.broadcast(stats))
-    norm = F.lit(BM25_K1) * (
-        F.lit(1 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
-    )
-    score: Column = F.lit(0.0)
-    any_tf: Column = F.lit(0)
-    for i in range(len(terms)):
-        tf = F.col(f"tf_{i}")
-        idf = F.log(
-            (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
-            / (F.col(f"df_{i}") + F.lit(0.5))
-            + F.lit(1.0)
-        )
-        score = score + idf * tf * F.lit(BM25_K1 + 1.0) / (tf + norm)
-        any_tf = any_tf + tf
-    return (
-        scored.filter(any_tf > 0)
-        .select("doc_id", "source", "dl", score.alias("_score"))
-        .orderBy(F.round("_score", 6).desc(), "doc_id")
-        .limit(BM25_TOPK)
-        .select(
-            "doc_id", "source", "dl", F.round("_score", 4).alias("bm25")
-        )
-    )
+    return bm25_rank(docs, base=_bm25_base(docs, terms), stats=stats)
 
 
 # ---------------------------------------------------------------------------
@@ -743,52 +727,23 @@ def streaming_dsir_select(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    q.awaitTermination(300)
 
     import glob as _glob
 
     n_batches = len(_glob.glob(f"{store}/batch=*"))
-    assert n_batches >= 2, f"expected a multi-batch replay, got {n_batches}"
+    if n_batches < 2:
+        raise ValueError(
+            f"expected a multi-batch replay, got {n_batches}"
+        )
 
+    # merged partials = the exact batch model (integer sums); the
+    # log-ratio/Gumbel/top-k tail — and the counts-based weight
+    # formulation — are dsir_select's own, so the twins cannot drift
     model = spark.read.parquet(store).groupBy("bucket").agg(
         F.sum("c_t").alias("c_t"), F.sum("c_r").alias("c_r")
     )
-    everything = Window.partitionBy()
-    lr = model.select(
-        "bucket",
-        (
-            F.log(F.col("c_t") + 1)
-            - F.log(F.sum("c_t").over(everything) + F.lit(DSIR_BUCKETS))
-            - F.log(F.col("c_r") + 1)
-            + F.log(F.sum("c_r").over(everything) + F.lit(DSIR_BUCKETS))
-        ).alias("lr"),
-    )
-    weights = (
-        _features(docs)
-        .filter(~is_target)
-        .join(F.broadcast(lr), "bucket")
-        .groupBy("doc_id", "source")
-        .agg(F.sum("lr").alias("w"))
-    )
-    u = (
-        _md5_32(F.col("doc_id").cast("string")) + F.lit(0.5)
-    ) / F.lit(4294967296.0)
-    scored = weights.select(
-        "doc_id",
-        "source",
-        "w",
-        (F.col("w") - F.log(-F.log(u))).alias("_score"),
-    )
-    return (
-        scored.orderBy(F.round("_score", 6).desc(), "doc_id")
-        .limit(DSIR_TOPK)
-        .select(
-            "doc_id",
-            "source",
-            F.round("w", 4).alias("log_ratio"),
-            F.round("_score", 4).alias("dsir_score"),
-        )
-    )
+    return dsir_select(docs, counts=_feat_counts(docs), model=model)
 
 
 # ---------------------------------------------------------------------------
@@ -893,17 +848,13 @@ def text_source_overlap_sketch(spark, sf_dir):
     exact value, and absolute error — a green driver row certifies the
     k=32 estimator's error profile on this corpus, the
     agg_kmv_theta_ops sketch-vs-exact pattern."""
-    from ..sources.tables import evict_stale_entries
-
     docs = _docs(spark, sf_dir)
-    evict_stale_entries(
-        _OVERLAP_SH_MEMO, spark.sparkContext.applicationId
+    sh = _memoized(
+        _OVERLAP_SH_MEMO,
+        spark,
+        (sf_dir, 3),
+        lambda: _source_shingles(docs, 3),
     )
-    key = (spark.sparkContext.applicationId, sf_dir, 3)
-    sh = _OVERLAP_SH_MEMO.get(key)
-    if sh is None:
-        sh = _source_shingles(docs, 3).localCheckpoint(eager=False)
-        _OVERLAP_SH_MEMO[key] = sh
     sigs = source_minhash_sigs(sh)
     a = sigs.select(
         F.col("source").alias("s1"),
