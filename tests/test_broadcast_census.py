@@ -70,10 +70,8 @@ ALLOWED = {
     ("plans/round10b_extras.py", "dsir_select"): 1,  # ≤DSIR_BUCKETS rows
     # sizes table ≤ n_sources rows, joined from both sides
     ("plans/round10b_extras.py", "source_overlap_matrix"): 2,
-    # streaming_bm25_rank's merged 1-row stats + streaming_dsir_select's
-    # ≤512-row log-ratio table (the census keys each site by the nearest
-    # preceding def, which is the respective foreachBatch maintain)
-    ("plans/round10b_extras.py", "maintain"): 2,
+    # (the streaming twins delegate to bm25_rank/dsir_select, so their
+    # broadcasts are the entries above)
     ("plans/windows_events.py", "events_resample_gapfill"): 1,  # types
     ("plans/windows_events.py", "streaming_incremental_batches"): 1,  # 1-row
 }
