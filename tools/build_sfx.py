@@ -159,6 +159,35 @@ def build(src: str, out: str, replicas: int = REPLICAS,
         shutil.copyfile(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
 
 
+def build_docs_only(src: str, out: str, replicas: int,
+                    link_rest_from: str) -> None:
+    """Documents-only replica set for the second decade (PERF §39):
+    replicates ONLY documents.parquet (990 replicas → doc_ids up to
+    ~9.9M, PAST the planted-variant offsets — so this set is valid
+    ONLY for queries that read the plain corpus, never the
+    _docs_with_dups/_docs_with_near_dups families) and symlinks the
+    other nine tables from an existing set so load_tables/oracle view
+    registration still resolve."""
+    os.makedirs(out, exist_ok=True)
+    for t in ("region nation customer supplier part orders lineitem "
+              "events embeddings").split():
+        dst = os.path.join(out, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(link_rest_from, f"{t}.parquet"), dst)
+    duckdb.connect().execute(
+        f"""
+        COPY (
+          SELECT d.doc_id + r.range * {DOC_STEP} AS doc_id,
+                 d.text || ' rep' || r.range AS text,
+                 d.lang, d.source,
+                 d.n_chars + 4 + len(CAST(r.range AS VARCHAR)) AS n_chars
+          FROM '{src}/documents.parquet' d CROSS JOIN range({replicas}) r
+          ORDER BY doc_id
+        ) TO '{out}/documents.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 5000)
+        """
+    )
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
@@ -169,7 +198,18 @@ if __name__ == "__main__":
         help="also key-shift-replicate customer/orders/lineitem "
              "(q18-shape relational scaling) instead of copying them",
     )
+    ap.add_argument(
+        "--docs-only-link-from", metavar="DIR",
+        help="build ONLY documents at --replicas (collision guard "
+             "waived — plain-corpus queries only) and symlink the "
+             "other tables from DIR (the sfx100 recipe, PERF §39)",
+    )
     a = ap.parse_args()
-    build(a.src, a.out, a.replicas, tpch=a.tpch)
-    print(f"built {a.out} from {a.src} x{a.replicas}"
-          + (" (+tpch replicas)" if a.tpch else ""))
+    if a.docs_only_link_from:
+        build_docs_only(a.src, a.out, a.replicas, a.docs_only_link_from)
+        print(f"built {a.out} documents x{a.replicas} "
+              f"(rest linked from {a.docs_only_link_from})")
+    else:
+        build(a.src, a.out, a.replicas, tpch=a.tpch)
+        print(f"built {a.out} from {a.src} x{a.replicas}"
+              + (" (+tpch replicas)" if a.tpch else ""))
