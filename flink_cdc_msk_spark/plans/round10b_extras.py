@@ -904,3 +904,123 @@ def text_source_overlap_sketch(spark, sf_dir):
             ).alias("abs_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR mixture steering: per-source summary
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_dsir_source_mixture",
+    oracle=f"""
+    WITH {_FEATS_SQL},
+    model AS (
+      SELECT bucket,
+             sum(CASE WHEN source IN ('src0', 'src1', 'src2')
+                 THEN 1 ELSE 0 END) AS c_t,
+             sum(CASE WHEN source IN ('src0', 'src1', 'src2')
+                 THEN 0 ELSE 1 END) AS c_r
+      FROM feats GROUP BY bucket
+    ), tot AS (
+      SELECT sum(c_t) AS nt, sum(c_r) AS nr FROM model
+    ), lr AS (
+      SELECT bucket,
+             ln(c_t + 1) - ln(nt + {DSIR_BUCKETS})
+             - ln(c_r + 1) + ln(nr + {DSIR_BUCKETS}) AS lr
+      FROM model, tot
+    ), weights AS (
+      SELECT doc_id, source, sum(lr.lr) AS w
+      FROM feats JOIN lr USING (bucket)
+      WHERE source NOT IN ('src0', 'src1', 'src2')
+      GROUP BY doc_id, source
+    ), scored AS (
+      SELECT doc_id, source, w,
+             w - ln(-ln(({md5_slice32_sql('CAST(doc_id AS VARCHAR)')} + 0.5)
+                        / 4294967296.0)) AS score
+      FROM weights
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        ORDER BY round(score, 6) DESC, doc_id) AS rn
+      FROM scored
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(w), 4) AS mean_log_ratio,
+           CAST(sum(CASE WHEN rn <= {DSIR_TOPK} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_selected,
+           round(sum(CASE WHEN rn <= {DSIR_TOPK} THEN 1 ELSE 0 END)
+                 / {DSIR_TOPK}.0, 6) AS mixture_share
+    FROM ranked
+    GROUP BY source
+    """,
+)
+def llm_dsir_source_mixture(spark, sf_dir):
+    """The mixture-steering view of a DSIR pass: per raw-pool source,
+    candidate count, mean log-likelihood-ratio weight (how target-like
+    the source is on average), how many of its docs made the Gumbel
+    top-k, and its share of the selection — the table a pipeline uses
+    to set per-source sampling rates. Reuses the memoized per-doc
+    bucket counts, so after any DSIR call in the session this is
+    model fit + one linear agg over the cached relation; no new
+    corpus scan."""
+    docs = _docs(spark, sf_dir)
+    counts = _memoized(
+        _DSIR_COUNTS_MEMO,
+        spark,
+        (sf_dir, DSIR_BUCKETS),
+        lambda: _feat_counts(docs),
+    )
+    is_target = F.col("source").isin(*DSIR_TARGET_SOURCES)
+    model = counts.groupBy("bucket").agg(
+        F.sum(F.when(is_target, F.col("cnt")).otherwise(F.lit(0))).alias(
+            "c_t"
+        ),
+        F.sum(F.when(is_target, F.lit(0)).otherwise(F.col("cnt"))).alias(
+            "c_r"
+        ),
+    )
+    everything = Window.partitionBy()
+    lr = model.select(
+        "bucket",
+        (
+            F.log(F.col("c_t") + 1)
+            - F.log(F.sum("c_t").over(everything) + F.lit(DSIR_BUCKETS))
+            - F.log(F.col("c_r") + 1)
+            + F.log(F.sum("c_r").over(everything) + F.lit(DSIR_BUCKETS))
+        ).alias("lr"),
+    )
+    weights = (
+        counts.filter(~is_target)
+        .join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(F.sum(F.col("cnt") * F.col("lr")).alias("w"))
+    )
+    u = (
+        md5_slice32(F.col("doc_id").cast("string")) + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    scored = weights.select(
+        "doc_id",
+        "source",
+        "w",
+        (F.col("w") - F.log(-F.log(u))).alias("_score"),
+    )
+    # top-k membership via TakeOrdered + broadcast semi-mark — a global
+    # row_number window would funnel the whole candidate relation
+    # through one partition (the census anti-pattern); the k selected
+    # ids are driver-merged heap output, metadata-scale
+    sel_ids = (
+        scored.orderBy(F.round("_score", 6).desc(), "doc_id")
+        .limit(DSIR_TOPK)
+        .select("doc_id", F.lit(1).alias("is_sel"))
+    )
+    marked = scored.join(F.broadcast(sel_ids), "doc_id", "left")
+    sel = F.coalesce(F.col("is_sel"), F.lit(0))
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("w"), 4).alias("mean_log_ratio"),
+        F.sum(sel).cast("bigint").alias("n_selected"),
+        F.round(F.sum(sel) / F.lit(float(DSIR_TOPK)), 6).alias(
+            "mixture_share"
+        ),
+    )

@@ -72,6 +72,8 @@ ALLOWED = {
     ("plans/round10b_extras.py", "source_overlap_matrix"): 2,
     # (the streaming twins delegate to bm25_rank/dsir_select, so their
     # broadcasts are the entries above)
+    # ≤512-row log-ratio model + the k selected ids (TakeOrdered output)
+    ("plans/round10b_extras.py", "llm_dsir_source_mixture"): 2,
     ("plans/windows_events.py", "events_resample_gapfill"): 1,  # types
     ("plans/windows_events.py", "streaming_incremental_batches"): 1,  # 1-row
 }

@@ -270,3 +270,24 @@ def test_overlap_sketch_min_invariance_and_self_gate(spark):
         assert abs(
             r.abs_err - round(abs(r.est_jaccard - r.exact_jaccard), 6)
         ) < 1e-9
+
+
+def test_dsir_mixture_consistency_with_selection(spark):
+    # the mixture view's per-source selected counts must sum to topk
+    # and agree with the selection query's membership
+    from flink_cdc_msk_spark.plans.round10b_extras import (
+        DSIR_TOPK,
+        llm_dsir_select,
+        llm_dsir_source_mixture,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    mix = {r.source: r for r in llm_dsir_source_mixture(spark, sf).collect()}
+    sel = llm_dsir_select(spark, sf).collect()
+    assert sum(r.n_selected for r in mix.values()) == DSIR_TOPK == len(sel)
+    from collections import Counter
+
+    by_src = Counter(r.source for r in sel)
+    for src, row in mix.items():
+        assert row.n_selected == by_src.get(src, 0)
+        assert abs(row.mixture_share - round(row.n_selected / DSIR_TOPK, 6)) < 1e-9
