@@ -799,7 +799,16 @@ def source_minhash_sigs(sh: DataFrame) -> DataFrame:
     multiset-invariant, so raw shingle OCCURRENCES give the same
     signature as the distinct set — the standalone scale path feeds
     occurrences straight from the scan and never shuffles anything
-    larger than n_sources x 32 partial minima."""
+    larger than n_sources x 32 partial minima.
+
+    Shuffle-free is not free: the occurrence path hashes EVERY
+    occurrence (8 md5/row), so on a corpus with heavy cross-doc
+    duplication the distinct-first form wins despite its shuffle —
+    measured at sfx100 (485M occurrences, replicas collapse under
+    distinct): occurrence-fed 462 s vs 94 s through the memoized
+    distinct relation (PERF §39 addendum 2). Feed occurrences when the
+    corpus is mostly unique text or no distinct relation exists yet;
+    reuse the distinct relation when one is already materialized."""
     return sh.groupBy("source").agg(*_sig_cols())
 
 
