@@ -37,31 +37,9 @@ from .registry import register
 _TOKENS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 
 
-def _memoized(memo: dict, spark, extra: tuple, build) -> DataFrame:
-    """Session-keyed materialization memo (the dedup.py
-    ``_ORDERED_MEMO`` pattern): one materialization per
-    (application, *extra), dead-app entries evicted on access.
-
-    Storage is ``persist(MEMORY_AND_DISK)`` — compressed columnar
-    batches that EVICT under memory pressure — not localCheckpoint:
-    localCheckpoint pins deserialized row objects on the heap, which is
-    fine for sf0.1-scale relations but a measured heap-OOM cliff two
-    decades up (DSIR's 740M-row count relation at sfx100 killed a 64g
-    driver; the same run completes under columnar persist — PERF §39).
-    Eviction just re-runs the build lineage, so correctness is
-    unaffected."""
-    from pyspark import StorageLevel
-
-    from ..sources.tables import evict_stale_entries
-
-    app = spark.sparkContext.applicationId
-    evict_stale_entries(memo, app)
-    key = (app,) + extra
-    got = memo.get(key)
-    if got is None:
-        got = build().persist(StorageLevel.MEMORY_AND_DISK)
-        memo[key] = got
-    return got
+# session-keyed materialization memo — see sources/tables.py for the
+# storage rationale (columnar persist, not localCheckpoint: PERF §39)
+from ..sources.tables import memoized_relation as _memoized  # noqa: E402
 
 
 # ---------------------------------------------------------------------------

@@ -33,6 +33,30 @@ TABLES = (
 _CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
 
+def memoized_relation(memo: dict, spark, extra: tuple, build) -> DataFrame:
+    """Session-keyed materialization memo (the operators/dedup.py
+    ``_ORDERED_MEMO`` pattern generalized): one materialization per
+    (application, *extra), dead-app entries evicted on access.
+
+    Storage is ``persist(MEMORY_AND_DISK)`` — compressed columnar
+    batches that EVICT under memory pressure — deliberately NOT
+    localCheckpoint: localCheckpoint pins deserialized row objects on
+    the heap, a measured heap-OOM cliff two decades up (PERF §39 —
+    DSIR's 740M-row relation at sfx100 killed a 64g driver under
+    localCheckpoint and completes under columnar persist). Eviction
+    just re-runs the build lineage, so correctness is unaffected."""
+    from pyspark import StorageLevel
+
+    app = spark.sparkContext.applicationId
+    evict_stale_entries(memo, app)
+    key = (app,) + extra
+    got = memo.get(key)
+    if got is None:
+        got = build().persist(StorageLevel.MEMORY_AND_DISK)
+        memo[key] = got
+    return got
+
+
 def evict_stale_entries(cache: dict, app_id: str) -> None:
     """Drop memo entries belonging to dead SparkContexts (only one app is
     live per process, so any other applicationId is unreachable — without
