@@ -46,7 +46,9 @@ ALLOWED = {
     ("plans/llm_pipeline.py", "llm_corpus_pipeline_v2"): 2,  # 1-row + langs
     ("plans/llm_pipeline.py", "sample_temperature"): 2,  # 1-row + langs
     ("plans/llm_pipeline.py", "text_decontaminate"): 1,  # fixed benchmark
-    ("plans/llm_pipeline.py", "text_tfidf_top_terms"): 1,  # 1-row count
+    # tfidf 1-row corpus count (keyed to the nearest preceding def,
+    # the inner _tf_rel, after the round-10 memo refactor)
+    ("plans/llm_pipeline.py", "_tf_rel"): 1,
     ("plans/relational.py", "agg_hll_sketch"): 1,  # 1-row distinct
     ("plans/relational.py", "agg_rollup"): 2,  # nation+region
     ("plans/relational.py", "agg_rollup_grouping_id"): 2,  # nation+region
