@@ -1,10 +1,21 @@
 #!/usr/bin/env python
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints exactly ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+ "sf": ..., "warm_queries": {...}, "warm_total": ..., "warm_rounds": N}
 
 Each query is forced with a full count() (no driver-side result transfer
 skew); timings include plan+execute, not session startup.
+
+Cold vs warm (VERDICT r10 item 5): ``value``/``queries`` keep the
+round-over-round-comparable ONE-SHOT COLD numbers (first execution per
+query in a fresh session — pays plan analysis, codegen, memo builds).
+``warm_queries``/``warm_total`` are per-query MEDIANS of
+$SPARK_GRAFT_WARM_ROUNDS (default 3) further runs — the steady-state
+cost after session memos/caches hold, which is what a long-lived
+service pays and what the pinned sfx protocol reports in PERF.md.
+A single draw can land on a co-tenant slow phase (BENCH_r10 did);
+the median column makes that visible instead of headline-defining.
 """
 
 from __future__ import annotations
@@ -91,7 +102,10 @@ def main() -> None:
 
     synthesize_mysql_events(spark, sf_dir).count()
 
+    warm_rounds = int(os.environ.get("SPARK_GRAFT_WARM_ROUNDS", "3"))
+
     timings: dict[str, float] = {}
+    warm_samples: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
@@ -100,19 +114,42 @@ def main() -> None:
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # warm rounds AFTER the full cold sweep (not back-to-back per query)
+    # so each warm run prices the same cross-query cache pressure the
+    # cold sweep saw, and round-robin order spreads co-tenant phases
+    # across queries instead of concentrating them on one
+    for _ in range(warm_rounds):
+        for name in timings:
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            warm_samples.setdefault(name, []).append(
+                time.perf_counter() - t0
+            )
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    warm = {
+        name: round(median(samples), 3)
+        for name, samples in warm_samples.items()
+    }
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if warm:
+        out["warm_queries"] = warm
+        out["warm_total"] = round(sum(warm.values()), 3)
+        out["warm_rounds"] = warm_rounds
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -284,6 +284,34 @@ def parse_gtid_set(gtid_set: str) -> dict[str, list[tuple[int, int]]]:
     return covered
 
 
+def timestamp_resume_filter(position: str):
+    """Column predicate implementing the A6 ``timestamp:<ms>`` startup
+    as an exact cut on the Debezium envelope: keep events whose SOURCE
+    timestamp (``source.ts_ms`` — the binlog event time at the
+    database, what the reference's StartupOptions.timestamp(ms) seeks
+    to, MySQLCDC2AWSMSK.scala:242-243) is at or after the requested
+    millisecond. Events without a source block (synthetic snapshot
+    stand-ins) pass — no coordinate to cut on.
+
+    Division of labor mirrors the A5 gtid path: the Kafka reader's
+    ``startingTimestamp`` seeks by BROKER record timestamp (append
+    time), which bounds the scan but only approximates the source cut
+    — producer lag reorders the two clocks near the boundary. This
+    filter on top certifies exactness; applied automatically by
+    ``sources/kafka.read_cdc_stream``."""
+    from pyspark.sql import functions as F
+
+    raw = position.split("timestamp:", 1)[-1]
+    try:
+        cut_ms = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"timestamp startup position must be epoch millis, got {raw!r}"
+        ) from None
+    ev_ts = F.get_json_object("value", "$.source.ts_ms").cast("long")
+    return ev_ts.isNull() | (ev_ts >= F.lit(cut_ms))
+
+
 def gtid_resume_filter(gtid_set: str):
     """Column predicate implementing the A5 ``gtid:<set>`` startup as an
     exact cut on the Debezium envelope (``source.gtid`` carries

@@ -206,6 +206,9 @@ def pq_adc_topk(
     )
     if target > 1:
         pre = pre.repartition(target, "s", "id")
+    # bound (both persists below): one (id, s, sub-vector) row per
+    # subspace per vector — dim/sub_dim x input rows of fixed-width
+    # floats, the PQ working set itself; evictable
     c_elems = pre.persist()
     q_elems = (
         _banded(_elements(queries, id_col, vec_col), sub_dim)
@@ -416,6 +419,7 @@ def semantic_dedup(
     # iteration (recomputing it per join side would double the
     # dominant cost); partitioning by cl makes the self-join
     # shuffle-free on top of the persisted layout
+    # bound: one (id, cl, vec) row per input vector
     members = (
         assign.join(vecs, "id").repartition(par, "cl").persist()
     )
@@ -454,6 +458,7 @@ def semantic_dedup(
     kept = (
         members.join(pairs, "id", "left_anti")
         .select("id", "cl")
+        # bound: two longs per surviving vector
         .localCheckpoint()
     )
     members.unpersist()

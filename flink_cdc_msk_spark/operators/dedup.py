@@ -248,12 +248,17 @@ def _spread_and_persist(
     import math
 
     par = spark.sparkContext.defaultParallelism
+    # bound: `us` is the caller's reduced unit relation (tokens /
+    # signatures / codes — fixed-width rows, ~1-5% of corpus text);
+    # evictable StorageLevel, spills to disk before OOM
     base = us.persist()
     n_rows = base.count()
     n_in = base.rdd.getNumPartitions()  # cached now — no recompute
     target = min(par, math.ceil(max(n_rows, 1) / rows_per_partition))
     if target <= n_in:
         return base
+    # bound: same rows as `base` (a repartitioned copy — the base cache
+    # is dropped below when the caller memoizes the spread handle)
     spread = base.repartition(target, key).persist()
     if drop_base:
         spread.count()  # materialize from the base cache before dropping
@@ -593,7 +598,7 @@ def connected_components(
                 F.col("id2").alias("src"), F.col("id1").alias("dst")
             )
         )
-        .persist()
+        .persist()  # bound: 2|E| rows x two longs (both edge directions)
     )
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("lbl")
@@ -612,6 +617,9 @@ def connected_components(
                     "lbl", F.coalesce("nbr_lbl", F.col("lbl"))
                 ).alias("lbl"),
             )
+            # bound: |V| rows x two longs per iteration; iters is a
+            # small constant (label-propagation rounds), and eviction
+            # is safe — a dropped round recomputes from the prior cache
             .persist()
         )
     return labels.select("id", F.col("lbl").alias("cluster"))
@@ -694,7 +702,7 @@ def minhash_lsh_pairs(
     ).persist()
     # persist: the candidate self-join references `banded` twice; without
     # the cache each side re-tokenizes and re-signatures the whole corpus
-    # (banded is n·bands fixed-width rows — tiny next to the corpus text)
+    # (bound: n·bands fixed-width rows — tiny next to the corpus text)
 
     x = banded.alias("x")
     y = banded.alias("y")

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_tables
+from ..streaming.materialize import await_or_raise as _await_or_raise
 from .registry import register
 
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
@@ -66,6 +67,8 @@ def events_hypertable_rollup(spark, sf_dir):
     # shuffles); with it the hour/day branches re-aggregate the cached
     # minute/hour outputs (InMemoryTableScan). CacheManager dedupes by
     # canonicalized plan, so repeated calls share one cache entry.
+    # bound: one row per (minute, event_type) — time-bucket-bounded,
+    # never event-row-scale
     minute = base.groupBy("bucket", "event_type").agg(
         F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
     ).persist()
@@ -76,6 +79,7 @@ def _cascade_render(minute: DataFrame) -> DataFrame:
     """minute-grain (bucket, event_type, n, sv-decimal) → the rendered
     three-resolution union, re-aggregating each coarser grain from the
     next finer one."""
+    # bound: 1/60th of the minute-grain rows
     hour = minute.groupBy(
         F.date_trunc("hour", "bucket").alias("bucket"), "event_type"
     ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv")).persist()
@@ -148,7 +152,7 @@ def streaming_hypertable_rollup(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_raise(q, 300)
     n_batches = len(glob.glob(f"{store}/batch=*"))
     if n_batches < 2:
         raise ValueError(
@@ -158,6 +162,7 @@ def streaming_hypertable_rollup(spark, sf_dir):
         spark.read.parquet(store)
         .groupBy("bucket", "event_type")
         .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+        # bound: one row per (minute, event_type) — see cascade note
         .persist()
     )
     return _cascade_render(minute)

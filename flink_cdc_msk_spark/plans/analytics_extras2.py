@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import md5_hash60, md5_hash60_sql
+from ..streaming.materialize import await_or_raise as _await_or_raise
 from ..sources.tables import load_tables
 from .registry import register
 
@@ -228,6 +229,8 @@ def graph_pagerank_copurchase(spark, sf_dir):
     so the oracle's unrolled-CTE iterations produce identical doubles.
     Symmetric edges mean no dangling-mass term (every node has out-
     degree ≥ 1)."""
+    # bound: distinct co-purchase pairs — two longs per edge, far
+    # below lineitem row count after the distinct
     edges = _copurchase_edges(
         load_tables(spark, sf_dir)["lineitem"]
     ).persist()
@@ -238,7 +241,7 @@ def graph_pagerank_copurchase(spark, sf_dir):
     # every round reuses the cached relation (and its partitioning)
     adj = edges.join(
         deg.withColumnRenamed("part_id", "src"), "src"
-    ).persist()
+    ).persist()  # bound: |E| rows x three longs, iteration-invariant
     ranks = deg.select("part_id", F.lit(1.0).alias("rank"))
     for _ in range(_PR_ITERS):
         contrib = adj.join(
@@ -257,6 +260,8 @@ def graph_pagerank_copurchase(spark, sf_dir):
                     + F.lit(_PR_DAMP) * F.sum("c").cast("double")
                 ).alias("rank")
             )
+            # bound: one (long, double) row per node per iteration;
+            # constant round count, prior rounds GC'd when unreferenced
             .persist()
         )
     return ranks.select("part_id", F.round("rank", 6).alias("rank"))
@@ -326,6 +331,7 @@ def _kmv_finish(
             )
             .alias("est_n"),
         )
+        # bound: <= k rows per set (the KMV synopsis itself)
         .persist()
     )
     inter_exact = (
@@ -428,6 +434,8 @@ def agg_kmv_theta_ops(spark, sf_dir):
     The oracle ranks directly (same result, single window) — the
     two-phase refactor is the 100 TB form of the identical selection."""
     od = load_tables(spark, sf_dir)["orders"]
+    # bound: one long per distinct (set, hash) — synopsis input, one
+    # shuffle wide; evictable
     hashes = _kmv_hashes(od).persist()
     # phase 1: k smallest per (grp, salt) — bounded fan-in per task
     w_salt = Window.partitionBy("grp", F.pmod("h", F.lit(_KMV_SALTS))).orderBy(
@@ -779,7 +787,7 @@ def streaming_kmv_sketch_merge(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_raise(q, 300)
     n_batches = len(_glob.glob(f"{store}/batch=*"))
     if n_batches < 2:
         raise ValueError(
@@ -839,6 +847,7 @@ def graph_bfs_hops(spark, sf_dir):
     per round; the seed lookup is a broadcast 1-row aggregate, never a
     driver collect."""
     li = load_tables(spark, sf_dir)["lineitem"]
+    # bound: two longs per distinct co-purchase edge (see pagerank)
     edges = _copurchase_edges(li).persist()
     min_order = li.agg(F.min("l_orderkey").alias("mk"))
     seed = (
@@ -857,6 +866,8 @@ def graph_bfs_hops(spark, sf_dir):
             dist.unionAll(expanded)
             .groupBy("part_id")
             .agg(F.min("hops").alias("hops"))
+            # bound: <= |V| rows x (long, int) per BFS round; constant
+            # round count, prior rounds GC'd when unreferenced
             .persist()
         )
     return dist.select("part_id", F.col("hops").cast("int").alias("hops"))

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.bcast import dim_broadcast
+from ..streaming.materialize import await_or_raise as _await_or_raise
 
 from ..config import TableRouting
 from ..envelope import MYSQL_ENVELOPE_COMPACT_SCHEMA
@@ -263,7 +264,7 @@ def cdc_streaming_compaction(spark, sf_dir):
     )
     sink = ParquetUpsertSink(f"{d}/state", ["o_orderkey"], num_buckets=8)
     q = start_compaction_stream(stream, sink, f"{d}/ckpt", available_now=True)
-    q.awaitTermination(300)
+    _await_or_raise(q, 300)
     state = spark.read.parquet(f"{d}/state")
     return state.select(
         F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
@@ -770,7 +771,7 @@ def streaming_cdc_join_view(spark, sf_dir):
         retain_tombstones=True,
     )
     q = start_compaction_stream(stream, sink, f"{d}/ckpt", available_now=True)
-    q.awaitTermination(300)
+    _await_or_raise(q, 300)
     n_batches = len(
         _glob.glob(f"{d}/ckpt/commits/*")
     )

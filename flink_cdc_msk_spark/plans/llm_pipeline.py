@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import text as T
+from ..streaming.materialize import await_or_raise as _await_or_raise
 from ..operators import dedup as D
 from ..operators import similarity as S
 from ..sources.tables import load_tables, memoized_relation
@@ -2208,8 +2209,8 @@ def llm_corpus_pipeline_v2(spark, sf_dir):
     )
     # persisted: referenced by BOTH the language histogram and the final
     # join — without the cache the whole filter+dedup subtree executes
-    # twice (plan-asserted by the shuffle-budget test). One narrow row
-    # per surviving doc, tiny next to the corpus.
+    # twice (plan-asserted by the shuffle-budget test). Bound: one
+    # narrow row per surviving doc, tiny next to the corpus.
     kept = ded.join(
         q.select(F.col("doc_id").alias("qid"), "lang", "n_tokens"),
         ded["doc_id"] == F.col("qid"),
@@ -2372,7 +2373,7 @@ def streaming_neardup_ingest(spark, sf_dir):
         ngram=3,
     )
     q = start_near_dup_stream(stream, filt, f"{d}/ckpt", available_now=True)
-    q.awaitTermination(300)
+    _await_or_raise(q, 300)
     n_batches = len(_glob.glob(f"{d}/store/batch_id=*"))
     if n_batches < 2:
         raise ValueError(

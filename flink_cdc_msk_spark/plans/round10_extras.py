@@ -330,6 +330,8 @@ def _media_cdc_chunks(spark, sf_dir):
             F.count(F.lit(1)).over(Window.partitionBy("media_id")),
         )
         .select("media_id", F.col("sz").cast("bigint").alias("sz"), "h")
+        # bound: one (long, long, long) row per surviving chunk — the
+        # CDC-chunked reduction of the media blobs, ~1% of input bytes
         .persist()
     )
     _MEDIA_CHUNKS_MEMO[key] = chunks

@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..streaming.materialize import await_or_raise as _await_or_raise
 from ..operators.dedup import md5_slice32, md5_slice32_sql
 from .llm_pipeline import _docs
 from .registry import register
@@ -104,7 +105,8 @@ def bm25_rank(
     Two passes over the per-doc reduction (stats, then scores). Pass
     ``base`` (a materialized :func:`_bm25_base`) to tokenize the corpus
     ONCE — the registered query does, via a session-keyed memoized
-    localCheckpoint (sfx1 warm: 2.3 s → 1.25 s, PERF §38); without it
+    columnar persist (sfx1 warm: 2.3 s → 1.25 s, PERF §38; evictable
+    MEMORY_AND_DISK after the §39 heap-OOM fix); without it
     each pass re-derives the reduction from the scan. Ranking uses the
     6-dp-rounded score (ties broken by doc_id) so the cutoff set is
     engine-stable; the emitted score is rounded to 4 dp per the
@@ -213,7 +215,7 @@ def _bm25_oracle(
 
 # session-keyed memo for the materialized per-doc reduction (the
 # dedup.py _ORDERED_MEMO pattern): repeated calls in one session reuse
-# ONE localCheckpoint instead of leaking one per call
+# ONE persisted relation instead of leaking one per call
 _BM25_BASE_MEMO: dict[tuple, DataFrame] = {}
 
 
@@ -223,7 +225,7 @@ def text_bm25_rank(spark, sf_dir):
     :func:`bm25_rank` for the scale shape (no explode, one broadcast
     stats row, TakeOrdered top-k). The per-doc reduction (6 small
     columns — at 100 TB of text it is ~0.1% of the input) is
-    localCheckpoint-materialized so the corpus is tokenized once, not
+    memo-persisted (columnar) so the corpus is tokenized once, not
     once per pass; memoized per (application, sf_dir, terms)."""
     docs = _docs(spark, sf_dir)
     base = _memoized(
@@ -298,44 +300,18 @@ def _feat_counts(docs: DataFrame) -> DataFrame:
     )
 
 
-def dsir_select(
-    docs: DataFrame,
-    target_sources: tuple[str, ...] = DSIR_TARGET_SOURCES,
-    topk: int = DSIR_TOPK,
-    counts: DataFrame | None = None,
+def _dsir_scored(
+    counts: DataFrame,
+    target_sources: tuple[str, ...],
     model: DataFrame | None = None,
 ) -> DataFrame:
-    """DSIR (Xie et al. 2023) over ``docs(doc_id, source, text)``:
-    target slice = ``source IN target_sources``, raw pool = the rest.
-
-    Plan shape (why this is 100 TB-safe):
-
-    * the fitted model is BOUNDED-DOMAIN: the feature stream aggregates
-      to at most DSIR_BUCKETS rows (map-side partial combine, then a
-      ≤512-row shuffle) no matter the corpus size;
-    * totals (Nt, Nr) are one more row over the model; the per-bucket
-      log-ratio table is then BROADCAST into the scoring pass — the
-      corpus-scale side never shuffles for the join;
-    * per-doc weights shuffle once on doc_id (linear, partial-agg
-      combinable); selection is TakeOrdered over k rows.
-
-    Determinism across engines: the Gumbel noise is derived from
-    md5(doc_id) (u = (h + 0.5) / 2^32, g = -ln(-ln(u))), ranking uses
-    the 6-dp-rounded score so float summation order cannot flip the
-    cutoff, and the emitted weight is rounded to 4 dp.
-
-    Pass ``counts`` (a materialized :func:`_feat_counts`) to run the
-    expensive feature projection once — the registered query does, via
-    a session-keyed memoized localCheckpoint; without it both passes
-    work from cnt=1 occurrence rows derived straight from the scan
-    (same integers, no extra shuffle). Pass ``model`` (any
-    (bucket, c_t, c_r) relation, e.g. merged streaming partials) to
-    skip the fit pass — the streaming twin does; both twins then share
-    THIS function's log-ratio/Gumbel/top-k tail, so the formulations
-    cannot drift.
-    """
-    if counts is None:
-        counts = _features(docs).withColumn("cnt", F.lit(1))
+    """Shared DSIR prefix: feature counts -> per-doc scored relation
+    (doc_id, source, w, _score). Both :func:`dsir_select` (top-k
+    selection) and :func:`llm_dsir_source_mixture` (per-source mixture
+    view) consume THIS function, so a change to the model fit /
+    log-ratio / Gumbel formulation propagates to every consumer —
+    the same no-twin-drift rule the stats/model injection enforces
+    for the streaming twins."""
     is_target = F.col("source").isin(*target_sources)
     if model is None:
         model = counts.groupBy("bucket").agg(
@@ -369,12 +345,53 @@ def dsir_select(
     u = (
         md5_slice32(F.col("doc_id").cast("string")) + F.lit(0.5)
     ) / F.lit(4294967296.0)
-    scored = weights.select(
+    return weights.select(
         "doc_id",
         "source",
         "w",
         (F.col("w") - F.log(-F.log(u))).alias("_score"),
     )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_sources: tuple[str, ...] = DSIR_TARGET_SOURCES,
+    topk: int = DSIR_TOPK,
+    counts: DataFrame | None = None,
+    model: DataFrame | None = None,
+) -> DataFrame:
+    """DSIR (Xie et al. 2023) over ``docs(doc_id, source, text)``:
+    target slice = ``source IN target_sources``, raw pool = the rest.
+
+    Plan shape (why this is 100 TB-safe):
+
+    * the fitted model is BOUNDED-DOMAIN: the feature stream aggregates
+      to at most DSIR_BUCKETS rows (map-side partial combine, then a
+      ≤512-row shuffle) no matter the corpus size;
+    * totals (Nt, Nr) are one more row over the model; the per-bucket
+      log-ratio table is then BROADCAST into the scoring pass — the
+      corpus-scale side never shuffles for the join;
+    * per-doc weights shuffle once on doc_id (linear, partial-agg
+      combinable); selection is TakeOrdered over k rows.
+
+    Determinism across engines: the Gumbel noise is derived from
+    md5(doc_id) (u = (h + 0.5) / 2^32, g = -ln(-ln(u))), ranking uses
+    the 6-dp-rounded score so float summation order cannot flip the
+    cutoff, and the emitted weight is rounded to 4 dp.
+
+    Pass ``counts`` (a materialized :func:`_feat_counts`) to run the
+    expensive feature projection once — the registered query does, via
+    a session-keyed memoized columnar persist; without it both passes
+    work from cnt=1 occurrence rows derived straight from the scan
+    (same integers, no extra shuffle). Pass ``model`` (any
+    (bucket, c_t, c_r) relation, e.g. merged streaming partials) to
+    skip the fit pass — the streaming twin does; both twins then share
+    THIS function's log-ratio/Gumbel/top-k tail, so the formulations
+    cannot drift.
+    """
+    if counts is None:
+        counts = _features(docs).withColumn("cnt", F.lit(1))
+    scored = _dsir_scored(counts, target_sources, model)
     picked = scored.orderBy(F.round("_score", 6).desc(), "doc_id").limit(
         topk
     )
@@ -438,8 +455,8 @@ def llm_dsir_select(spark, sf_dir):
     the target slice vs the raw pool, per-doc log-likelihood-ratio
     weights, Gumbel-top-k selection — see :func:`dsir_select` for the
     bounded-domain model / broadcast-scoring scale shape. The per-doc
-    bucket-count relation (4 compact columns) is localCheckpoint-
-    materialized so the feature projection (tokenize + bigrams + one
+    bucket-count relation (4 compact columns) is memo-persisted
+    (columnar) so the feature projection (tokenize + bigrams + one
     md5 per occurrence) runs once, not once per pass."""
     docs = _docs(spark, sf_dir)
     counts = _memoized(
@@ -562,7 +579,7 @@ def text_source_overlap_matrix(spark, sf_dir):
     """Pairwise source-level shingle Jaccard — see
     :func:`source_overlap_matrix` (distinct (source, shingle) relation,
     source-count-bounded pair fan-out, no document self-join). The
-    distinct relation is localCheckpoint-materialized behind a
+    distinct relation is memo-persisted (columnar) behind a
     session-keyed memo: unlike the BM25/DSIR memos this helps the FIRST
     call too, since both consumers otherwise re-run the distinct
     shuffle (PERF §38)."""
@@ -637,7 +654,7 @@ def streaming_bm25_rank(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_raise(q, 300)
 
     import glob as _glob
 
@@ -716,7 +733,7 @@ def streaming_dsir_select(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_raise(q, 300)
 
     import glob as _glob
 
@@ -958,40 +975,7 @@ def llm_dsir_source_mixture(spark, sf_dir):
         (sf_dir, DSIR_BUCKETS),
         lambda: _feat_counts(docs),
     )
-    is_target = F.col("source").isin(*DSIR_TARGET_SOURCES)
-    model = counts.groupBy("bucket").agg(
-        F.sum(F.when(is_target, F.col("cnt")).otherwise(F.lit(0))).alias(
-            "c_t"
-        ),
-        F.sum(F.when(is_target, F.lit(0)).otherwise(F.col("cnt"))).alias(
-            "c_r"
-        ),
-    )
-    everything = Window.partitionBy()
-    lr = model.select(
-        "bucket",
-        (
-            F.log(F.col("c_t") + 1)
-            - F.log(F.sum("c_t").over(everything) + F.lit(DSIR_BUCKETS))
-            - F.log(F.col("c_r") + 1)
-            + F.log(F.sum("c_r").over(everything) + F.lit(DSIR_BUCKETS))
-        ).alias("lr"),
-    )
-    weights = (
-        counts.filter(~is_target)
-        .join(F.broadcast(lr), "bucket")
-        .groupBy("doc_id", "source")
-        .agg(F.sum(F.col("cnt") * F.col("lr")).alias("w"))
-    )
-    u = (
-        md5_slice32(F.col("doc_id").cast("string")) + F.lit(0.5)
-    ) / F.lit(4294967296.0)
-    scored = weights.select(
-        "doc_id",
-        "source",
-        "w",
-        (F.col("w") - F.log(-F.log(u))).alias("_score"),
-    )
+    scored = _dsir_scored(counts, DSIR_TARGET_SOURCES)
     # top-k membership via TakeOrdered + broadcast semi-mark — a global
     # row_number window would funnel the whole candidate relation
     # through one partition (the census anti-pattern); the k selected

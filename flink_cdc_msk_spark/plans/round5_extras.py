@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..sources.tables import load_tables
+from ..streaming.materialize import await_or_raise as _await_or_raise
 from .llm_pipeline import (
     DOCS_WITH_NEAR_DUPS_SQL,
     _JACCARD_CTES,
@@ -190,7 +191,7 @@ def streaming_cms_heavy_hitters(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_raise(q, 300)
     n_batches = len(_glob.glob(f"{store}/batch=*"))
     if n_batches < 2:
         raise ValueError(
@@ -464,7 +465,7 @@ def streaming_embedding_neardup_ingest(spark, sf_dir):
         dims=64,
     )
     q = start_near_dup_stream(stream, filt, f"{d}/ckpt", available_now=True)
-    q.awaitTermination(300)
+    _await_or_raise(q, 300)
     n_batches = len(_glob.glob(f"{d}/store/batch_id=*"))
     if n_batches < 2:
         raise ValueError(
@@ -786,7 +787,7 @@ def streaming_scd2_maintenance(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_raise(q, 300)
     if len(set(sink.batch_ids)) < 2:
         raise ValueError(
             f"expected incremental SCD2 maintenance, got "

@@ -359,9 +359,14 @@ def bpe_doc_units(spark, sf_dir):
                     F.lit(_BPE_SEP),
                 ),
             )
+            # bound: one row per distinct word (vocab-scale, not
+            # corpus-scale); non-evictable heap — acceptable only
+            # because the domain is bounded by the language's lexicon
             .localCheckpoint()
         )
         for _ in range(_BPE_MERGES):
+            # bound: same vocab-scale row count per merge round; the
+            # previous round's blocks are freed by GC once unreferenced
             vocab = _bpe_round(vocab).localCheckpoint()
         enc = vocab.select(
             "word",
@@ -389,6 +394,8 @@ def bpe_doc_units(spark, sf_dir):
                 F.sum("n_units").cast("bigint").alias("n_bpe_units"),
                 F.sum(F.length("word")).cast("bigint").alias("n_chars"),
             )
+            # bound: one 3-column row per doc (~24 B/doc — flat in doc
+            # count, never corpus-text-scale)
             .localCheckpoint()
         )
     except Exception:

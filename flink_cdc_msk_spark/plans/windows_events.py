@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.bcast import dim_broadcast
+from ..streaming.materialize import await_or_raise as _await_or_raise
 from ..sources.tables import load_tables
 from .registry import register
 
@@ -1216,7 +1217,7 @@ def streaming_watermark_late_drop(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_raise(q, 300)
     progress = q.recentProgress
     dropped = sum(
         (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)

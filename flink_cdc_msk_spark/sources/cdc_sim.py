@@ -106,6 +106,8 @@ def synthesize_mysql_events(
     # 3 cores. A real Kafka topic carries many partitions — this mirrors
     # that, and the one-time shuffle happens at the same materialization
     # that pays the to_json rendering.
+    # bound: the rendered envelope feed — input-row-scale JSON strings;
+    # evictable default storage, sized by the simulated topic not corpus
     feed = feed.repartition(spark.sparkContext.defaultParallelism).persist()
     _FEED_CACHE[key] = feed
     return feed

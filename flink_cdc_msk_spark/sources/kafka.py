@@ -17,6 +17,7 @@ from ..config import (
     binlog_resume_filter,
     gtid_resume_filter,
     parse_kafka_startup_position,
+    timestamp_resume_filter,
 )
 
 
@@ -77,4 +78,8 @@ def read_cdc_stream(
         out = out.filter(binlog_resume_filter(params.position))
     if params.position.startswith("gtid:"):
         out = out.filter(gtid_resume_filter(params.position))
+    if params.position.startswith("timestamp:"):
+        # startingTimestamp seeks by broker append time — bounds the
+        # scan; the source.ts_ms cut certifies the exact A6 semantics
+        out = out.filter(timestamp_resume_filter(params.position))
     return out

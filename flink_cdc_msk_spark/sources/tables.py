@@ -52,6 +52,8 @@ def memoized_relation(memo: dict, spark, extra: tuple, build) -> DataFrame:
     key = (app,) + extra
     got = memo.get(key)
     if got is None:
+        # bound: caller-specific, always a REDUCED relation (per-doc
+        # stats / bucket counts / distinct shingles), never raw corpus
         got = build().persist(StorageLevel.MEMORY_AND_DISK)
         memo[key] = got
     return got

@@ -38,6 +38,19 @@ def _cleanup() -> None:
 atexit.register(_cleanup)
 
 
+def await_or_raise(query, timeout_sec: int = 300) -> None:
+    """``awaitTermination(t)`` returns False on timeout with the query
+    STILL RUNNING — a caller that then reads the sink races the writer
+    and can pass its own sanity checks on silently-partial output. Every
+    availableNow materialization in this repo must fail loudly instead."""
+    if not query.awaitTermination(timeout_sec):
+        query.stop()
+        raise TimeoutError(
+            f"streaming query {query.name or query.id} did not finish "
+            f"within {timeout_sec}s — refusing to read a partial sink"
+        )
+
+
 def session_tmpdir(prefix: str) -> str:
     """A temp dir removed at interpreter exit, not at function return —
     scan results stay readable for the caller's whole session."""
@@ -58,7 +71,7 @@ def stream_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    await_or_raise(q, timeout_sec)
     return df.sparkSession.read.parquet(f"{base_dir}/out")
 
 
@@ -84,7 +97,7 @@ def stream_foreach_batch_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    await_or_raise(q, timeout_sec)
     spark: SparkSession = df.sparkSession
     return spark.read.option("basePath", f"{base_dir}/out").parquet(
         f"{base_dir}/out"

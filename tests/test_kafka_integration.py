@@ -147,3 +147,99 @@ def test_gtid_seek_hint_maps_to_explicit_offsets():
             "t",
             gtid_offset_index={0: 1},
         )
+
+
+def test_timestamp_resume_filter_cuts_at_source_ts(spark):
+    """A6 exact cut (VERDICT r10 item 7): events with source.ts_ms
+    strictly before the requested millisecond drop; at-or-after keep;
+    source-less rows (snapshot stand-ins) pass; a non-numeric position
+    refuses loudly."""
+    import json
+
+    from flink_cdc_msk_spark.config import timestamp_resume_filter
+
+    rows = [
+        (999, "before"),
+        (1000, "at_cut"),
+        (5000, "after"),
+        (None, "snapshot"),
+    ]
+    df = spark.createDataFrame(
+        [
+            (
+                json.dumps(
+                    {"source": {"ts_ms": ts}, "tag": tag}
+                    if ts is not None
+                    else {"tag": tag}
+                ),
+            )
+            for ts, tag in rows
+        ],
+        "value string",
+    )
+    kept = {
+        json.loads(r.value)["tag"]
+        for r in df.filter(timestamp_resume_filter("timestamp:1000")).collect()
+    }
+    assert kept == {"at_cut", "after", "snapshot"}
+
+    with pytest.raises(ValueError):
+        timestamp_resume_filter("timestamp:not-a-number")
+
+
+def test_timestamp_startup_streaming_post_cut_set(spark, tmp_path):
+    """A6 end-to-end on a file-backed topic fake (the gtid-cut test
+    pattern): a directory of Debezium envelope JSON lines stands in for
+    the topic, the STREAMING read applies the same cut expression
+    read_cdc_stream attaches for a ``timestamp:`` position, and one
+    availableNow pass must land EXACTLY the post-cut envelope set —
+    including an out-of-order late event the broker-side
+    startingTimestamp seek alone would misclassify (its append position
+    is after the seek point but its source time is before the cut)."""
+    import json
+
+    from flink_cdc_msk_spark.config import timestamp_resume_filter
+
+    feed = tmp_path / "topic"
+    feed.mkdir()
+    events = [
+        # (source ts_ms, id) in APPEND order; the 1500/7 row is the
+        # late arrival: appended after the cut point, sourced before it
+        (900, 1),
+        (1000, 2),
+        (2000, 3),
+        (1500, 4),
+        (800, 7),
+        (3000, 5),
+    ]
+    lines = "\n".join(
+        json.dumps(
+            {
+                "op": "c",
+                "after": {"id": str(i)},
+                "source": {"ts_ms": ts, "db": "d", "table": "t"},
+            }
+        )
+        for ts, i in events
+    )
+    (feed / "part-0.json").write_text(lines + "\n")
+
+    stream = (
+        spark.readStream.format("text")
+        .schema("value string")
+        .load(str(feed))
+        .filter(timestamp_resume_filter("timestamp:1000"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ts_startup_cut")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        json.loads(r.value)["after"]["id"]
+        for r in spark.sql("SELECT value FROM ts_startup_cut").collect()
+    }
+    assert got == {"2", "3", "4", "5"}

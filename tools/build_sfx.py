@@ -167,14 +167,29 @@ def build_docs_only(src: str, out: str, replicas: int,
     ONLY for queries that read the plain corpus, never the
     _docs_with_dups/_docs_with_near_dups families) and symlinks the
     other nine tables from an existing set so load_tables/oracle view
-    registration still resolve."""
+    registration still resolve.
+
+    Only the replicas*DOC_STEP-vs-CLONE_OFFSET collision guard is
+    waived (that is the point of the second decade); the per-file
+    doc_id span guard still applies — a source whose doc_ids span
+    >= DOC_STEP would silently produce cross-replica collisions."""
+    con = duckdb.connect()
+    (max_doc,) = con.execute(
+        f"SELECT max(doc_id) FROM '{src}/documents.parquet'"
+    ).fetchone()
+    if max_doc >= DOC_STEP:
+        raise ValueError(f"doc_id span {max_doc} >= DOC_STEP {DOC_STEP}")
     os.makedirs(out, exist_ok=True)
+    rest_abs = os.path.abspath(link_rest_from)
     for t in ("region nation customer supplier part orders lineitem "
               "events embeddings").split():
         dst = os.path.join(out, f"{t}.parquet")
-        if not os.path.exists(dst):
-            os.symlink(os.path.join(link_rest_from, f"{t}.parquet"), dst)
-    duckdb.connect().execute(
+        # lexists: an existing-but-dangling symlink (linked-from dir
+        # deleted) must be replaced, and exists() can't see it.
+        if os.path.lexists(dst):
+            os.unlink(dst)
+        os.symlink(os.path.join(rest_abs, f"{t}.parquet"), dst)
+    con.execute(
         f"""
         COPY (
           SELECT d.doc_id + r.range * {DOC_STEP} AS doc_id,
