@@ -44,20 +44,30 @@ def _docs(spark, sf_dir):
     return load_tables(spark, sf_dir)["documents"]
 
 
-def _planted_variants(d, with_near: bool):
+def _planted_variants(
+    d,
+    with_near: bool,
+    clone_offset: int = CLONE_OFFSET,
+    near_offset: int = NEAR_OFFSET,
+):
     """One-scan corpus planting: each doc emits itself plus its planted
     clone/near-dup variants from a map-side array explode — the UNION ALL
     formulation (what the oracle SQL runs) re-scans the parquet once per
     branch. Output rows are identical; the plan reads the corpus once.
     ``explode_outer`` (not explode): the inferred size>0 filter of a
-    plain explode would re-inline the array construction (PERF.md §1)."""
+    plain explode would re-inline the array construction (PERF.md §1).
+
+    ``clone_offset``/``near_offset`` exist for MEASUREMENT corpora whose
+    base doc_ids exceed the registered constants (the sfx100 decade sets
+    span past 1M/2M — tools/sfx_dups_decade.py plants at 10M/20M); every
+    registered query uses the defaults, which the oracle SQL mirrors."""
     self_row = F.array(F.struct(F.col("doc_id"), F.col("text")))
     empty = F.array().cast("array<struct<doc_id:bigint,text:string>>")
     clone = F.when(
         F.col("doc_id") % 5 == 0,
         F.array(
             F.struct(
-                (F.col("doc_id") + CLONE_OFFSET).alias("doc_id"),
+                (F.col("doc_id") + clone_offset).alias("doc_id"),
                 F.col("text"),
             )
         ),
@@ -69,7 +79,7 @@ def _planted_variants(d, with_near: bool):
                 F.col("doc_id") % 7 == 0,
                 F.array(
                     F.struct(
-                        (F.col("doc_id") + NEAR_OFFSET).alias("doc_id"),
+                        (F.col("doc_id") + near_offset).alias("doc_id"),
                         F.concat(F.col("text"), F.lit(NEAR_SUFFIX)).alias(
                             "text"
                         ),

@@ -53,6 +53,7 @@ def load_all() -> None:
     from . import round9_extras  # noqa: F401
     from . import round10_extras  # noqa: F401
     from . import round10b_extras  # noqa: F401
+    from . import round11_extras  # noqa: F401
 
 
 _loaded = False

@@ -807,9 +807,7 @@ def source_minhash_sigs(sh: DataFrame) -> DataFrame:
     return sh.groupBy("source").agg(*_sig_cols())
 
 
-@register(
-    "text_source_overlap_sketch",
-    oracle=f"""
+_SKETCH_ORACLE = f"""
     WITH arrs AS (
       SELECT source, list_filter(string_split(lower(text), ' '),
                                  x -> x <> '') AS a
@@ -848,8 +846,10 @@ def source_minhash_sigs(sh: DataFrame) -> DataFrame:
            round(abs(round(matches / {_SIG_K}.0, 6)
                      - coalesce(exact.exact_jaccard, 0.0)), 6) AS abs_err
     FROM est LEFT JOIN exact ON est.s1 = exact.s1 AND est.s2 = exact.s2
-    """,
-)
+    """
+
+
+@register("text_source_overlap_sketch", oracle=_SKETCH_ORACLE)
 def text_source_overlap_sketch(spark, sf_dir):
     """MinHash-signature estimate of the source-overlap matrix,
     self-gated against the exact values — the SHUFFLE-FREE scale path
@@ -870,7 +870,20 @@ def text_source_overlap_sketch(spark, sf_dir):
         (sf_dir, 3),
         lambda: _source_shingles(docs, 3),
     )
-    sigs = source_minhash_sigs(sh)
+    return overlap_sketch_view(docs, sh)
+
+
+def overlap_sketch_view(
+    docs: DataFrame, sh: DataFrame, sigs: DataFrame | None = None
+) -> DataFrame:
+    """Shared tail of the sketch query: signature pair-match counting +
+    exact-matrix gating. Pass ``sigs`` (any (source, h0..h31) relation,
+    e.g. element-wise-min-folded streaming partials) to skip the
+    signature aggregation — the streaming twin does; both twins then
+    share THIS function's estimate/exact/error emission, so the
+    formulations cannot drift (the stats/model-injection rule)."""
+    if sigs is None:
+        sigs = source_minhash_sigs(sh)
     a = sigs.select(
         F.col("source").alias("s1"),
         *[F.col(f"h{i}").alias(f"a{i}") for i in range(_SIG_K)],

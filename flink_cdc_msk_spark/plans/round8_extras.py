@@ -8,12 +8,13 @@ out the dedup/curation surface.
   character tiling + a gram-frequency shuffle + gaps-and-islands span
   merging, which catches every aligned duplicate of length >= 2k-1 and is
   three shuffles at any corpus size.
-* ``multimodal_phash_near_dup`` — perceptual-hash-style near-dup over the
-  binary media lake: a 60-bit block hash (proportional-position blocks, so
-  it is length-normalized like a real pHash's resize step) bucketed by
-  15-bit bands — the SimHash/LSH banding shape applied to media payloads.
-  The real DCT is behind the declared codec stub
-  (operators/multimodal.py:69); the hash/band/verify plumbing is exact.
+* ``multimodal_phash_near_dup`` — TRUE 32x32-DCT perceptual hash over the
+  binary media lake (upgraded round 11 from the original block-hash
+  stand-in): deterministic synthetic rasterization to 8x8 cells, exact
+  fixed-point integer DCT in one Arrow-batched pandas UDF, 63-bit
+  median-threshold hash, 7x9-bit LSH bands with GUARANTEED recall at the
+  hamming admit threshold (functions/phash.py). Only the image decode
+  remains behind the declared codec stub (operators/multimodal.py:69).
 * ``llm_mixture_plan`` — the domain-mixture arithmetic every pre-training
   run needs (natural share -> temperature-reweighted target share ->
   sampled-token budget -> epochs per domain), one aggregate + a 1-row
@@ -44,6 +45,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import text as T
+from ..functions.phash import (
+    PHASH_BAND_BITS,
+    PHASH_BANDS,
+    PHASH_HAM_MAX,
+    phash63,
+    phash63_sql,
+    synthetic_cells,
+    synthetic_cells_sql,
+)
 from ..operators.sampling import hash_bucket, hash_bucket_sql
 from .llm_pipeline import (
     DOCS_WITH_DUPS_SQL,
@@ -57,9 +67,6 @@ from .round6_extras import _BPE_MERGES, bpe_doc_units, bpe_units_cte
 
 TILE = 32  # substring-dedup granularity (chars): catches dups >= 2*TILE-1
 
-_N_BLOCKS = 15  # 15 nibbles = 60 bits, inside a signed long like md5_hash60
-_N_BANDS = 4  # 4 x 15-bit bands
-_HAM_MAX = 6  # admit pairs with hamming distance <= 6 of 60 bits
 
 
 @register(
@@ -173,41 +180,18 @@ def text_substring_dedup(spark, sf_dir):
     )
 
 
-def _phash_spark(text_col):
-    """60-bit block hash: {_N_BLOCKS} proportional-position blocks, one md5
-    nibble each — length-normalized like a pHash resize."""
-    n = F.length(text_col)
-    nibbles = []
-    for j in range(_N_BLOCKS):
-        start = (F.floor(F.lit(j) * n / _N_BLOCKS) + 1).cast("int")
-        blen = F.greatest(
-            F.floor(n / _N_BLOCKS), F.lit(1)
-        ).cast("int")
-        block = text_col.substr(start, blen)
-        nibbles.append(F.substring(F.md5(block.cast("binary")), 1, 1))
-    return F.conv(F.concat(*nibbles), 16, 10).cast("long")
-
-
-def _phash_sql(expr: str) -> str:
-    parts = []
-    for j in range(_N_BLOCKS):
-        start = f"CAST(floor({j} * length({expr}) / {_N_BLOCKS}.0) + 1 AS BIGINT)"
-        blen = f"greatest(CAST(floor(length({expr}) / {_N_BLOCKS}.0) AS BIGINT), 1)"
-        parts.append(f"substr(md5(substr({expr}, {start}, {blen})), 1, 1)")
-    return f"CAST(concat('0x', {', '.join(parts)}) AS BIGINT)"
-
-
-@register(
-    "multimodal_phash_near_dup",
-    oracle=f"""
+PHASH_ORACLE = f"""
     WITH corpus AS (
       {DOCS_WITH_DUPS_SQL}
-    ), ph AS (
-      SELECT doc_id AS media_id, {_phash_sql('text')} AS h FROM corpus
-    ), bands AS (
+    ), payloads AS (
+      SELECT doc_id AS media_id, text AS payload FROM corpus
+    ), cells AS (
+      {synthetic_cells_sql("payload")}
+    ), {phash63_sql()}, bands AS (
       SELECT media_id, h, CAST(b.i AS INTEGER) AS band,
-             (h >> (15 * b.i)) & 32767 AS band_v
-      FROM ph, unnest(generate_series(0, {_N_BANDS - 1})) AS b(i)
+             (h >> ({PHASH_BAND_BITS} * b.i)) & {(1 << PHASH_BAND_BITS) - 1}
+               AS band_v
+      FROM ph, unnest(generate_series(0, {PHASH_BANDS - 1})) AS b(i)
     ), pairs AS (
       SELECT a.media_id AS media_id_1, b.media_id AS media_id_2,
              a.h AS h1, b.h AS h2, a.band AS band
@@ -218,52 +202,60 @@ def _phash_sql(expr: str) -> str:
     SELECT media_id_1, media_id_2,
            CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
     FROM pairs
-    WHERE bit_count(xor(h1, h2)) <= {_HAM_MAX}
+    WHERE bit_count(xor(h1, h2)) <= {PHASH_HAM_MAX}
       AND NOT EXISTS (
-        SELECT 1 FROM unnest(generate_series(0, 3)) AS lo(i)
+        SELECT 1 FROM unnest(generate_series(0, {PHASH_BANDS - 2})) AS lo(i)
         WHERE lo.i < band
-          AND ((h1 >> (15 * lo.i)) & 32767) = ((h2 >> (15 * lo.i)) & 32767)
+          AND ((h1 >> ({PHASH_BAND_BITS} * lo.i))
+               & {(1 << PHASH_BAND_BITS) - 1})
+            = ((h2 >> ({PHASH_BAND_BITS} * lo.i))
+               & {(1 << PHASH_BAND_BITS) - 1})
       )
-    """,
-)
-def multimodal_phash_near_dup(spark, sf_dir):
-    """Perceptual-hash near-dup over the synthesized media lake
-    (operators/multimodal.py payloads): a 60-bit block hash per asset,
-    banded into 4x15-bit LSH buckets — a pair is a candidate iff some
-    band matches exactly, then verified by hamming distance over the
-    full hash. The block positions are PROPORTIONAL to payload length
-    (a pHash's resize step), so equal content hashes equal regardless
-    of how the lake shards it; the DCT itself is the declared codec
-    stub, the hash/band/verify plumbing is exact and oracle-gated.
+    """
 
-    Scale shape: candidates come only from band-bucket collisions (no
-    all-pairs anywhere); ONE shuffle on (band, band_v) for the self-join
-    and nothing after it — a pair colliding in several bands is emitted
-    only from its LOWEST matching band (a cheap per-row filter on the
-    hashes already in hand), which replaces the pair-distinct shuffle.
-    That distinct was the sfx10 bottleneck: near-dup-dense corpora emit
-    every duplicate pair in all 4 bands, so the distinct re-shuffled 4x
-    the output volume (measured: 217 s -> see PERF.md §22). 15-bit bands
-    keep expected bucket width ~corpus/32768 per band."""
+
+@register("multimodal_phash_near_dup", oracle=PHASH_ORACLE)
+def multimodal_phash_near_dup(spark, sf_dir):
+    """TRUE 32x32-DCT perceptual-hash near-dup over the media lake
+    (round 11 — replaces the r8 proportional-block stand-in): per
+    asset, the deterministic synthetic decode rasterizes the payload
+    to an 8x8 grid of 4x4-constant cells (functions/phash.py — the
+    real codec stays the declared stub, operators/multimodal.py:69),
+    a fixed-point integer 2-D DCT keeps the 8x8 low-frequency block,
+    and the 63 AC coefficients median-threshold into a 63-bit hash.
+    The DCT runs in ONE Arrow-batched pandas UDF (two 8x8 integer
+    matmuls over the whole batch — the rolling_hash.py pattern); the
+    64 cell lumas are computed JVM-side, so the only Python boundary
+    ships 64 longs per asset. Exact-integer arithmetic end-to-end
+    makes the hash bit-identical to the DuckDB oracle's re-derivation
+    (same literal basis matrix, same order statistics).
+
+    Banding: 7 x 9-bit bands over the 63-bit hash — by pigeonhole a
+    pair at hamming <= 6 of 63 ALWAYS shares a clean band, so
+    candidate recall at the admit threshold is guaranteed, not
+    probabilistic. Scale shape unchanged from r8 (PERF §22): one
+    shuffle on (band, band_v), lowest-matching-band dedup instead of
+    a pair-distinct re-shuffle, no all-pairs stage anywhere."""
     corpus = _docs_with_dups(spark, sf_dir)
     ph = corpus.select(
         F.col("doc_id").alias("media_id"),
-        _phash_spark(F.col("text")).alias("h"),
+        phash63(F.array(*synthetic_cells(F.col("text")))).alias("h"),
     )
+    mask = (1 << PHASH_BAND_BITS) - 1
     bands = ph.select(
         "media_id",
         "h",
         F.explode(
-            F.array(*[F.lit(b) for b in range(_N_BANDS)])
+            F.array(*[F.lit(b) for b in range(PHASH_BANDS)])
         ).alias("band"),
     ).withColumn(
         # shiftright's Python signature wants a literal count; the SQL
         # form takes a column expression
         "band_v",
-        F.expr("shiftright(h, 15 * band) & 32767"),
+        F.expr(f"shiftright(h, {PHASH_BAND_BITS} * band) & {mask}"),
     )
-    # merge-pinned: the band relation is corpus-scale (N_BANDS rows per
-    # asset) — Catalyst broadcasts it at test scale, the §21 trap
+    # merge-pinned: the band relation is corpus-scale (PHASH_BANDS rows
+    # per asset) — Catalyst broadcasts it at test scale, the §21 trap
     a = bands.alias("a").hint("merge")
     b = bands.alias("b").hint("merge")
     pairs = a.join(
@@ -281,10 +273,10 @@ def multimodal_phash_near_dup(spark, sf_dir):
     # lowest-matching-band dedup: keep the pair only where no EARLIER
     # band also collided — exactly-once emission with zero extra shuffle
     lowest = F.lit(True)
-    for lo in range(_N_BANDS - 1):
+    for lo in range(PHASH_BANDS - 1):
         collides = F.expr(
-            f"(shiftright(h1, {15 * lo}) & 32767) = "
-            f"(shiftright(h2, {15 * lo}) & 32767)"
+            f"(shiftright(h1, {PHASH_BAND_BITS * lo}) & {mask}) = "
+            f"(shiftright(h2, {PHASH_BAND_BITS * lo}) & {mask})"
         )
         lowest = lowest & (~((F.col("band") > lo) & collides))
     ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
@@ -295,7 +287,7 @@ def multimodal_phash_near_dup(spark, sf_dir):
             "media_id_2",
             ham.cast("int").alias("hamming"),
         )
-        .filter(F.col("hamming") <= _HAM_MAX)
+        .filter(F.col("hamming") <= PHASH_HAM_MAX)
     )
 
 

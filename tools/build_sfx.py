@@ -203,6 +203,56 @@ def build_docs_only(src: str, out: str, replicas: int,
     )
 
 
+def build_docs_differentiated(src: str, out: str, replicas: int,
+                              link_rest_from: str) -> None:
+    """Documents-only replica set with DIFFERENTIATED replicas, for the
+    second-decade rows of the NEAR-DUP-FAMILY operators (jaccard /
+    substring-RK — VERDICT r10 item 2). The plain docs-only set keeps
+    replicas near-identical (one tag token), which is fine for corpus-
+    statistics queries but DEGENERATE for a jaccard>=0.8 pair join: at
+    990 replicas every replica pair of every doc crosses the threshold
+    and the OUTPUT (not the algorithm) grows ~replicas² — 100x sfx10's
+    already-caveated cross-replica volume. Here each replica gains a
+    unique token prefix ~1/3 of its length, pushing cross-replica
+    3-gram Jaccard to ~0.6 (measured band 0.33-0.59 over the length
+    distribution) — safely below 0.8, so pair output is driven by the
+    offsets a measurement harness PLANTS (tools/sfx_dups_decade.py uses
+    10M/20M), like a real deduplicated-crawl workload.
+
+    Same span guard and symlink handling as build_docs_only."""
+    con = duckdb.connect()
+    (max_doc,) = con.execute(
+        f"SELECT max(doc_id) FROM '{src}/documents.parquet'"
+    ).fetchone()
+    if max_doc >= DOC_STEP:
+        raise ValueError(f"doc_id span {max_doc} >= DOC_STEP {DOC_STEP}")
+    os.makedirs(out, exist_ok=True)
+    rest_abs = os.path.abspath(link_rest_from)
+    for t in ("region nation customer supplier part orders lineitem "
+              "events embeddings").split():
+        dst = os.path.join(out, f"{t}.parquet")
+        if os.path.lexists(dst):
+            os.unlink(dst)
+        os.symlink(os.path.join(rest_abs, f"{t}.parquet"), dst)
+    con.execute(
+        f"""
+        COPY (
+          SELECT d.doc_id + r.range * {DOC_STEP} AS doc_id,
+                 array_to_string(list_transform(
+                   generate_series(1, greatest(8, CAST(ceil(
+                     len(list_filter(string_split(d.text, ' '),
+                                     x -> x <> '')) / 3.0) AS BIGINT))),
+                   i -> 'p' || i || 'r' || r.range), ' ')
+                 || ' ' || d.text || ' rep' || r.range AS text,
+                 d.lang, d.source,
+                 length(d.text) AS n_chars
+          FROM '{src}/documents.parquet' d CROSS JOIN range({replicas}) r
+          ORDER BY doc_id
+        ) TO '{out}/documents.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 5000)
+        """
+    )
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
@@ -214,6 +264,12 @@ if __name__ == "__main__":
              "(q18-shape relational scaling) instead of copying them",
     )
     ap.add_argument(
+        "--differentiated", action="store_true",
+        help="with --docs-only-link-from: differentiated replicas "
+             "(unique per-replica token prefix — the near-dup-family "
+             "decade recipe; see build_docs_differentiated)",
+    )
+    ap.add_argument(
         "--docs-only-link-from", metavar="DIR",
         help="build ONLY documents at --replicas (collision guard "
              "waived — plain-corpus queries only) and symlink the "
@@ -221,7 +277,12 @@ if __name__ == "__main__":
     )
     a = ap.parse_args()
     if a.docs_only_link_from:
-        build_docs_only(a.src, a.out, a.replicas, a.docs_only_link_from)
+        if a.differentiated:
+            build_docs_differentiated(
+                a.src, a.out, a.replicas, a.docs_only_link_from
+            )
+        else:
+            build_docs_only(a.src, a.out, a.replicas, a.docs_only_link_from)
         print(f"built {a.out} documents x{a.replicas} "
               f"(rest linked from {a.docs_only_link_from})")
     else:

@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""Second-decade (sfx100-scale) measurement for the NEAR-DUP FAMILY
+(VERDICT r10 item 2): dedup_token_jaccard and text_substring_dedup_rk.
+
+These two read the planted-variant corpus, which the plain docs-only
+sfx100 set cannot serve: (a) its doc_ids (up to 9.9M) collide with the
+registered plant offsets CLONE_OFFSET=1M / NEAR_OFFSET=2M, and (b) its
+tag-only replicas sit ABOVE the 0.8 jaccard threshold, so at 990
+replicas the pair OUTPUT grows ~replicas² — a degenerate workload that
+measures result materialization, not the algorithm. The recipe here:
+
+1. corpus = /tmp/sfxd100 from ``build_sfx.py --docs-only-link-from
+   ... --differentiated`` — replicas carry a unique token prefix ~1/3
+   of their length, pushing cross-replica jaccard to ~0.33-0.59;
+2. plants at 10M/20M via the production ``_planted_variants`` with its
+   measurement-only offset parameters (the REGISTERED queries keep the
+   1M/2M constants; this harness exercises the same operator code on a
+   corpus the constants cannot host);
+3. DuckDB runs the REGISTERED oracles with only the corpus-CTE offsets
+   rewritten — same algorithm text, same plant rule.
+
+Protocol: the pinned §34 shape (interleaved Spark/DuckDB per round,
+cold = round 0, warm = median of rounds 1..N-1, per-query DuckDB
+interrupt cap). Engine-default session conf like sfx_scale.py (AQE on,
+shuffle partitions = cores). Env: AB_ROUNDS (default 2), DUCK_CAP
+(default 300 s), SPARK_GRAFT_DRIVER_MEM (set 64g at this scale).
+
+Usage:
+  python tools/build_sfx.py --src /root/testdata/sf0.1 --out /tmp/sfxd100 \
+      --replicas 990 --docs-only-link-from /tmp/sfx1 --differentiated
+  SPARK_GRAFT_DRIVER_MEM=64g AB_ROUNDS=2 DUCK_CAP=300 \
+      python tools/sfx_dups_decade.py /tmp/sfxd100
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROUNDS = int(os.environ.get("AB_ROUNDS", "2"))
+DUCK_CAP = float(os.environ.get("DUCK_CAP", "300"))
+CLONE_OFF = 10_000_000
+NEAR_OFF = 20_000_000
+
+
+def main() -> None:
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from flink_cdc_msk_spark.operators.dedup import jaccard_pairs
+    from flink_cdc_msk_spark.plans.llm_pipeline import (
+        CLONE_OFFSET,
+        DOCS_WITH_NEAR_DUPS_SQL,
+        NEAR_OFFSET,
+        _planted_variants,
+    )
+    from flink_cdc_msk_spark.plans.round9_extras import (
+        _cdc_chunks,
+        _dup_span_report,
+    )
+    from flink_cdc_msk_spark.session import get_spark
+    from flink_cdc_msk_spark.sources.tables import load_tables
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfxd100"
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    spark = get_spark(
+        app_name="sfx_dups_decade",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def corpus():
+        d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+        return _planted_variants(
+            d, with_near=True, clone_offset=CLONE_OFF, near_offset=NEAR_OFF
+        )
+
+    spark_queries = {
+        "dedup_token_jaccard": lambda: jaccard_pairs(
+            corpus(), threshold=0.8, ngram=3
+        ),
+        "text_substring_dedup_rk": lambda: _dup_span_report(
+            _cdc_chunks(corpus(), boundary="rk")
+        ),
+    }
+
+    # DuckDB: the registered oracles with only the corpus plant offsets
+    # rewritten (1M/2M -> 10M/20M). String-surgery on the shared corpus
+    # CTE keeps every other literal (RK constants etc.) untouched.
+    osql = entry_mod.oracle_sql()
+    custom_cte = DOCS_WITH_NEAR_DUPS_SQL.replace(
+        str(CLONE_OFFSET), str(CLONE_OFF)
+    ).replace(str(NEAR_OFFSET), str(NEAR_OFF))
+    duck_queries = {}
+    for name in spark_queries:
+        sql = osql[name]
+        if DOCS_WITH_NEAR_DUPS_SQL not in sql:
+            raise RuntimeError(f"corpus CTE not found verbatim in {name}")
+        duck_queries[name] = sql.replace(
+            DOCS_WITH_NEAR_DUPS_SQL, custom_cte
+        )
+
+    con = duckdb.connect()
+    con.execute(f"SET memory_limit='{os.environ.get('DUCK_MEM', '24GB')}'")
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    load_tables(spark, sf_dir)["documents"].limit(1).count()
+
+    spark_t: dict[str, list[float]] = {n: [] for n in spark_queries}
+    duck_t: dict[str, list[float]] = {n: [] for n in spark_queries}
+    duck_dnf: set[str] = set()
+    for r in range(ROUNDS):
+        for name, build in spark_queries.items():
+            t0 = time.perf_counter()
+            n_rows = build().count()
+            spark_t[name].append(time.perf_counter() - t0)
+            print(
+                f"  [r{r}] {name}: spark {spark_t[name][-1]:.2f}s "
+                f"({n_rows} rows)",
+                flush=True,
+            )
+            if name in duck_dnf:
+                print(f"  [r{r}] {name}: duck DNF(skipped)", flush=True)
+                continue
+            done = threading.Event()
+
+            def interrupt() -> None:
+                if not done.wait(DUCK_CAP):
+                    con.interrupt()
+
+            w = threading.Thread(target=interrupt, daemon=True)
+            w.start()
+            t0 = time.perf_counter()
+            try:
+                con.execute(duck_queries[name]).fetchall()
+                duck_t[name].append(time.perf_counter() - t0)
+                print(
+                    f"  [r{r}] {name}: duck {duck_t[name][-1]:.2f}s",
+                    flush=True,
+                )
+            except duckdb.InterruptException:
+                duck_dnf.add(name)
+                print(f"  [r{r}] {name}: duck DNF>{DUCK_CAP:.0f}s", flush=True)
+            finally:
+                done.set()
+                w.join()
+
+    def fmt(samples: list[float], dnf: bool) -> tuple[str, str]:
+        if dnf and not samples:
+            return (f"DNF>{DUCK_CAP:.0f}s", f"DNF>{DUCK_CAP:.0f}s")
+        cold = f"{samples[0]:.2f}" if samples else "-"
+        warm = (
+            f"{statistics.median(samples[1:]):.2f}"
+            if len(samples) > 1
+            else "-"
+        )
+        return cold, warm
+
+    print(f"RESULT sf_dir={sf_dir} rounds={ROUNDS} duck_cap={DUCK_CAP}")
+    for name in spark_queries:
+        sc, sw = fmt(spark_t[name], False)
+        dc, dw = fmt(duck_t[name], name in duck_dnf)
+        print(
+            f"RESULT {name}: spark_cold={sc} spark_warm={sw} "
+            f"duckdb_cold={dc} duckdb_warm={dw}",
+            flush=True,
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
