@@ -43,6 +43,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ROUNDS = int(os.environ.get("AB_ROUNDS", "2"))
+# Spark rounds past round 0 are skipped for a query whose round-0 wall
+# time exceeds SPARK_SOFT_CAP seconds (cold recorded, warm honestly
+# absent) — the §41 protocol note for runs near the box's limits.
+SPARK_SOFT_CAP = float(os.environ.get("SPARK_SOFT_CAP", "1e9"))
 DUCK_CAP = float(os.environ.get("DUCK_CAP", "300"))
 CLONE_OFF = 10_000_000
 NEAR_OFF = 20_000_000
@@ -81,14 +85,36 @@ def main() -> None:
             d, with_near=True, clone_offset=CLONE_OFF, near_offset=NEAR_OFF
         )
 
+    # SFXD_MAX_FREQ: posting-list cutoff (jaccard_pairs max_token_freq,
+    # the operator's documented skew guard). On a replica corpus the
+    # replica-shared text shingles carry df == replica count, so the
+    # UNGUARDED posting-pair emission is base_docs x C(replicas, 2)
+    # (~2.1e9 at 99 replicas) independent of the output threshold —
+    # measured to exceed this box's 76 GB of shuffle disk at EVERY
+    # differentiated replica count tried (PERF §41 caps). Production
+    # dedup at 100 TB runs with a df bound for exactly this reason;
+    # set it to (replicas - 1) to prune the structural lists while
+    # keeping every planted pair discoverable via its rare units.
+    max_freq = os.environ.get("SFXD_MAX_FREQ")
+    max_freq = int(max_freq) if max_freq else None
     spark_queries = {
         "dedup_token_jaccard": lambda: jaccard_pairs(
-            corpus(), threshold=0.8, ngram=3
+            corpus(), threshold=0.8, ngram=3, max_token_freq=max_freq
         ),
         "text_substring_dedup_rk": lambda: _dup_span_report(
             _cdc_chunks(corpus(), boundary="rk")
         ),
     }
+    # SFXD_QUERIES=name[,name]: restrict the measured set — the full
+    # sfxd100 jaccard spills past this box's disk (>77 GB at the
+    # posting join, PERF §41), so jaccard runs on the largest
+    # completable replica count while substring_rk takes the full set
+    only = os.environ.get("SFXD_QUERIES")
+    if only:
+        keep = set(only.split(","))
+        spark_queries = {
+            k: v for k, v in spark_queries.items() if k in keep
+        }
 
     # DuckDB: the registered oracles with only the corpus plant offsets
     # rewritten (1M/2M -> 10M/20M). String-surgery on the shared corpus
@@ -117,8 +143,13 @@ def main() -> None:
     spark_t: dict[str, list[float]] = {n: [] for n in spark_queries}
     duck_t: dict[str, list[float]] = {n: [] for n in spark_queries}
     duck_dnf: set[str] = set()
+    spark_capped: set[str] = set()
     for r in range(ROUNDS):
         for name, build in spark_queries.items():
+            if name in spark_capped:
+                print(f"  [r{r}] {name}: spark skipped (soft cap)",
+                      flush=True)
+                continue
             t0 = time.perf_counter()
             n_rows = build().count()
             spark_t[name].append(time.perf_counter() - t0)
@@ -127,6 +158,8 @@ def main() -> None:
                 f"({n_rows} rows)",
                 flush=True,
             )
+            if spark_t[name][-1] > SPARK_SOFT_CAP:
+                spark_capped.add(name)
             if name in duck_dnf:
                 print(f"  [r{r}] {name}: duck DNF(skipped)", flush=True)
                 continue
