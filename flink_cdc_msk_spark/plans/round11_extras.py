@@ -1,5 +1,16 @@
 """Round-11 additions.
 
+* ``dedup_token_jaccard_pruned`` — the PRODUCTION form of the jaccard
+  pair join: the `max_token_freq` posting-list guard (the documented
+  skew bound — PERF §41 measured the unguarded form exceeding a
+  single box's shuffle disk on replica corpora) registered with a
+  FULL DuckDB oracle that mirrors the pruned PPJoin exactly: the
+  df-then-token prefix order (string units — engine-portable, unlike
+  the xxhash64 tiebreak of the fast path), prefix length, posting-list
+  band [2, K], size-ratio and position filters instance-for-instance,
+  then exact verification. A green row certifies the guard's
+  DETECTION CONTRACT (pairs reachable only through pruned lists are
+  skipped identically in both engines), not just the happy path.
 * ``streaming_source_overlap`` — the streaming contamination guard
   (VERDICT r10 item 8): per-source MinHash signatures maintained
   INCREMENTALLY through Structured Streaming. MinHash state folds
@@ -117,3 +128,100 @@ def streaming_source_overlap(spark, sf_dir):
         lambda: _source_shingles(docs, 3),
     )
     return overlap_sketch_view(docs, sh, sigs=sigs)
+
+
+# ---------------------------------------------------------------------------
+# Guarded jaccard: the production skew-bounded pair join, oracle-gated
+# ---------------------------------------------------------------------------
+
+PRUNE_K = 8  # posting-list cutoff: sf0.01 has 33 units with df > 8, so
+# the gate exercises real pruning (max df 72); at 100 TB the cutoff is
+# sized to bound C(K, 2) per list — semantics identical at any K
+
+_PRUNED_ORACLE = f"""
+    WITH docs AS (
+      {{DOCS_WITH_NEAR_DUPS_SQL}}
+    ), arrs AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '') AS a
+      FROM docs
+    ), sh AS (
+      SELECT doc_id AS id, s.sh AS token
+      FROM arrs, unnest(list_distinct(list_transform(
+        generate_series(1, len(a) - 2),
+        i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2]))) AS s(sh)
+    ), dfreq AS (
+      SELECT token, count(*) AS df FROM sh GROUP BY token
+    ), ord AS (
+      SELECT sh.id, sh.token, dfreq.df,
+             row_number() OVER (
+               PARTITION BY sh.id ORDER BY dfreq.df, sh.token) AS rn,
+             count(*) OVER (PARTITION BY sh.id) AS sz
+      FROM sh JOIN dfreq USING (token)
+    ), pref AS (
+      SELECT id, token, sz, CAST(rn - 1 AS BIGINT) AS pos
+      FROM ord WHERE rn <= sz - ceil(sz * 0.8) + 1
+    ), plist AS (
+      SELECT token FROM pref GROUP BY token
+      HAVING count(*) BETWEEN 2 AND {{K}}
+    ), cands AS (
+      SELECT DISTINCT x.id AS id1, y.id AS id2
+      FROM pref x
+      JOIN pref y ON x.token = y.token AND x.id < y.id
+      JOIN plist p ON p.token = x.token
+      WHERE x.sz * 0.8 <= y.sz AND y.sz * 0.8 <= x.sz
+        AND 1 + least(x.sz - x.pos - 1, y.sz - y.pos - 1)
+            >= ceil((x.sz + y.sz) * 0.8 / (1.0 + 0.8) - 1e-9)
+    ), sizes AS (
+      SELECT id, count(*) AS sz FROM sh GROUP BY id
+    ), inter AS (
+      SELECT c.id1, c.id2, count(*) AS inter
+      FROM cands c
+      JOIN sh a ON a.id = c.id1
+      JOIN sh b ON b.id = c.id2 AND b.token = a.token
+      GROUP BY c.id1, c.id2
+    )
+    SELECT id1, id2,
+           round(inter / (s1.sz + s2.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.id = id1
+    JOIN sizes s2 ON s2.id = id2
+    WHERE round(inter / (s1.sz + s2.sz - inter), 6) >= 0.8
+"""
+
+
+def _pruned_oracle() -> str:
+    from .llm_pipeline import DOCS_WITH_NEAR_DUPS_SQL
+
+    return _PRUNED_ORACLE.format(
+        DOCS_WITH_NEAR_DUPS_SQL=DOCS_WITH_NEAR_DUPS_SQL, K=PRUNE_K
+    )
+
+
+@register("dedup_token_jaccard_pruned", oracle=_pruned_oracle())
+def dedup_token_jaccard_pruned(spark, sf_dir):
+    """Skew-guarded exact-jaccard pair join: `jaccard_pairs` with its
+    documented `max_token_freq` posting bound — the form a 100 TB
+    deployment runs (PERF §41: the unguarded posting-pair emission is
+    base_docs x C(group, 2) on duplication-heavy corpora and exceeds
+    any single box's shuffle disk; the bound caps every prefix
+    posting's blow-up at C(K, 2)).
+
+    Detection contract, mirrored EXACTLY by the oracle: a qualifying
+    pair is emitted iff some shared unit (a) lands in BOTH docs'
+    df-ordered prefixes, (b) has a surviving posting (2 <= list <= K),
+    and (c) passes the size-ratio + PPJoin position filters at that
+    instance — then exact-jaccard verification. String units
+    (hashed=False) so the df-then-token prefix ORDER is engine-portable
+    (the xxhash64 fast path's tiebreak is not); production keeps
+    hashed=True, whose order differs only on df ties."""
+    from ..operators import dedup as D
+    from .llm_pipeline import _docs_with_near_dups
+
+    return D.jaccard_pairs(
+        _docs_with_near_dups(spark, sf_dir),
+        threshold=0.8,
+        ngram=3,
+        hashed=False,
+        max_token_freq=PRUNE_K,
+    )

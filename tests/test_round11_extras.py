@@ -64,3 +64,34 @@ def test_minhash_partial_fold_is_lossless(spark):
                 v = r[f"h{i}"]
                 cur[i] = v if cur[i] is None else min(cur[i], v)
     assert folded == whole
+
+
+def test_pruned_jaccard_detection_contract(spark):
+    # the guard's documented miss-mode, constructed: ten docs share the
+    # SAME text (pairwise jaccard 1.0), so every unit has df=10; with
+    # max_token_freq=5 every posting is pruned and NO pair surfaces —
+    # while two docs sharing a rare tail still pair up. Production
+    # sizes K to the duplication profile; the oracle mirrors the same
+    # rule, so the driver gate certifies both engines miss identically.
+    from flink_cdc_msk_spark.operators.dedup import jaccard_pairs
+
+    common = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(i, common) for i in range(10)]
+        + [(20, common + " iota kappa"), (21, common + " iota kappa")],
+        "doc_id long, text string",
+    )
+    out = jaccard_pairs(
+        docs, threshold=0.8, ngram=3, hashed=False, max_token_freq=5
+    ).collect()
+    pairs = {(r.id1, r.id2) for r in out}
+    # the rare-tail pair survives (its junction shingles have df=2)...
+    assert (20, 21) in pairs
+    # ...and no pair among the 10 all-common docs does (df=10 > K=5
+    # prunes every shared posting), despite jaccard 1.0
+    assert not any(i < 10 and j < 10 for i, j in pairs)
+
+    unpruned = jaccard_pairs(
+        docs, threshold=0.8, ngram=3, hashed=False
+    ).collect()
+    assert len({(r.id1, r.id2) for r in unpruned}) == 45 + 1  # C(10,2)+1
