@@ -69,13 +69,15 @@ ALLOWED = {
     ("plans/round8_extras.py", "llm_mixture_plan"): 1,  # 1-row totals
     ("plans/round8_extras.py", "sample_curriculum_order"): 1,  # bucket×shard
     ("plans/round10b_extras.py", "bm25_rank"): 1,  # 1-row stats
-    ("plans/round10b_extras.py", "dsir_select"): 1,  # ≤DSIR_BUCKETS rows
+    # ≤DSIR_BUCKETS-row log-ratio model — the r11 refactor moved the
+    # hint into the shared _dsir_scored prefix both DSIR consumers use
+    ("plans/round10b_extras.py", "_dsir_scored"): 1,
     # sizes table ≤ n_sources rows, joined from both sides
     ("plans/round10b_extras.py", "source_overlap_matrix"): 2,
     # (the streaming twins delegate to bm25_rank/dsir_select, so their
     # broadcasts are the entries above)
     # ≤512-row log-ratio model + the k selected ids (TakeOrdered output)
-    ("plans/round10b_extras.py", "llm_dsir_source_mixture"): 2,
+    ("plans/round10b_extras.py", "llm_dsir_source_mixture"): 1,  # sel_ids
     ("plans/windows_events.py", "events_resample_gapfill"): 1,  # types
     ("plans/windows_events.py", "streaming_incremental_batches"): 1,  # 1-row
 }
