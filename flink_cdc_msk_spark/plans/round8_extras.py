@@ -253,7 +253,11 @@ def multimodal_phash_near_dup(spark, sf_dir):
         # form takes a column expression
         "band_v",
         F.expr(f"shiftright(h, {PHASH_BAND_BITS} * band) & {mask}"),
-    )
+    ).persist()
+    # persist: the self-join references `bands` twice — without the
+    # cache each side re-rasterizes and re-DCTs the whole lake (the
+    # census read ArrowEvalPython=4: two UDF evaluations per side).
+    # Bound: PHASH_BANDS rows x three longs per asset.
     # merge-pinned: the band relation is corpus-scale (PHASH_BANDS rows
     # per asset) — Catalyst broadcasts it at test scale, the §21 trap
     a = bands.alias("a").hint("merge")
