@@ -877,6 +877,20 @@ def simhash_pairs(
     ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
     x = bands.alias("x")
     y = bands.alias("y")
+    # lowest-matching-band dedup (the minhash/pHash emission rule, PERF
+    # §42): keep the pair only where no EARLIER band also agrees —
+    # exactly-once emission replaces the pair-distinct shuffle. Unlike
+    # minhash, no extra carried columns: every band value is derivable
+    # in-row from the simhash both sides already carry.
+    lowest = F.lit(True)
+    for lo in range(3):
+        agrees = (
+            F.shiftright(F.col("_sx"), lo * width).bitwiseAND(F.lit(mask))
+            == F.shiftright(F.col("_sy"), lo * width).bitwiseAND(
+                F.lit(mask)
+            )
+        )
+        lowest = lowest & (~((F.col("band") > lo) & agrees))
     return (
         # MERGE hint: corpus-sized self-join, same rationale as the
         # minhash bucket join — never broadcast, spillable sort-merge.
@@ -889,11 +903,18 @@ def simhash_pairs(
         .select(
             F.col("x.id").alias("id1"),
             F.col("y.id").alias("id2"),
+            F.col("x.band").alias("band"),
+            F.col("x.simhash").alias("_sx"),
+            F.col("y.simhash").alias("_sy"),
+        )
+        .filter(lowest)
+        .select(
+            "id1",
+            "id2",
             F.bit_count(
-                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+                F.col("_sx").bitwiseXOR(F.col("_sy"))
             ).alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
 
