@@ -256,6 +256,7 @@ def random_hyperplane_buckets(
     vec_col: str = "embedding",
     seed: int = 42,
     portable_dims: int | None = None,
+    wide: bool = False,
 ) -> DataFrame:
     """Signed-random-projection LSH (cosine LSH) with OR-amplification:
     ``n_tables`` independent hash tables of ``n_planes`` sign bits each —
@@ -324,6 +325,34 @@ def random_hyperplane_buckets(
             bucket = bucket.bitwiseOR(b)
         entries.append(
             F.struct(F.lit(t).alias("table"), bucket.alias("bucket"))
+        )
+    if wide:
+        # wide form: each exploded row ALSO carries every table's bucket
+        # (tb0..tb{T-1}) — feeds the lowest-matching-table emission rule
+        # in lsh_near_dup_pairs (PERF §42 family). The heavy projections
+        # evaluate once into the wide projection; the explode only
+        # restructures.
+        wide_df = df.select(
+            F.col(id_col).alias("id"),
+            *[e["bucket"].alias(f"tb{t}") for t, e in enumerate(entries)],
+        )
+        tb = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"), F.col(f"tb{t}").alias("bucket")
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return wide_df.select(
+            "id",
+            *[f"tb{t}" for t in range(n_tables)],
+            F.explode_outer(tb).alias("tb"),
+        ).select(
+            "id",
+            *[f"tb{t}" for t in range(n_tables)],
+            F.col("tb.table").alias("table"),
+            F.col("tb.bucket").alias("bucket"),
         )
     return df.select(
         # explode_outer: plain explode makes InferFiltersFromGenerate push a
@@ -397,7 +426,7 @@ def lsh_near_dup_pairs(
     """
     buckets = random_hyperplane_buckets(
         corpus, n_planes, n_tables, id_col, vec_col,
-        portable_dims=portable_dims,
+        portable_dims=portable_dims, wide=True,
     )
     # Expression forms are PER STAGE, chosen from measurement (sfx1,
     # 104M in-stream pairs):
@@ -451,6 +480,23 @@ def lsh_near_dup_pairs(
     b = entries.withColumn(
         "salt", F.pmod(F.xxhash64("id"), F.lit(_LSH_SALT)).cast("int")
     ).alias("b")
+    # lowest-matching-table dedup (the §42 emission rule): within ONE
+    # table a pair joins at exactly one salt (side b carries a single
+    # id-derived salt), so cross-TABLE collisions were the only source
+    # of duplicates — and each row carries every table's bucket (wide
+    # buckets), so "no earlier table collides" is n_tables-1 in-stream
+    # long-compares. Replaces the former result-volume `.distinct()`
+    # (and runs BEFORE the cosine, so a k-table collider pays the
+    # verify arithmetic once, not k times). Bound on the carried
+    # width: n_tables longs next to a 1 KB vector payload (~6%).
+    lowest = F.lit(True)
+    for lo in range(n_tables - 1):
+        lowest = lowest & (
+            ~(
+                (F.col("a.table") > lo)
+                & (F.col(f"a.tb{lo}") == F.col(f"b.tb{lo}"))
+            )
+        )
     return (
         # MERGE hint: corpus-sized self-join (same rationale as the
         # simhash/minhash band joins — never broadcast, spillable SMJ)
@@ -462,6 +508,7 @@ def lsh_near_dup_pairs(
             & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        .filter(lowest)
         .select(
             F.col("a.id").alias("id1"),
             F.col("b.id").alias("id2"),
@@ -472,7 +519,6 @@ def lsh_near_dup_pairs(
             ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
-        .distinct()
     )
 
 def kmeans_centroids(
