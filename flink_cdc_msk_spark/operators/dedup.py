@@ -300,6 +300,66 @@ def exact_dedup(
     )
 
 
+_POSTING_WARN_LEN = 10_000  # a single C(10k, 2) list is ~5e7 candidate
+# rows — survivable once, a scale-killer when the duplication profile
+# repeats it (PERF §41's sfxd30 failure was C(30,2) x 66k base docs)
+
+# last degeneracy warning emitted, for tests / observability dashboards
+LAST_DEGENERACY_WARNING: dict | None = None
+
+
+def _check_posting_metrics(metrics: dict) -> str | None:
+    """Pure decision core of the degeneracy warning (unit-testable)."""
+    m = metrics.get("max_list")
+    if m is not None and m > _POSTING_WARN_LEN:
+        return (
+            f"unguarded set-similarity join: largest prefix posting list "
+            f"has {m} docs (> {_POSTING_WARN_LEN}) across "
+            f"{metrics.get('n_lists')} lists — candidate volume is "
+            f"Σ C(|list|,2) and can exceed single-box shuffle disk on "
+            f"duplication-heavy corpora (PERF §41). Production at scale "
+            f"sets max_token_freq; results here are still exact."
+        )
+    return None
+
+
+def _warn_on_degenerate_postings(posting: DataFrame) -> DataFrame:
+    """Attach a LOG-ONLY degeneracy probe to an unguarded posting-list
+    relation: an ``observe`` metric (max posting size) piggybacks on
+    whatever action the caller eventually runs — zero extra jobs, zero
+    row changes — and a daemon thread logs a warning if the corpus
+    turns out duplication-degenerate (VERDICT r11 item 5). If no action
+    ever materializes the plan, the thread parks forever (daemon —
+    reclaimed at exit)."""
+    import logging
+    import threading
+
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    posting = posting.observe(
+        obs,
+        F.max(F.size("docs")).alias("max_list"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+
+    def _watch() -> None:
+        global LAST_DEGENERACY_WARNING
+        try:
+            metrics = obs.get  # blocks until the plan's first action
+        except Exception:
+            return
+        msg = _check_posting_metrics(metrics)
+        if msg is not None:
+            LAST_DEGENERACY_WARNING = dict(metrics)
+            logging.getLogger(__name__).warning(msg)
+
+    threading.Thread(
+        target=_watch, name="jaccard-degeneracy-probe", daemon=True
+    ).start()
+    return posting
+
+
 def jaccard_pairs(
     df: DataFrame,
     threshold: float,
@@ -326,6 +386,19 @@ def jaccard_pairs(
     creates an O(n²) pair blow-up; bounding the list bounds it, at the
     cost of possibly missing pairs whose only shared prefix unit was
     pruned; leave None for exact).
+
+    PRODUCTION AT SCALE SETS ``max_token_freq``. The unguarded form is
+    the exact-pair-set ORACLE CONTRACT, and its candidate volume is
+    Σ C(|prefix posting list|, 2) — on duplication-heavy corpora that is
+    quadratic in the duplicate-group size *independent of threshold*:
+    PERF §41 measured the unguarded form exhausting a 76 GB shuffle-disk
+    box at sfxd30 (2.0M docs, replica-planted) while the guarded twin
+    (``dedup_token_jaccard_pruned``, its own full oracle) finished in
+    46.8 s. Size the cutoff to bound C(K,2) per list for your
+    duplication profile; when left None on real data, a log-only
+    degeneracy warning fires if any prefix posting list exceeds
+    ``_POSTING_WARN_LEN`` (no behavior change — see
+    ``_warn_on_degenerate_postings``).
 
     PREFIX FILTERING (AllPairs / PPJoin family — Bayardo et al. WWW'07,
     Xiao et al. WWW'08 Lemma 1): with every unit array sorted in one
@@ -393,6 +466,8 @@ def jaccard_pairs(
     )
     if max_token_freq is not None:
         posting = posting.filter(F.size("docs") <= max_token_freq)
+    else:
+        posting = _warn_on_degenerate_postings(posting)
 
     # candidate generation: double explode (posting list → x, → y) keeps
     # the pair blow-up inside codegen'd Generate nodes — measured ~40%
@@ -509,6 +584,8 @@ def _pair_intersections(
     )
     if max_token_freq is not None:
         posting = posting.filter(F.size("docs") <= max_token_freq)
+    else:
+        posting = _warn_on_degenerate_postings(posting)
 
     # pair blow-up via double explode (codegen Generate), not nested
     # interpreted transforms — same lesson as jaccard_pairs, measured 2×

@@ -47,6 +47,67 @@ from .round10b_extras import (
 from ..sources.tables import memoized_relation as _memoized
 
 
+OVERLAP_KEEP_GENS = 3  # live batch_id= generations (incl. the folded
+# base) tolerated before maintain() folds history — the bound that makes
+# the store O(1) in stream length instead of O(batches)
+
+
+def fold_overlap_partials(df: DataFrame) -> DataFrame:
+    """Element-wise MIN reducer for the overlap twin's partial store —
+    the ``fold=`` argument to :func:`streaming.store_maint.compact_store`.
+    Lossless by MinHash algebra (min is associative/commutative/
+    idempotent; ``test_minhash_partial_fold_is_lossless`` pins it), so
+    folding any set of per-batch partials into one n_sources-row base
+    leaves every readout bit-identical."""
+    return df.groupBy("source").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(_SIG_K)]
+    )
+
+
+def overlap_partials_readout(spark, store: str) -> DataFrame:
+    """Folded signatures from a partials store (base + live gens)."""
+    return fold_overlap_partials(spark.read.parquet(store))
+
+
+def maintain_overlap_partials(spark, store: str):
+    """foreachBatch body for the incremental source-overlap guard:
+    write this batch's n_sources x 32 minima, then — whenever more than
+    ``OVERLAP_KEEP_GENS`` generations are live — fold every strictly
+    older generation into the ``batch_id=-1`` base via the crash-safe
+    add-before-delete swap (``store_maint.compact_store``). ``upto`` is
+    the CURRENT batch id, so only checkpoint-committed batches fold; a
+    replayed batch N first re-overwrites its own dir (idempotent), and
+    ``compact_store``'s entry ``recover_store`` heals any swap the
+    crash interrupted. Factored out so the >=20-batch flat-state test
+    and the steady-state cost tool drive the exact production body."""
+    import os as _os
+
+    def maintain(bdf: DataFrame, batch_id: int) -> None:
+        # occurrence-fed per-batch partial: tokenize -> shingle ->
+        # explode -> 32 map-side minima per source. No distinct; the
+        # MIN fold (at compaction and at readout) is the only history.
+        occ = bdf.select(
+            "source", T.tokens("text").alias("_t")
+        ).select(
+            "source",
+            F.explode(T.shingles_from_tokens(F.col("_t"), 3)).alias("sh"),
+        )
+        occ.groupBy("source").agg(*_sig_cols()).write.mode(
+            "overwrite"
+        ).parquet(f"{store}/batch_id={batch_id}")
+        live = [
+            e for e in _os.listdir(store) if e.startswith("batch_id=")
+        ]
+        if len(live) > OVERLAP_KEEP_GENS:
+            from ..streaming.store_maint import compact_store
+
+            compact_store(
+                spark, store, upto=batch_id, fold=fold_overlap_partials
+            )
+
+    return maintain
+
+
 @register("streaming_source_overlap", oracle=_SKETCH_ORACLE)
 def streaming_source_overlap(spark, sf_dir):
     """Source-overlap sketch with its signature state maintained
@@ -56,6 +117,16 @@ def streaming_source_overlap(spark, sf_dir):
     (overwrite => retry-idempotent); the partials fold by element-wise
     MIN into signatures BIT-IDENTICAL to the batch path's, which then
     flow through the shared emission tail.
+
+    State is BOUNDED (VERDICT r11 item 1): ``maintain_overlap_partials``
+    folds every generation older than the current batch into the
+    ``batch_id=-1`` base whenever more than ``OVERLAP_KEEP_GENS``
+    directories are live, via ``store_maint.compact_store``'s crash-safe
+    add-before-delete swap with the element-wise-MIN reducer — so a
+    year of 1-min micro-batches holds <= OVERLAP_KEEP_GENS+1 dirs and
+    ~n_sources x (gens) rows at all times, never O(batches). The 6-file
+    replay here crosses the threshold twice, so a driver-green row
+    certifies the folded path end-to-end, not just the happy path.
 
     Why this is the right streaming shape at 100 TB: the contamination
     state a stream must carry is n_sources x 32 longs — never shingles,
@@ -84,19 +155,13 @@ def streaming_source_overlap(spark, sf_dir):
     )
     store = f"{d}/partials"
 
+    body = maintain_overlap_partials(spark, store)
+    n_batches = 0
+
     def maintain(bdf: DataFrame, batch_id: int) -> None:
-        # occurrence-fed per-batch partial: tokenize -> shingle ->
-        # explode -> 32 map-side minima per source. No distinct, no
-        # cross-batch state — the fold below is the only history.
-        occ = bdf.select(
-            "source", T.tokens("text").alias("_t")
-        ).select(
-            "source",
-            F.explode(T.shingles_from_tokens(F.col("_t"), 3)).alias("sh"),
-        )
-        occ.groupBy("source").agg(*_sig_cols()).write.mode(
-            "overwrite"
-        ).parquet(f"{store}/batch={batch_id}")
+        nonlocal n_batches
+        n_batches += 1
+        body(bdf, batch_id)
 
     q = (
         stream.writeStream.foreachBatch(maintain)
@@ -106,19 +171,19 @@ def streaming_source_overlap(spark, sf_dir):
     )
     _await_or_raise(q, 300)
 
-    import glob as _glob
+    import os as _os
 
-    n_batches = len(_glob.glob(f"{store}/batch=*"))
     if n_batches < 2:
         raise ValueError(f"expected a multi-batch replay, got {n_batches}")
+    live = [e for e in _os.listdir(store) if e.startswith("batch_id=")]
+    if len(live) > OVERLAP_KEEP_GENS + 1 or "batch_id=-1" not in live:
+        raise ValueError(
+            f"compaction did not bound the store: {sorted(live)}"
+        )
 
-    # lossless fold: element-wise min across batch partials == the
-    # whole-corpus signature (min is associative/commutative/idempotent)
-    sigs = (
-        spark.read.parquet(store)
-        .groupBy("source")
-        .agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(_SIG_K)])
-    )
+    # lossless fold: element-wise min across the base + live partials
+    # == the whole-corpus signature
+    sigs = overlap_partials_readout(spark, store)
 
     docs = _docs(spark, sf_dir)
     sh = _memoized(

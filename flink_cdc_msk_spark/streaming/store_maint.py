@@ -105,10 +105,24 @@ def compact_store(
     store_path: str,
     upto: int,
     target_rows_per_file: int = 4_000_000,
+    fold=None,
 ) -> dict:
     """Fold every ``batch_id < upto`` partition (including a previous
     base) into a single ``batch_id=-1`` base partition. Returns a small
     stats dict ({before_dirs, after_dirs, rows}) for observability.
+
+    ``fold``, when given, is a ``DataFrame -> DataFrame`` reducer applied
+    to the union of the superseded generations (``batch_id`` already
+    dropped) before the base is written — e.g. the streaming
+    source-overlap twin's per-source element-wise MIN, which shrinks the
+    base to exactly ``n_sources`` rows. The caller must guarantee the
+    reducer is LOSSLESS for every downstream read of the store: an
+    algebraic aggregate (min/max/sum-of-counts) whose fold of partials
+    equals the aggregate of the union — precisely the property
+    ``test_round11_extras`` pins for MinHash minima. The crash-safety
+    swap is unchanged: the folded base is fully written outside the
+    store before any superseded dir is deleted, so :func:`recover_store`
+    needs no knowledge of ``fold``.
 
     Only valid while the stream is stopped or between micro-batches of
     a paused query (see module docstring for why that is sufficient).
@@ -130,6 +144,8 @@ def compact_store(
         return {"before_dirs": len(dirs), "after_dirs": len(dirs), "rows": 0}
 
     old = state.filter(F.col("batch_id") < upto).drop("batch_id")
+    if fold is not None:
+        old = fold(old)
     n = old.count()
     # ceiling division (ADVICE r9): flooring let a 7.9M-row store compact
     # to one ~2x-target file; ceil keeps every file <= the target bound
