@@ -65,10 +65,19 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
 
 
 def _decode_real(payload: bytes, fmt: str):
-    """Real codec hook — requires PIL/soundfile/ffmpeg, absent here."""
+    """Real codec hook. Headerless/raw rasters (PPM) decode in pure
+    numpy (functions/codecs.py, round 12 — returns the uint8 luma
+    plane); genuinely COMPRESSED formats (JPEG/PNG/MP3/MP4...) need
+    entropy decoders this container doesn't ship — those stay behind
+    the declared NotImplementedError."""
+    if fmt in ("ppm", "P6"):
+        from ..functions.codecs import decode_ppm
+
+        return decode_ppm(payload)
     raise NotImplementedError(
-        "media codecs not available in this container; "
-        "install PIL/soundfile and replace this hook"
+        f"no entropy decoder for compressed format {fmt!r} in this "
+        "container; install PIL/soundfile for JPEG/PNG/audio — raw "
+        "PPM decodes natively (functions/codecs.py)"
     )
 
 

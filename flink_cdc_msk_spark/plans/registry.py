@@ -54,6 +54,7 @@ def load_all() -> None:
     from . import round10_extras  # noqa: F401
     from . import round10b_extras  # noqa: F401
     from . import round11_extras  # noqa: F401
+    from . import round12_extras  # noqa: F401
 
 
 _loaded = False

@@ -214,52 +214,45 @@ PHASH_ORACLE = f"""
     """
 
 
-@register("multimodal_phash_near_dup", oracle=PHASH_ORACLE)
-def multimodal_phash_near_dup(spark, sf_dir):
-    """TRUE 32x32-DCT perceptual-hash near-dup over the media lake
-    (round 11 — replaces the r8 proportional-block stand-in): per
-    asset, the deterministic synthetic decode rasterizes the payload
-    to an 8x8 grid of 4x4-constant cells (functions/phash.py — the
-    real codec stays the declared stub, operators/multimodal.py:69),
-    a fixed-point integer 2-D DCT keeps the 8x8 low-frequency block,
-    and the 63 AC coefficients median-threshold into a 63-bit hash.
-    The DCT runs in ONE Arrow-batched pandas UDF (two 8x8 integer
-    matmuls over the whole batch — the rolling_hash.py pattern); the
-    64 cell lumas are computed JVM-side, so the only Python boundary
-    ships 64 longs per asset. Exact-integer arithmetic end-to-end
-    makes the hash bit-identical to the DuckDB oracle's re-derivation
-    (same literal basis matrix, same order statistics).
+_PHASH_BANDS_MEMO: dict[tuple, object] = {}
 
-    Banding: 7 x 9-bit bands over the 63-bit hash — by pigeonhole a
-    pair at hamming <= 6 of 63 ALWAYS shares a clean band, so
-    candidate recall at the admit threshold is guaranteed, not
-    probabilistic. Scale shape unchanged from r8 (PERF §22): one
-    shuffle on (band, band_v), lowest-matching-band dedup instead of
-    a pair-distinct re-shuffle, no all-pairs stage anywhere."""
-    corpus = _docs_with_dups(spark, sf_dir)
-    ph = corpus.select(
-        F.col("doc_id").alias("media_id"),
-        phash63(F.array(*synthetic_cells(F.col("text")))).alias("h"),
-    )
+
+def phash_band_pairs(spark, ph, memo_extra: tuple):
+    """Shared banding + exactly-once emission tail of the pHash near-dup
+    queries (synthetic-decode and real-PPM-decode twins): explode each
+    63-bit hash into 7 x 9-bit (band, band_v) rows, self-join on band
+    equality, keep a pair only at its LOWEST matching band (zero extra
+    shuffle — band values re-derived in-row from the hashes), admit at
+    hamming <= PHASH_HAM_MAX. The banded relation is persisted through
+    the session memo (ADVICE r11: a bare .persist() here leaked one
+    cache entry per invocation under bench warm rounds) — bound is
+    PHASH_BANDS rows x three longs per asset."""
+    from ..sources.tables import memoized_relation as _memo
+
     mask = (1 << PHASH_BAND_BITS) - 1
-    bands = ph.select(
-        "media_id",
-        "h",
-        F.explode(
-            F.array(*[F.lit(b) for b in range(PHASH_BANDS)])
-        ).alias("band"),
-    ).withColumn(
-        # shiftright's Python signature wants a literal count; the SQL
-        # form takes a column expression
-        "band_v",
-        F.expr(f"shiftright(h, {PHASH_BAND_BITS} * band) & {mask}"),
-    ).persist()
-    # persist: the self-join references `bands` twice — without the
-    # cache each side re-rasterizes and re-DCTs the whole lake (the
-    # census read ArrowEvalPython=4: two UDF evaluations per side).
-    # Bound: PHASH_BANDS rows x three longs per asset.
-    # merge-pinned: the band relation is corpus-scale (PHASH_BANDS rows
-    # per asset) — Catalyst broadcasts it at test scale, the §21 trap
+    bands = _memo(
+        _PHASH_BANDS_MEMO,
+        spark,
+        memo_extra,
+        lambda: ph.select(
+            "media_id",
+            "h",
+            F.explode(
+                F.array(*[F.lit(b) for b in range(PHASH_BANDS)])
+            ).alias("band"),
+        ).withColumn(
+            # shiftright's Python signature wants a literal count; the
+            # SQL form takes a column expression
+            "band_v",
+            F.expr(f"shiftright(h, {PHASH_BAND_BITS} * band) & {mask}"),
+        ),
+    )
+    # persist (via the memo): the self-join references `bands` twice —
+    # without the cache each side re-rasterizes and re-DCTs the whole
+    # lake (the census read ArrowEvalPython=4: two UDF evaluations per
+    # side). merge-pinned: the band relation is corpus-scale
+    # (PHASH_BANDS rows per asset) — Catalyst broadcasts it at test
+    # scale, the §21 trap
     a = bands.alias("a").hint("merge")
     b = bands.alias("b").hint("merge")
     pairs = a.join(
@@ -293,6 +286,36 @@ def multimodal_phash_near_dup(spark, sf_dir):
         )
         .filter(F.col("hamming") <= PHASH_HAM_MAX)
     )
+
+
+@register("multimodal_phash_near_dup", oracle=PHASH_ORACLE)
+def multimodal_phash_near_dup(spark, sf_dir):
+    """TRUE 32x32-DCT perceptual-hash near-dup over the media lake
+    (round 11 — replaces the r8 proportional-block stand-in): per
+    asset, the deterministic synthetic decode rasterizes the payload
+    to an 8x8 grid of 4x4-constant cells (functions/phash.py — the
+    real codec stays the declared stub, operators/multimodal.py:69),
+    a fixed-point integer 2-D DCT keeps the 8x8 low-frequency block,
+    and the 63 AC coefficients median-threshold into a 63-bit hash.
+    The DCT runs in ONE Arrow-batched pandas UDF (two 8x8 integer
+    matmuls over the whole batch — the rolling_hash.py pattern); the
+    64 cell lumas are computed JVM-side, so the only Python boundary
+    ships 64 longs per asset. Exact-integer arithmetic end-to-end
+    makes the hash bit-identical to the DuckDB oracle's re-derivation
+    (same literal basis matrix, same order statistics).
+
+    Banding: 7 x 9-bit bands over the 63-bit hash — by pigeonhole a
+    pair at hamming <= 6 of 63 ALWAYS shares a clean band, so
+    candidate recall at the admit threshold is guaranteed, not
+    probabilistic. Scale shape unchanged from r8 (PERF §22): one
+    shuffle on (band, band_v), lowest-matching-band dedup instead of
+    a pair-distinct re-shuffle, no all-pairs stage anywhere."""
+    corpus = _docs_with_dups(spark, sf_dir)
+    ph = corpus.select(
+        F.col("doc_id").alias("media_id"),
+        phash63(F.array(*synthetic_cells(F.col("text")))).alias("h"),
+    )
+    return phash_band_pairs(spark, ph, (sf_dir, "synthetic"))
 
 
 @register(
