@@ -237,16 +237,21 @@ def build_docs_differentiated(src: str, out: str, replicas: int,
     con.execute(
         f"""
         COPY (
-          SELECT d.doc_id + r.range * {DOC_STEP} AS doc_id,
-                 array_to_string(list_transform(
-                   generate_series(1, greatest(8, CAST(ceil(
-                     len(list_filter(string_split(d.text, ' '),
-                                     x -> x <> '')) / 3.0) AS BIGINT))),
-                   i -> 'p' || i || 'r' || r.range), ' ')
-                 || ' ' || d.text || ' rep' || r.range AS text,
-                 d.lang, d.source,
-                 length(d.text) AS n_chars
-          FROM '{src}/documents.parquet' d CROSS JOIN range({replicas}) r
+          -- n_chars = length of the EMITTED text (ADVICE r11: the
+          -- prefixed/suffixed replica text must keep the corpus-wide
+          -- n_chars == length(text) invariant the other builders hold)
+          SELECT doc_id, text, lang, source, length(text) AS n_chars
+          FROM (
+            SELECT d.doc_id + r.range * {DOC_STEP} AS doc_id,
+                   array_to_string(list_transform(
+                     generate_series(1, greatest(8, CAST(ceil(
+                       len(list_filter(string_split(d.text, ' '),
+                                       x -> x <> '')) / 3.0) AS BIGINT))),
+                     i -> 'p' || i || 'r' || r.range), ' ')
+                   || ' ' || d.text || ' rep' || r.range AS text,
+                   d.lang, d.source
+            FROM '{src}/documents.parquet' d CROSS JOIN range({replicas}) r
+          )
           ORDER BY doc_id
         ) TO '{out}/documents.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 5000)
         """

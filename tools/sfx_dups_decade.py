@@ -118,11 +118,28 @@ def main() -> None:
 
     # DuckDB: the registered oracles with only the corpus plant offsets
     # rewritten (1M/2M -> 10M/20M). String-surgery on the shared corpus
-    # CTE keeps every other literal (RK constants etc.) untouched.
+    # CTE keeps every other literal (RK constants etc.) untouched;
+    # each numeral must occur EXACTLY once (ADVICE r11: a second
+    # occurrence — now or after a future CTE edit — would be silently
+    # rewritten, changing the oracle).
     osql = entry_mod.oracle_sql()
-    custom_cte = DOCS_WITH_NEAR_DUPS_SQL.replace(
-        str(CLONE_OFFSET), str(CLONE_OFF)
-    ).replace(str(NEAR_OFFSET), str(NEAR_OFF))
+
+    def _replace_exactly_once(s: str, old: str, new: str) -> str:
+        n = s.count(old)
+        if n != 1:
+            raise RuntimeError(
+                f"plant-offset numeral {old!r} occurs {n}x in the "
+                f"corpus CTE (expected exactly 1) — refusing a blind "
+                f"rewrite"
+            )
+        return s.replace(old, new)
+
+    custom_cte = _replace_exactly_once(
+        DOCS_WITH_NEAR_DUPS_SQL, str(CLONE_OFFSET), str(CLONE_OFF)
+    )
+    custom_cte = _replace_exactly_once(
+        custom_cte, str(NEAR_OFFSET), str(NEAR_OFF)
+    )
     duck_queries = {}
     for name in spark_queries:
         sql = osql[name]
