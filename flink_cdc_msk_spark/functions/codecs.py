@@ -1,8 +1,9 @@
-"""Pure-numpy image decode for headerless/raw formats (VERDICT r11
-item 4): PPM "P6" is a header plus raw RGB bytes — parseable in ~30
-lines with no imaging library — which lets the media pipeline's
-*decode* step be real for at least one format instead of a declared
-stub. The NotImplementedError hook in ``operators/multimodal.py`` is
+"""Pure-numpy media decode for headerless/raw formats (VERDICT r11
+item 4): PPM "P6" (header + raw RGB bytes) and RIFF/WAVE PCM16
+(chunked header + raw little-endian samples) are parseable with no
+media library — which lets the media pipeline's *decode* step be real
+for image AND audio instead of a declared stub. The
+NotImplementedError hook in ``operators/multimodal.py`` is
 correspondingly narrowed to genuinely-compressed formats (JPEG/PNG/
 MP3/...), whose entropy coders do need PIL/ffmpeg.
 
@@ -95,6 +96,76 @@ def encode_ppm(luma: np.ndarray) -> bytes:
         luma.astype(np.uint8)[:, :, None], 3, axis=2
     )
     return header + rgb.tobytes()
+
+
+class WavError(ValueError):
+    """Malformed WAV payload (bad chunks, unsupported encoding)."""
+
+
+WAV_RATE = 16_000  # synthesis sample rate (any rate decodes)
+
+
+def encode_wav(samples: np.ndarray, rate: int = WAV_RATE) -> bytes:
+    """(n,) int16 PCM samples → canonical 44-byte-header RIFF/WAVE
+    payload (mono, 16-bit little-endian — the raw-PCM layout that,
+    like PPM, needs no entropy decoder)."""
+    pcm = samples.astype("<i2").tobytes()
+    n = len(pcm)
+    import struct
+
+    header = (
+        b"RIFF"
+        + struct.pack("<I", 36 + n)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", n)
+    )
+    return header + pcm
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE bytes → (rate, int16 sample array). Walks the chunk
+    list (fmt can be followed by LIST/fact chunks in the wild), accepts
+    only PCM (format tag 1) mono/stereo 16-bit; stereo downmixes by
+    exact integer mean (floor) so the oracle can reproduce it."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise WavError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise WavError("short fmt chunk")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            if len(body) != size:
+                raise WavError("truncated data chunk")
+            data = body
+            break  # fmt precedes data per spec
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise WavError("missing fmt or data chunk")
+    tag, channels, rate, _, _, bits = fmt
+    if tag != 1 or bits != 16:
+        raise WavError(
+            f"unsupported encoding (tag={tag}, bits={bits}); only raw "
+            "PCM16 decodes without an entropy decoder"
+        )
+    if channels not in (1, 2):
+        raise WavError(f"unsupported channel count {channels}")
+    samples = np.frombuffer(
+        data[: len(data) - (len(data) % (2 * channels))], dtype="<i2"
+    ).astype(np.int64)
+    if channels == 2:
+        samples = (samples[0::2] + samples[1::2]) // 2
+    return rate, samples.astype(np.int16)
 
 
 def luma_resize_32(img: np.ndarray) -> np.ndarray:

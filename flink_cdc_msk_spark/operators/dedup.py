@@ -16,6 +16,8 @@ collects to the driver.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -115,6 +117,34 @@ def _unit_sets_persisted(
     return cached
 
 
+def _stage_ordered_units(rel: DataFrame, spark, stage_dir: str, key) -> DataFrame:
+    """Materialize the ordered-units relation to SCRATCH PARQUET instead
+    of an executor-memory persist (PERF §41, VERDICT r11 item 3): the
+    build's window + collect shuffles complete and are RELEASED before
+    any downstream exchange (prefix explode → posting groupBy → verify
+    SMJs) goes live, so at most one corpus-linear exchange holds temp
+    disk at a time. On a single box this is what lets the guarded
+    jaccard fit sfxd100's ~720M occurrence rows inside a 76 GB temp
+    budget; on a cluster the same knob doubles as a lineage cut (re-read
+    beats recompute on executor loss for a relation this expensive).
+    Gated by $SPARK_GRAFT_DEDUP_STAGE — a scratch dir the CALLER owns
+    (cleanup included); unset means the default evictable persist.
+    Idempotent per (app, corpus-key): re-entry re-reads the completed
+    write (_SUCCESS-marked), so warm rounds pay zero build cost."""
+    import hashlib
+
+    app = spark.sparkContext.applicationId
+    tag = hashlib.md5(repr(key).encode()).hexdigest()[:12]
+    path = os.path.join(stage_dir, f"{app}_ordered_{tag}")
+    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+        rel.write.mode("overwrite").parquet(path)
+        # nudge ContextCleaner: the build's ShuffleDependencies are now
+        # unreachable, and their ~tens-of-GB spill files are exactly
+        # what the staging exists to free before the join phase
+        spark.sparkContext._jvm.System.gc()
+    return spark.read.parquet(path)
+
+
 def _ordered_units_persisted(
     df: DataFrame, text_col: str, id_col: str, ngram: int, hashed: bool
 ) -> tuple[DataFrame, DataFrame]:
@@ -200,10 +230,14 @@ def _ordered_units_persisted(
                 )
             )
         )
-    us = _spread_and_persist(
-        ordered.select("id", "ord", F.size("ord").cast("long").alias("sz")),
-        df.sparkSession,
+    sel = ordered.select(
+        "id", "ord", F.size("ord").cast("long").alias("sz")
     )
+    stage = os.environ.get("SPARK_GRAFT_DEDUP_STAGE")
+    if stage:
+        us = _stage_ordered_units(sel, df.sparkSession, stage, key)
+    else:
+        us = _spread_and_persist(sel, df.sparkSession)
     _ORDERED_MEMO[key] = us
     if units is None:
         units = toks_view(us)

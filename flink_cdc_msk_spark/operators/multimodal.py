@@ -74,6 +74,10 @@ def _decode_real(payload: bytes, fmt: str):
         from ..functions.codecs import decode_ppm
 
         return decode_ppm(payload)
+    if fmt in ("wav", "riff"):
+        from ..functions.codecs import decode_wav
+
+        return decode_wav(payload)
     raise NotImplementedError(
         f"no entropy decoder for compressed format {fmt!r} in this "
         "container; install PIL/soundfile for JPEG/PNG/audio — raw "

@@ -378,6 +378,7 @@ def lsh_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     portable_dims: int | None = None,
+    _emit_order: str = "lowest_first",
 ) -> DataFrame:
     """Near-dup pairs restricted to LSH-candidate pairs — the scale path:
     bucketing shuffles on (table, bucket) keys only (linear in
@@ -497,18 +498,52 @@ def lsh_near_dup_pairs(
                 & (F.col(f"a.tb{lo}") == F.col(f"b.tb{lo}"))
             )
         )
+    # MERGE hint: corpus-sized self-join (same rationale as the
+    # simhash/minhash band joins — never broadcast, spillable SMJ)
+    joined = a.hint("merge").join(
+        b,
+        (F.col("a.table") == F.col("b.table"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.salt") == F.col("b.salt"))
+        & (F.col("a.id") < F.col("b.id")),
+    )
+    if _emit_order == "cos_first":
+        # PERF §43 bisect arm: threshold the cosine BEFORE the lowest-
+        # table compares. Exactly-once-correct like the default (both
+        # filters are deterministic per instance and commute); the
+        # trade is k cosine evaluations for a k-table collider vs
+        # (n_tables-1) long-compares on EVERY candidate instance —
+        # cos_first wins when collision multiplicity is low (sparse
+        # hi-threshold corpora), lowest_first when it's high (dense).
+        kept = joined.select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.round(
+                dpr(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nv") * F.col("b.nv")),
+                6,
+            ).alias("cos"),
+            F.col("a.table").alias("_t"),
+            *[
+                F.col(f"a.tb{lo}").alias(f"_a{lo}")
+                for lo in range(n_tables - 1)
+            ],
+            *[
+                F.col(f"b.tb{lo}").alias(f"_b{lo}")
+                for lo in range(n_tables - 1)
+            ],
+        ).filter(F.col("cos") >= threshold)
+        low2 = F.lit(True)
+        for lo in range(n_tables - 1):
+            low2 = low2 & (
+                ~(
+                    (F.col("_t") > lo)
+                    & (F.col(f"_a{lo}") == F.col(f"_b{lo}"))
+                )
+            )
+        return kept.filter(low2).select("id1", "id2", "cos")
     return (
-        # MERGE hint: corpus-sized self-join (same rationale as the
-        # simhash/minhash band joins — never broadcast, spillable SMJ)
-        a.hint("merge")
-        .join(
-            b,
-            (F.col("a.table") == F.col("b.table"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.salt") == F.col("b.salt"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .filter(lowest)
+        joined.filter(lowest)
         .select(
             F.col("a.id").alias("id1"),
             F.col("b.id").alias("id2"),

@@ -1,5 +1,13 @@
 """Round-12 additions.
 
+* ``multimodal_audio_stats`` — audio feature extraction with a REAL
+  WAV decode in the loop: each doc synthesizes a deterministic PCM16
+  payload (md5-block samples — the audio analog of the pHash cell
+  rasterizer), and the stats side treats it as opaque RIFF bytes:
+  chunk-walk the header, frombuffer the samples, compute exact-integer
+  features (sum of squares, zero crossings, peak). The oracle re-derives
+  the same samples from the same md5 formula in SQL, so every column is
+  hash-exact by construction.
 * ``multimodal_phash_real_decode`` — the pHash near-dup pipeline with a
   REAL image decode in the loop (VERDICT r11 item 4): each asset's
   synthetic 8x8 cell raster is encoded as an actual P6 PPM binary
@@ -111,3 +119,130 @@ def multimodal_phash_real_decode(spark, sf_dir):
     )
     ph = media.select("media_id", ppm_phash(F.col("payload")).alias("h"))
     return phash_band_pairs(spark, ph, (sf_dir, "real_decode"))
+
+
+# ---------------------------------------------------------------------------
+# Audio: real WAV decode -> exact-integer feature extraction
+# ---------------------------------------------------------------------------
+
+WAV_BLOCKS_BASE = 8  # md5 blocks per asset: 8 + (doc_id % 4) * 4
+# -> 64..160 int16 samples (each md5 digest yields 8 two-byte samples)
+
+AUDIO_ORACLE = f"""
+    WITH blocks AS (
+      SELECT d.doc_id AS media_id, d.text, b.i AS blk
+      FROM documents d,
+           unnest(generate_series(0,
+             {WAV_BLOCKS_BASE} + (d.doc_id % 4) * 4 - 1)) AS b(i)
+    ), samples AS (
+      SELECT media_id, blk * 8 + j.i AS k,
+             CAST(concat('0x', substr(md5(text || ':' || blk),
+                                      1 + 4 * j.i, 4)) AS BIGINT) AS u
+      FROM blocks, unnest(generate_series(0, 7)) AS j(i)
+    ), signed AS (
+      SELECT media_id, k,
+             CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+      FROM samples
+    ), lagged AS (
+      SELECT media_id, s,
+             lag(s) OVER (PARTITION BY media_id ORDER BY k) AS prev
+      FROM signed
+    )
+    SELECT media_id,
+           CAST(count(*) AS INTEGER) AS n_samples,
+           CAST(count(*) * 1000 / {16000} AS BIGINT) AS duration_ms,
+           CAST(sum(s * s) AS BIGINT) AS sum_sq,
+           CAST(sum(CASE WHEN s * prev < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS zero_crossings,
+           CAST(max(abs(s)) AS INTEGER) AS peak
+    FROM lagged
+    GROUP BY media_id
+"""
+
+
+def _wav_samples(doc_id: int, text: str) -> np.ndarray:
+    """The synthesis formula, Python side — MUST mirror AUDIO_ORACLE's
+    samples CTE: block b's 16-byte md5(text || ':' || b) digest is read
+    as 8 big-endian two-byte unsigned samples, then two's-complemented
+    to int16."""
+    import hashlib
+
+    nb = WAV_BLOCKS_BASE + (int(doc_id) % 4) * 4
+    hx = "".join(
+        hashlib.md5(f"{text}:{b}".encode()).hexdigest() for b in range(nb)
+    )
+    u = np.array(
+        [int(hx[4 * j : 4 * j + 4], 16) for j in range(nb * 8)],
+        dtype=np.int64,
+    )
+    return np.where(u >= 32768, u - 65536, u).astype(np.int16)
+
+
+@register("multimodal_audio_stats", oracle=AUDIO_ORACLE)
+def multimodal_audio_stats(spark, sf_dir):
+    """Audio feature extraction through a REAL RIFF/WAVE decode: one
+    Arrow stage synthesizes PCM16 payloads (the media-lake binary
+    column analog — at 100 TB this stage is the parquet scan), one
+    Arrow stage chunk-walks the RIFF header, frombuffers the samples,
+    and emits exact-integer features: n_samples, duration_ms (from the
+    DECODED rate), energy (sum of squares), zero crossings, peak.
+    Map-only end to end — no shuffle anywhere; the features are
+    fixed-width rows, so the plan is one scan -> two Arrow evals,
+    embarrassingly parallel at any scale. All-integer features make
+    the DuckDB oracle (same md5 sample formula in SQL) hash-exact."""
+    from ..functions.codecs import decode_wav, encode_wav
+    from ..sources.tables import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+
+    def encode_gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].to_numpy(),
+                    "payload": [
+                        encode_wav(_wav_samples(d, t))
+                        for d, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    def stats_gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                rate, s16 = decode_wav(bytes(p))
+                s = s16.astype(np.int64)
+                n = len(s)
+                rows.append(
+                    (
+                        int(mid),
+                        n,
+                        n * 1000 // rate,
+                        int((s * s).sum()),
+                        int(((s[:-1] * s[1:]) < 0).sum()),
+                        int(np.abs(s).max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_samples",
+                    "duration_ms",
+                    "sum_sq",
+                    "zero_crossings",
+                    "peak",
+                ],
+            )
+
+    media = docs.mapInPandas(encode_gen, "media_id long, payload binary")
+    return media.mapInPandas(
+        stats_gen,
+        "media_id long, n_samples int, duration_ms long, sum_sq long, "
+        "zero_crossings long, peak int",
+    )

@@ -128,3 +128,178 @@ def test_real_decode_query_matches_synthetic_twin(spark):
     )
     assert real == synth
     assert len(real) > 0  # the planted dups must actually surface
+
+
+# ---------------------------------------------------------------------------
+# WAV decode + audio stats
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_identity():
+    from flink_cdc_msk_spark.functions.codecs import decode_wav, encode_wav
+
+    rng = np.random.default_rng(3)
+    s = rng.integers(-32768, 32768, size=517, dtype=np.int64).astype(
+        np.int16
+    )
+    rate, got = decode_wav(encode_wav(s, rate=22050))
+    assert rate == 22050
+    assert np.array_equal(got, s)
+
+
+def test_wav_chunk_walk_and_stereo():
+    import struct
+
+    from flink_cdc_msk_spark.functions.codecs import decode_wav
+
+    # stereo PCM with an interposed LIST chunk before data
+    left = np.array([100, -200, 300], dtype="<i2")
+    right = np.array([300, -100, -300], dtype="<i2")
+    inter = np.empty(6, dtype="<i2")
+    inter[0::2] = left
+    inter[1::2] = right
+    pcm = inter.tobytes()
+    fmt = struct.pack("<IHHIIHH", 16, 1, 2, 8000, 8000 * 4, 4, 16)
+    payload = (
+        b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+        + b"fmt " + fmt
+        + b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd size -> pad
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    rate, got = decode_wav(payload)
+    assert rate == 8000
+    # exact integer floor-mean downmix
+    want = (left.astype(np.int64) + right.astype(np.int64)) // 2
+    assert np.array_equal(got.astype(np.int64), want)
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        b"RIFX\x00\x00\x00\x00WAVE",                      # wrong magic
+        b"RIFF\x00\x00\x00\x00WAVE",                      # no chunks
+        b"RIFF\x00\x00\x00\x00WAVE" + b"data\x04\x00\x00\x00abcd",  # no fmt
+    ],
+)
+def test_wav_malformed_raises(payload):
+    from flink_cdc_msk_spark.functions.codecs import WavError, decode_wav
+
+    with pytest.raises(WavError):
+        decode_wav(payload)
+
+
+def test_wav_compressed_tag_raises():
+    import struct
+
+    from flink_cdc_msk_spark.functions.codecs import WavError, decode_wav
+
+    fmt = struct.pack("<IHHIIHH", 16, 85, 1, 8000, 8000, 1, 16)  # MP3 tag
+    payload = (
+        b"RIFF\x00\x00\x00\x00WAVE" + b"fmt " + fmt
+        + b"data\x00\x00\x00\x00"
+    )
+    with pytest.raises(WavError):
+        decode_wav(payload)
+
+
+def test_audio_stats_query_matches_oracle(spark):
+    import duckdb
+
+    from flink_cdc_msk_spark.plans.round12_extras import (
+        AUDIO_ORACLE,
+        multimodal_audio_stats,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        map(str, [tuple(r) for r in multimodal_audio_stats(spark, sf).collect()])
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = sorted(map(str, con.execute(AUDIO_ORACLE).fetchall()))
+    assert got == want
+    assert len(got) == 500
+
+
+# ---------------------------------------------------------------------------
+# Staged ordered-units materialization (VERDICT r11 item 3)
+# ---------------------------------------------------------------------------
+
+
+def test_staged_ordered_units_identical_results(spark, tmp_path, monkeypatch):
+    """$SPARK_GRAFT_DEDUP_STAGE swaps the ordered-units persist for a
+    scratch-parquet write + re-read (shuffle-temp bound, PERF §41);
+    results must be identical and the staged files must actually be
+    created and reused."""
+    import os
+
+    from flink_cdc_msk_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"w{i} w{i+1} w{i+2} shared middle tail {i % 4} "
+                f"common suffix tokens here")
+            for i in range(40)
+        ]
+        + [(100 + i, f"w{i} w{i+1} w{i+2} shared middle tail {i % 4} "
+                     f"common suffix tokens here") for i in range(4)],
+        "doc_id long, text string",
+    )
+    plain = sorted(
+        map(str, D.jaccard_pairs(docs, 0.8, ngram=2).collect())
+    )
+
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    monkeypatch.setenv("SPARK_GRAFT_DEDUP_STAGE", stage)
+    # distinct corpus object -> distinct semanticHash is NOT guaranteed,
+    # so clear the memos to force the staged build
+    D._ORDERED_MEMO.clear()
+    D._UNITS_MEMO.clear()
+    staged = sorted(
+        map(str, D.jaccard_pairs(docs, 0.8, ngram=2).collect())
+    )
+    assert staged == plain
+    written = [d for d in os.listdir(stage) if "_ordered_" in d]
+    assert len(written) == 1
+    assert os.path.isfile(os.path.join(stage, written[0], "_SUCCESS"))
+    # warm re-entry reuses the completed write (memo cleared again to
+    # force the path through _stage_ordered_units's idempotence branch)
+    mtime = os.path.getmtime(os.path.join(stage, written[0], "_SUCCESS"))
+    D._ORDERED_MEMO.clear()
+    D._UNITS_MEMO.clear()
+    again = sorted(
+        map(str, D.jaccard_pairs(docs, 0.8, ngram=2).collect())
+    )
+    assert again == plain
+    assert os.path.getmtime(
+        os.path.join(stage, written[0], "_SUCCESS")
+    ) == mtime
+
+
+def test_lsh_emit_orders_identical(spark):
+    """Both bisect arms of the LSH emission (lowest-table filter before
+    vs after the cosine threshold) are exactly-once forms of the same
+    pair set — identical rows on the planted-near-dup corpus."""
+    from flink_cdc_msk_spark.operators import similarity as S
+    from flink_cdc_msk_spark.plans.round10_extras import (
+        _emb_with_planted_neardups,
+    )
+
+    corpus = _emb_with_planted_neardups(spark, "/root/testdata/sf0.001")
+    kw = dict(threshold=0.8, n_planes=10, n_tables=8, portable_dims=64)
+    a = sorted(
+        map(str, S.lsh_near_dup_pairs(corpus, **kw).collect())
+    )
+    b = sorted(
+        map(
+            str,
+            S.lsh_near_dup_pairs(
+                corpus, _emit_order="cos_first", **kw
+            ).collect(),
+        )
+    )
+    assert a == b
+    assert len(a) > 0
