@@ -49,7 +49,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     corpus = _emb_with_planted_neardups(spark, sf_dir)
-    kw = dict(threshold=0.8, n_planes=10, n_tables=8, portable_dims=64)
+    # regime knobs: hi (default) = 0.8/10 planes; dense = e.g.
+    # LSH_THRESH=0.3 LSH_PLANES=4 — the §42-addendum-2 form
+    kw = dict(
+        threshold=float(os.environ.get("LSH_THRESH", "0.8")),
+        n_planes=int(os.environ.get("LSH_PLANES", "10")),
+        n_tables=int(os.environ.get("LSH_TABLES", "8")),
+        portable_dims=64,
+    )
     times: dict[str, list[float]] = {o: [] for o in ORDERS}
     counts: dict[str, int] = {}
     for r in range(ROUNDS):
