@@ -182,3 +182,238 @@ def luma_resize_32(img: np.ndarray) -> np.ndarray:
     bh, bw = h // N_PIX, w // N_PIX
     blocks = img.astype(np.int64).reshape(N_PIX, bh, N_PIX, bw)
     return (blocks.sum(axis=(1, 3)) // (bh * bw)).astype(np.uint8)
+
+
+class PngError(ValueError):
+    """Malformed PNG payload (bad signature/CRC/chunk layout/filter)."""
+
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _filter_scanline(
+    ftype: int, raw: np.ndarray, prev: np.ndarray, bpp: int
+) -> np.ndarray:
+    """FORWARD filter (encode side), the spec's defining direction —
+    implemented independently of the decoder's unfilter so a roundtrip
+    test genuinely checks both against RFC 2083 §6. `raw`/`prev` are
+    int64 scanlines (prev all-zero for row 0); returns filtered bytes."""
+    n = len(raw)
+    left = np.zeros(n, dtype=np.int64)
+    left[bpp:] = raw[:-bpp]
+    upleft = np.zeros(n, dtype=np.int64)
+    upleft[bpp:] = prev[:-bpp]
+    if ftype == 0:
+        out = raw
+    elif ftype == 1:
+        out = raw - left
+    elif ftype == 2:
+        out = raw - prev
+    elif ftype == 3:
+        out = raw - (left + prev) // 2
+    elif ftype == 4:
+        p = left + prev - upleft
+        pa, pb, pc = (
+            np.abs(p - left),
+            np.abs(p - prev),
+            np.abs(p - upleft),
+        )
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+        )
+        out = raw - pred
+    else:
+        raise PngError(f"unknown filter type {ftype}")
+    return (out % 256).astype(np.uint8)
+
+
+def _unfilter_scanline(
+    ftype: int, fl: np.ndarray, prev: np.ndarray, bpp: int
+) -> np.ndarray:
+    """INVERSE filter (decode side). Sub/Average/Paeth recur on the
+    reconstructed left neighbor, so they walk pixel groups left to
+    right (vectorized across channels within each step); None/Up are
+    whole-line array ops. Inputs int64, returns int64 in [0, 255]."""
+    if ftype == 0:
+        return fl.copy()
+    if ftype == 2:
+        return (fl + prev) % 256
+    n = len(fl)
+    out = np.zeros(n, dtype=np.int64)
+    if ftype == 1:
+        out[:bpp] = fl[:bpp]
+        for i in range(bpp, n, bpp):
+            out[i : i + bpp] = fl[i : i + bpp] + out[i - bpp : i]
+        return out % 256
+    if ftype == 3:
+        out[:bpp] = (fl[:bpp] + prev[:bpp] // 2) % 256
+        for i in range(bpp, n, bpp):
+            out[i : i + bpp] = (
+                fl[i : i + bpp]
+                + (out[i - bpp : i] + prev[i : i + bpp]) // 2
+            ) % 256
+        return out
+    if ftype == 4:
+        out[:bpp] = (fl[:bpp] + prev[:bpp]) % 256  # left/upleft are 0
+        for i in range(bpp, n, bpp):
+            a = out[i - bpp : i]
+            b = prev[i : i + bpp]
+            c = prev[i - bpp : i]
+            p = a + b - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+            )
+            out[i : i + bpp] = (fl[i : i + bpp] + pred) % 256
+        return out
+    raise PngError(f"unknown filter type {ftype}")
+
+
+def encode_png(
+    luma: np.ndarray,
+    rgb: bool = False,
+    row_filters=None,
+    level: int = 6,
+) -> bytes:
+    """(h, w) uint8 luma → real PNG payload: IHDR + zlib-deflated,
+    per-scanline-filtered IDAT + IEND, CRCs included. ``rgb`` writes
+    color type 2 with R=G=B (lossless luma roundtrip, same as the PPM
+    builder); default is grayscale color type 0. ``row_filters`` picks
+    the forward filter per scanline (int, or a sequence of h ints) —
+    ``row % 5`` in the media builder exercises every unfilter branch
+    of the decoder inside the registered query itself."""
+    import struct
+    import zlib
+
+    h, w = luma.shape
+    plane = (
+        np.repeat(luma.astype(np.uint8)[:, :, None], 3, axis=2)
+        if rgb
+        else luma.astype(np.uint8)[:, :, None]
+    )
+    bpp = plane.shape[2]
+    if row_filters is None:
+        row_filters = [0] * h
+    elif isinstance(row_filters, int):
+        row_filters = [row_filters] * h
+    if len(row_filters) != h:
+        raise PngError(f"need {h} row filters, got {len(row_filters)}")
+    rows = plane.reshape(h, w * bpp).astype(np.int64)
+    prev = np.zeros(w * bpp, dtype=np.int64)
+    out = bytearray()
+    for y in range(h):
+        ft = int(row_filters[y])
+        out.append(ft)
+        out += _filter_scanline(ft, rows[y], prev, bpp).tobytes()
+        prev = rows[y]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if rgb else 0, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), level))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → (h, w) uint8 luma plane. A real compressed-format
+    decoder in stdlib zlib + numpy: signature check, chunk walk with
+    CRC32 verification, multi-IDAT concatenation, zlib inflate, full
+    five-filter scanline reconstruction (RFC 2083 §6), then the same
+    BT.601 integer luma as :func:`decode_ppm` for color type 2 (color
+    type 0 is already luma). Supported: bit depth 8, color types 0/2,
+    no interlace — palette/alpha/16-bit/Adam7 raise with the reason."""
+    import struct
+    import zlib
+
+    if payload[: len(PNG_SIG)] != PNG_SIG:
+        raise PngError("bad PNG signature")
+    pos = len(PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    ended = False
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        if len(data) != clen:
+            raise PngError(f"truncated {ctype!r} chunk")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + clen : pos + 12 + clen]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise PngError(f"CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            ended = True
+            break
+        pos += 12 + clen
+    if ihdr is None or not idat or not ended:
+        raise PngError("missing IHDR/IDAT/IEND")
+    w, h, depth, ctype_n, comp, filt, interlace = ihdr
+    if depth != 8 or ctype_n not in (0, 2):
+        raise NotImplementedError(
+            f"PNG bit depth {depth} / color type {ctype_n}: only 8-bit "
+            "grayscale(0)/truecolor(2) decode here (palette/alpha/16-bit "
+            "need expansion passes out of this decoder's scope)"
+        )
+    if comp != 0 or filt != 0:
+        raise PngError(f"unknown compression/filter method {comp}/{filt}")
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlace not supported")
+    if w <= 0 or h <= 0:
+        raise PngError(f"bad dimensions {w}x{h}")
+    bpp = 3 if ctype_n == 2 else 1
+    stride = w * bpp
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise PngError(f"IDAT inflate failed: {e}") from e
+    if len(raw) != h * (stride + 1):
+        raise PngError(
+            f"decompressed size {len(raw)} != {h}x(1+{stride}) expected"
+        )
+    flat = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    prev = np.zeros(stride, dtype=np.int64)
+    plane = np.zeros((h, stride), dtype=np.int64)
+    for y in range(h):
+        prev = _unfilter_scanline(
+            int(flat[y, 0]), flat[y, 1:].astype(np.int64), prev, bpp
+        )
+        plane[y] = prev
+    if ctype_n == 0:
+        return plane.astype(np.uint8)
+    rgbv = plane.reshape(h, w, 3)
+    return (
+        (299 * rgbv[:, :, 0] + 587 * rgbv[:, :, 1] + 114 * rgbv[:, :, 2] + 500)
+        // 1000
+    ).astype(np.uint8)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Format-sniffing image decode — the media-lake read shape, where
+    one binary column carries mixed formats: PNG by signature, P6 PPM
+    by magic. Returns the (h, w) uint8 luma plane either way."""
+    if payload[: len(PNG_SIG)] == PNG_SIG:
+        return decode_png(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    raise NotImplementedError(
+        "unrecognized image payload (no PNG signature / P6 magic); "
+        "compressed formats beyond PNG (JPEG/...) need PIL"
+    )

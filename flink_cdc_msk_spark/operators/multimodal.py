@@ -65,23 +65,28 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
 
 
 def _decode_real(payload: bytes, fmt: str):
-    """Real codec hook. Headerless/raw rasters (PPM) decode in pure
-    numpy (functions/codecs.py, round 12 — returns the uint8 luma
-    plane); genuinely COMPRESSED formats (JPEG/PNG/MP3/MP4...) need
-    entropy decoders this container doesn't ship — those stay behind
-    the declared NotImplementedError."""
+    """Real codec hook. Raw rasters (PPM) decode in pure numpy and PNG
+    — a genuinely COMPRESSED format — decodes in stdlib zlib + numpy
+    (functions/codecs.py: chunk walk, CRC check, inflate, all five
+    scanline filters); both return the uint8 luma plane. WAV PCM16
+    likewise. Only entropy coders the stdlib lacks (JPEG/MP3/MP4/...)
+    stay behind the declared NotImplementedError."""
     if fmt in ("ppm", "P6"):
         from ..functions.codecs import decode_ppm
 
         return decode_ppm(payload)
+    if fmt == "png":
+        from ..functions.codecs import decode_png
+
+        return decode_png(payload)
     if fmt in ("wav", "riff"):
         from ..functions.codecs import decode_wav
 
         return decode_wav(payload)
     raise NotImplementedError(
-        f"no entropy decoder for compressed format {fmt!r} in this "
-        "container; install PIL/soundfile for JPEG/PNG/audio — raw "
-        "PPM decodes natively (functions/codecs.py)"
+        f"no entropy decoder for format {fmt!r} in this container; "
+        "install PIL/soundfile for JPEG/MP3/... — PPM, PNG (zlib) and "
+        "WAV decode natively (functions/codecs.py)"
     )
 
 

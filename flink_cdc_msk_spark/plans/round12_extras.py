@@ -121,6 +121,105 @@ def multimodal_phash_real_decode(spark, sf_dir):
     return phash_band_pairs(spark, ph, (sf_dir, "real_decode"))
 
 
+_MIXED_ENCODE_UDF = None
+_IMAGE_PHASH_UDF = None
+
+
+def mixed_encode(cells_col, id_col):
+    """Column[array<bigint> 64 cell lumas], Column[long id] →
+    Column[binary]: a REAL image payload whose format depends on the
+    id — the mixed-format media-lake column shape. Even ids encode P6
+    PPM at scale 4; odd ids encode PNG at scale 8 (32→64 px, so the
+    box-mean resize runs), grayscale or truecolor alternating on
+    id % 4, with per-scanline forward filter ``row % 5`` so EVERY
+    unfilter branch of the decoder (None/Sub/Up/Average/Paeth)
+    executes inside the registered query."""
+    global _MIXED_ENCODE_UDF
+    if _MIXED_ENCODE_UDF is None:
+        from ..functions.codecs import encode_png
+
+        @F.pandas_udf("binary")
+        def _udf(cells: pd.Series, ids: pd.Series) -> pd.Series:
+            out = []
+            for cs, i in zip(cells, ids):
+                grid = (
+                    np.asarray(cs, dtype=np.int64)
+                    .reshape(N_CELL, N_CELL)
+                    .astype(np.uint8)
+                )
+                if int(i) % 2 == 0:
+                    img = np.repeat(np.repeat(grid, 4, axis=0), 4, axis=1)
+                    out.append(encode_ppm(img))
+                else:
+                    img = np.repeat(np.repeat(grid, 8, axis=0), 8, axis=1)
+                    out.append(
+                        encode_png(
+                            img,
+                            rgb=(int(i) % 4 == 3),
+                            row_filters=[y % 5 for y in range(64)],
+                        )
+                    )
+            return pd.Series(out, index=cells.index, dtype=object)
+
+        _MIXED_ENCODE_UDF = _udf
+    return _MIXED_ENCODE_UDF(cells_col, id_col)
+
+
+def image_phash(payload_col):
+    """Column[binary image payload, ANY supported format] → Column[long
+    pHash]: format-sniffing decode (PNG signature / P6 magic) →
+    box-mean resize → fixed-point DCT hash. The production shape for a
+    lake whose binary column mixes formats — near-dup detection must
+    be format-invariant, and the exactness chain (lossless decode,
+    exact luma, exact resize, integer DCT) makes it bit-invariant."""
+    global _IMAGE_PHASH_UDF
+    if _IMAGE_PHASH_UDF is None:
+        from ..functions.codecs import decode_image
+
+        @F.pandas_udf("long")
+        def _udf(payload: pd.Series) -> pd.Series:
+            if len(payload) == 0:
+                return pd.Series([], dtype="int64")
+            pixels = np.stack(
+                [
+                    luma_resize_32(decode_image(bytes(p)))
+                    for p in payload
+                ]
+            )
+            return pd.Series(
+                phash63_from_pixels(pixels), index=payload.index
+            )
+
+        _IMAGE_PHASH_UDF = _udf
+    return _IMAGE_PHASH_UDF(payload_col)
+
+
+@register("multimodal_phash_mixed_format", oracle=PHASH_ORACLE)
+def multimodal_phash_mixed_format(spark, sf_dir):
+    """Cross-FORMAT perceptual near-dup: the corpus encodes half its
+    assets as P6 PPM and half as real zlib-compressed PNG (alternating
+    grayscale/truecolor, every scanline filter type), then hashes all
+    of them through one format-sniffing decode path. A near-dup pair
+    whose members live in DIFFERENT formats is still found — the
+    training-lake scenario where the same image circulates as both a
+    PNG and a raw dump. Every decode is lossless and the luma/resize/
+    DCT steps are exact integers, so the hashes are bit-identical to
+    the synthetic path's and the query shares PHASH_ORACLE verbatim —
+    a driver-green row certifies the PNG inflate+unfilter end-to-end
+    against DuckDB. Plan: JVM cells → Arrow encode → Arrow decode+hash
+    (map-only; at 100 TB the encode stage is the lake scan) → shared
+    banding tail, one shuffle, exactly-once emission."""
+    corpus = _docs_with_dups(spark, sf_dir)
+    media = corpus.select(
+        F.col("doc_id").alias("media_id"),
+        mixed_encode(
+            F.array(*synthetic_cells(F.col("text"))), F.col("doc_id")
+        ).alias("payload"),
+    )
+    ph = media.select("media_id", image_phash(F.col("payload")).alias("h"))
+    return phash_band_pairs(spark, ph, (sf_dir, "mixed_format"))
+
+
 # ---------------------------------------------------------------------------
 # Audio: real WAV decode -> exact-integer feature extraction
 # ---------------------------------------------------------------------------
