@@ -135,6 +135,36 @@ def phash63(cells_col):
     return _PHASH_UDF(cells_col)
 
 
+_IMAGE_PHASH_UDF = None
+
+
+def image_phash63(payload_col):
+    """Column[binary image payload, any natively-decodable format] →
+    Column[long pHash]: format-sniffing decode (PNG signature / P6 PPM
+    magic, ``codecs.decode_image``) → exact box-mean resize →
+    fixed-point DCT hash. The per-image decode is a header parse + one
+    frombuffer (+ one zlib inflate for PNG); the DCT runs batched over
+    the stacked (B, 32, 32) array. Shared by the batch mixed-format
+    query and the streaming pHash ingest filter."""
+    global _IMAGE_PHASH_UDF
+    if _IMAGE_PHASH_UDF is None:
+        from .codecs import decode_image, luma_resize_32
+
+        @F.pandas_udf("long")
+        def _udf(payload: pd.Series) -> pd.Series:
+            if len(payload) == 0:
+                return pd.Series([], dtype="int64")
+            pixels = np.stack(
+                [luma_resize_32(decode_image(bytes(p))) for p in payload]
+            )
+            return pd.Series(
+                phash63_from_pixels(pixels), index=payload.index
+            )
+
+        _IMAGE_PHASH_UDF = _udf
+    return _IMAGE_PHASH_UDF(payload_col)
+
+
 def synthetic_cells(text_col) -> list:
     """The deterministic synthetic decode, Spark side: 64 JVM-computed
     cell lumas (row-major), cell c = first md5 byte of the payload

@@ -122,7 +122,6 @@ def multimodal_phash_real_decode(spark, sf_dir):
 
 
 _MIXED_ENCODE_UDF = None
-_IMAGE_PHASH_UDF = None
 
 
 def mixed_encode(cells_col, id_col):
@@ -171,27 +170,11 @@ def image_phash(payload_col):
     box-mean resize → fixed-point DCT hash. The production shape for a
     lake whose binary column mixes formats — near-dup detection must
     be format-invariant, and the exactness chain (lossless decode,
-    exact luma, exact resize, integer DCT) makes it bit-invariant."""
-    global _IMAGE_PHASH_UDF
-    if _IMAGE_PHASH_UDF is None:
-        from ..functions.codecs import decode_image
+    exact luma, exact resize, integer DCT) makes it bit-invariant.
+    Shared with the streaming ingest filter via functions/phash.py."""
+    from ..functions.phash import image_phash63
 
-        @F.pandas_udf("long")
-        def _udf(payload: pd.Series) -> pd.Series:
-            if len(payload) == 0:
-                return pd.Series([], dtype="int64")
-            pixels = np.stack(
-                [
-                    luma_resize_32(decode_image(bytes(p)))
-                    for p in payload
-                ]
-            )
-            return pd.Series(
-                phash63_from_pixels(pixels), index=payload.index
-            )
-
-        _IMAGE_PHASH_UDF = _udf
-    return _IMAGE_PHASH_UDF(payload_col)
+    return image_phash63(payload_col)
 
 
 @register("multimodal_phash_mixed_format", oracle=PHASH_ORACLE)
@@ -218,6 +201,140 @@ def multimodal_phash_mixed_format(spark, sf_dir):
     )
     ph = media.select("media_id", image_phash(F.col("payload")).alias("h"))
     return phash_band_pairs(spark, ph, (sf_dir, "mixed_format"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming pHash ingest: perceptual image dedup with unbounded lookback
+# ---------------------------------------------------------------------------
+
+_PHI_SLABS = 4
+
+
+def _phash_ingest_oracle() -> str:
+    """Unrolled replay of the pHash filter's admission semantics. Unlike
+    the text/vector ingest oracles this replay is EXACT operator
+    semantics, not an LSH-candidate approximation: 7 bands pigeonhole-
+    guarantee recall at hamming ≤ PHASH_HAM_MAX, so banded-candidates +
+    hamming verify equals the full hamming-≤-max pair set, which is what
+    the pairs CTE computes."""
+    from ..functions.phash import (
+        PHASH_BAND_BITS,
+        PHASH_BANDS,
+        PHASH_HAM_MAX,
+        phash63_sql,
+        synthetic_cells_sql,
+    )
+    from .round8_extras import DOCS_WITH_DUPS_SQL
+
+    mask = (1 << PHASH_BAND_BITS) - 1
+    rounds = ["a0 AS (SELECT CAST(NULL AS BIGINT) AS id WHERE false)"]
+    for k in range(1, _PHI_SLABS + 1):
+        rounds.append(f"""
+    surv{k} AS MATERIALIZED (
+      SELECT s.id FROM slabs s WHERE s.slab = {k} AND NOT EXISTS (
+        SELECT 1 FROM pairs p JOIN a{k - 1} a
+          ON (p.id1 = s.id AND p.id2 = a.id)
+          OR (p.id2 = s.id AND p.id1 = a.id))
+    ),
+    adm{k} AS (
+      SELECT x.id FROM surv{k} x WHERE NOT EXISTS (
+        SELECT 1 FROM pairs p JOIN surv{k} y ON p.id1 = y.id
+        WHERE p.id2 = x.id)
+    ),
+    a{k} AS MATERIALIZED (
+      SELECT id FROM a{k - 1} UNION ALL SELECT id FROM adm{k})""")
+    return f"""
+    WITH corpus AS (
+      {DOCS_WITH_DUPS_SQL}
+    ), payloads AS (
+      SELECT doc_id AS media_id, text AS payload FROM corpus
+    ), cells AS (
+      {synthetic_cells_sql("payload")}
+    ), {phash63_sql()}, bands AS (
+      SELECT media_id, h, CAST(b.i AS INTEGER) AS band,
+             (h >> ({PHASH_BAND_BITS} * b.i)) & {mask} AS band_v
+      FROM ph, unnest(generate_series(0, {PHASH_BANDS - 1})) AS b(i)
+    ), pairs AS (
+      SELECT DISTINCT a.media_id AS id1, b.media_id AS id2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_v = b.band_v
+       AND a.media_id < b.media_id
+      WHERE bit_count(xor(a.h, b.h)) <= {PHASH_HAM_MAX}
+    ), slabs AS (
+      SELECT media_id AS id,
+             ntile({_PHI_SLABS}) OVER (ORDER BY media_id) AS slab
+      FROM ph
+    ),
+    {','.join(rounds)}
+    SELECT id AS media_id FROM a{_PHI_SLABS}
+    """
+
+
+@register("streaming_phash_neardup_ingest", oracle=_phash_ingest_oracle())
+def streaming_phash_neardup_ingest(spark, sf_dir):
+    """The cross-batch streaming near-dup filter for MEDIA — the
+    perceptual-image member completing the streaming ingest family
+    (text/minhash, vector/LSH, substring/tile, media/pHash): each
+    micro-batch arrives as REAL image payloads (mixed PPM + PNG, the
+    format-sniffing decode running inside the filter), hashes them in
+    one Arrow stage, band-joins against the persistent store of every
+    previously admitted asset's bands (unbounded lookback), verifies
+    candidates with a codegen'd hamming compare on the join row (bands
+    carry the full hash — no sidecar), dedups within the batch, and
+    appends the survivors. The corpus replays as 4 media_id-ordered
+    slabs (forced mtimes ⇒ deterministic batch order, ≥2 batches
+    asserted). Because banding guarantees recall at the admitted
+    hamming radius, the oracle's replay is EXACT operator semantics —
+    a green row certifies the real decode, the banded store join, and
+    the cross-batch admission machinery end-to-end against DuckDB."""
+    import glob as _glob
+    import os
+
+    from ..streaming.dedup_stream import (
+        StreamingPhashNearDupFilter,
+        start_near_dup_stream,
+    )
+    from ..streaming.materialize import await_or_raise, session_tmpdir
+    from pyspark.sql.window import Window
+
+    corpus = _docs_with_dups(spark, sf_dir)
+    media = corpus.select(
+        F.col("doc_id").alias("media_id"),
+        mixed_encode(
+            F.array(*synthetic_cells(F.col("text"))), F.col("doc_id")
+        ).alias("payload"),
+    )
+    d = session_tmpdir("phash_neardup_ingest_")
+    src = f"{d}/src"
+    slabbed = media.withColumn(
+        "slab", F.ntile(_PHI_SLABS).over(Window.orderBy("media_id"))
+    )
+    for s in range(1, _PHI_SLABS + 1):
+        (
+            slabbed.filter(F.col("slab") == s)
+            .drop("slab")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{src}/s{s:02d}")
+        )
+    base = os.stat(src).st_mtime
+    for s in range(1, _PHI_SLABS + 1):
+        for f in _glob.glob(f"{src}/s{s:02d}/part-*.parquet"):
+            os.utime(f, (base + s, base + s))
+    stream = (
+        spark.readStream.schema("media_id long, payload binary")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/s*")
+    )
+    filt = StreamingPhashNearDupFilter(f"{d}/store", f"{d}/out")
+    q = start_near_dup_stream(stream, filt, f"{d}/ckpt", available_now=True)
+    await_or_raise(q, 300)
+    n_batches = len(_glob.glob(f"{d}/store/batch_id=*"))
+    if n_batches < 2:
+        raise ValueError(
+            f"expected incremental ingest, got {n_batches} batches"
+        )
+    return spark.read.parquet(f"{d}/out").select("media_id")
 
 
 # ---------------------------------------------------------------------------

@@ -574,6 +574,152 @@ class StreamingVectorNearDupFilter:
             df.unpersist()
 
 
+class StreamingPhashNearDupFilter:
+    """foreachBatch target: the PERCEPTUAL-IMAGE member of the streaming
+    near-dup family (text/minhash, vector/LSH, substring/tile — and now
+    media/pHash): admit only assets whose 63-bit DCT pHash is not within
+    hamming ``PHASH_HAM_MAX`` of any previously admitted asset's,
+    unbounded lookback.
+
+    Input batches carry ``(id_col, payload_col)`` — REAL image bytes
+    (PNG/PPM, sniffed per payload by ``functions.phash.image_phash63``);
+    the decode+hash is one Arrow stage over the arriving batch only.
+
+    Simpler state than the text/vector twins, by construction: a band
+    row carries the FULL hash alongside its 9-bit band value (7 rows ×
+    three longs per admitted asset), so candidate verification is a
+    codegen'd ``bit_count(xor(h1, h2))`` on the join row itself — no
+    sidecar relation, no second join, no interpreted fold. And because
+    7 bands pigeonhole-guarantee recall at hamming ≤ 6, banded-candidates
+    + hamming verify IS the exact pair set — the admission replayed by
+    the oracle is exact operator semantics, not an LSH approximation.
+    Store layout: ``store_path/batch_id=N`` parquet dirs of
+    (id, band, band_v, h) — append-only per admitted id, compactable by
+    ``store_maint.compact_store`` like the sibling stores."""
+
+    def __init__(
+        self,
+        store_path: str,
+        out_path: str,
+        ham_max: int | None = None,
+        id_col: str = "media_id",
+        payload_col: str = "payload",
+    ):
+        from ..functions.phash import PHASH_HAM_MAX
+
+        self.store_path = store_path
+        self.out_path = out_path
+        self.ham_max = PHASH_HAM_MAX if ham_max is None else ham_max
+        self.id_col = id_col
+        self.payload_col = payload_col
+
+    def _bands(self, hashed: DataFrame) -> DataFrame:
+        """(id, h) → 7 rows (id, band, band_v, h) — the in-row band
+        explode shared with the batch operator (phash_band_pairs)."""
+        from ..functions.phash import PHASH_BAND_BITS, PHASH_BANDS
+
+        mask = (1 << PHASH_BAND_BITS) - 1
+        return hashed.select(
+            "id",
+            "h",
+            F.explode(
+                F.array(*[F.lit(b) for b in range(PHASH_BANDS)])
+            ).alias("band"),
+        ).withColumn(
+            "band_v",
+            F.expr(f"shiftright(h, {PHASH_BAND_BITS} * band) & {mask}"),
+        )
+
+    def _ham_ok(self, pairs: DataFrame) -> DataFrame:
+        return pairs.filter(
+            F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+            <= self.ham_max
+        )
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        from ..functions.phash import image_phash63
+
+        spark = batch.sparkSession
+        # spread BEFORE the decode UDF: the per-asset inflate+DCT is the
+        # batch's real compute, and file-source arrivals land in 1-2
+        # partitions (the §18/§20 serialization trap)
+        par = spark.sparkContext.defaultParallelism
+        batch = _spread(
+            batch.select(self.id_col, self.payload_col), par
+        ).cache()
+        hashed = batch.select(
+            F.col(self.id_col).alias("id"),
+            image_phash63(F.col(self.payload_col)).alias("h"),
+        ).cache()
+        bands = self._bands(hashed).cache()
+
+        state = _read_or_none(spark, self.store_path)
+        dup_vs_store = None
+        if state is not None:
+            store = state.filter(
+                F.col("batch_id") != F.lit(batch_id)
+            ).select("id", "band", "band_v", "h")
+            dup_vs_store = (
+                self._ham_ok(
+                    bands.alias("n")
+                    .join(
+                        store.alias("s"),
+                        (F.col("n.band") == F.col("s.band"))
+                        & (F.col("n.band_v") == F.col("s.band_v")),
+                    )
+                    .select(
+                        F.col("n.id").alias("id1"),
+                        F.col("s.id").alias("id2"),
+                        F.col("n.h").alias("h1"),
+                        F.col("s.h").alias("h2"),
+                    )
+                    .distinct()
+                )
+                .select(F.col("id1").alias("id"))
+                .distinct()
+            )
+        survivors = (
+            hashed.join(dup_vs_store, "id", "left_anti")
+            if dup_vs_store is not None
+            else hashed
+        )
+
+        sb = bands.join(survivors.select("id"), "id")
+        internal_dups = (
+            self._ham_ok(
+                sb.alias("x")
+                .join(
+                    sb.alias("y"),
+                    (F.col("x.band") == F.col("y.band"))
+                    & (F.col("x.band_v") == F.col("y.band_v"))
+                    & (F.col("x.id") < F.col("y.id")),
+                )
+                .select(
+                    F.col("x.id").alias("id1"),
+                    F.col("y.id").alias("id2"),
+                    F.col("x.h").alias("h1"),
+                    F.col("y.h").alias("h2"),
+                )
+                .distinct()
+            )
+            .select(F.col("id2").alias("id"))
+            .distinct()
+        )
+        admitted = survivors.join(internal_dups, "id", "left_anti").cache()
+
+        admitted.select(
+            F.col("id").alias(self.id_col), "h"
+        ).write.mode("overwrite").parquet(
+            f"{self.out_path}/batch_id={batch_id}"
+        )
+        bands.join(admitted.select("id"), "id").write.mode(
+            "overwrite"
+        ).parquet(f"{self.store_path}/batch_id={batch_id}")
+
+        for df in (admitted, bands, hashed, batch):
+            df.unpersist()
+
+
 def backfill_unified_state(
     spark: SparkSession,
     store_path: str,
