@@ -462,3 +462,240 @@ def multimodal_audio_stats(spark, sf_dir):
         "media_id long, n_samples int, duration_ms long, sum_sq long, "
         "zero_crossings long, peak int",
     )
+
+
+# ---------------------------------------------------------------------------
+# Video: sampled-frame pHash near-dup (frame-majority verify)
+# ---------------------------------------------------------------------------
+
+VID_FRAME_BASE = 4  # frames per video: 4 + media_id % 3 (4..6)
+VID_FRAME_MOD = 3
+VID_STRIDE = 2  # sample every 2nd frame -> 2-3 sampled frames
+VID_ROT_STEP = 7  # frame f's payload = text rotated by 7*f chars
+VID_PACK = 16  # oracle-only (media_id, frame) key packing; frames < 16
+VID_MIN_COMMON = 2
+
+_VIDEO_SIG_MEMO: dict = {}
+
+
+def _video_oracle() -> str:
+    from ..functions.phash import (
+        PHASH_HAM_MAX,
+        phash63_sql,
+        synthetic_cells_sql,
+    )
+    from .round8_extras import DOCS_WITH_DUPS_SQL
+
+    return f"""
+    WITH corpus AS (
+      {DOCS_WITH_DUPS_SQL}
+    ), vids AS (
+      SELECT doc_id AS media_id, text,
+             {VID_FRAME_BASE} + doc_id % {VID_FRAME_MOD} AS n_frames
+      FROM corpus
+    ), payloads AS (
+      SELECT media_id * {VID_PACK} + fr.i AS media_id,
+             substr(text, CAST((fr.i * {VID_ROT_STEP})
+                    % greatest(length(text), 1) AS BIGINT) + 1)
+             || substr(text, 1, CAST((fr.i * {VID_ROT_STEP})
+                    % greatest(length(text), 1) AS BIGINT)) AS payload
+      FROM vids,
+           unnest(generate_series(0, n_frames - 1, {VID_STRIDE})) AS fr(i)
+    ), cells AS (
+      {synthetic_cells_sql("payload")}
+    ), {phash63_sql()}, vf AS (
+      SELECT media_id // {VID_PACK} AS media_id,
+             media_id % {VID_PACK} AS f, h
+      FROM ph
+    ), joined AS (
+      SELECT a.media_id AS m1, b.media_id AS m2,
+             CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS ham
+      FROM vf a JOIN vf b ON a.f = b.f AND a.media_id < b.media_id
+    )
+    SELECT m1 AS media_id_1, m2 AS media_id_2,
+           CAST(count(*) AS INTEGER) AS n_common,
+           CAST(sum(CASE WHEN ham <= {PHASH_HAM_MAX} THEN 1 ELSE 0 END)
+                AS INTEGER) AS n_matched
+    FROM joined
+    GROUP BY m1, m2
+    HAVING count(*) >= {VID_MIN_COMMON}
+       AND 4 * sum(CASE WHEN ham <= {PHASH_HAM_MAX} THEN 1 ELSE 0 END)
+           >= 3 * count(*)
+    """
+
+
+def video_near_dup_pairs(sig_rel):
+    """Frame-majority video near-dup from a signature relation
+    ``(media_id, sig: array<struct<f:int, h:long>>)`` (sig sorted by
+    sampled frame index). Candidates: band-join on (frame, 9-bit band
+    value) — a pair surfaces when ANY common sampled frame shares a
+    band. Verify + emission both run IN-ROW on the joined sig arrays
+    (<= 3 structs each), zero extra shuffle and zero pair-distinct:
+
+    * exactly-once: a pair may collide at many (frame, band) keys; it
+      is kept only at its lexicographically LOWEST colliding (frame,
+      band), decided from the sig arrays in the row — the §42 emission
+      rule extended to a frame-major composite key;
+    * frame-majority verify: n_matched = common sampled frames within
+      hamming <= PHASH_HAM_MAX, admitted iff n_common >= 2 and
+      4*n_matched >= 3*n_common (>= 75%, exact integer arithmetic).
+      Any admitted pair has a matched frame, and a matched frame
+      pigeonhole-shares a band, so banded-candidate recall at the
+      admission threshold is GUARANTEED, not probabilistic — which is
+      why the oracle can be pure verify semantics (all-pairs per
+      frame) with no banding mirror.
+
+    Scale shape: the only pair-volume work happens inside the band
+    join's output iterator (codegen'd higher-order functions over
+    <= 3x3 element arrays); what shuffles is videos x sampled-frames x
+    7 bands fixed-width rows plus the <= 3-long sig payload. At 100 TB
+    the sampled-frame signature IS the video's index entry — frame
+    decode/hash cost is the lake scan, amortized exactly once."""
+    from ..functions.phash import PHASH_BAND_BITS, PHASH_BANDS, PHASH_HAM_MAX
+
+    mask = (1 << PHASH_BAND_BITS) - 1
+    bands = (
+        sig_rel.select("media_id", "sig", F.explode("sig").alias("fr"))
+        .select(
+            "media_id",
+            "sig",
+            F.col("fr.f").alias("f"),
+            F.col("fr.h").alias("h"),
+            F.explode(
+                F.array(*[F.lit(b) for b in range(PHASH_BANDS)])
+            ).alias("band"),
+        )
+        .withColumn(
+            "band_v",
+            F.expr(f"shiftright(h, {PHASH_BAND_BITS} * band) & {mask}"),
+        )
+    )
+    # merge-pinned like phash_band_pairs: corpus-scale both sides
+    a = bands.alias("a").hint("merge")
+    b = bands.alias("b").hint("merge")
+    cand = a.join(
+        b,
+        (F.col("a.f") == F.col("b.f"))
+        & (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_v") == F.col("b.band_v"))
+        & (F.col("a.media_id") < F.col("b.media_id")),
+    ).select(
+        F.col("a.media_id").alias("media_id_1"),
+        F.col("b.media_id").alias("media_id_2"),
+        F.col("a.sig").alias("asig"),
+        F.col("b.sig").alias("bsig"),
+        F.col("a.f").alias("f0"),
+        F.col("a.band").alias("band0"),
+    )
+
+    def beq(b_i: int) -> str:
+        s = PHASH_BAND_BITS * b_i
+        return (
+            f"(shiftright(x.h, {s}) & {mask}) = "
+            f"(shiftright(y.h, {s}) & {mask})"
+        )
+
+    earlier_terms = " OR ".join(
+        f"((x.f < f0 OR {b_i} < band0) AND {beq(b_i)})"
+        for b_i in range(PHASH_BANDS)
+    )
+    lowest = ~F.expr(
+        "exists(asig, x -> x.f <= f0 AND exists(bsig, y -> y.f = x.f "
+        f"AND ({earlier_terms})))"
+    )
+    n_common = F.expr(
+        "size(filter(asig, x -> exists(bsig, y -> y.f = x.f)))"
+    )
+    n_matched = F.expr(
+        "size(filter(asig, x -> exists(bsig, y -> y.f = x.f "
+        f"AND bit_count(x.h ^ y.h) <= {PHASH_HAM_MAX})))"
+    )
+    return (
+        cand.filter(lowest)
+        .select(
+            "media_id_1",
+            "media_id_2",
+            n_common.cast("int").alias("n_common"),
+            n_matched.cast("int").alias("n_matched"),
+        )
+        .filter(
+            (F.col("n_common") >= VID_MIN_COMMON)
+            & (4 * F.col("n_matched") >= 3 * F.col("n_common"))
+        )
+    )
+
+
+@register("multimodal_video_near_dup", oracle=_video_oracle())
+def multimodal_video_near_dup(spark, sf_dir):
+    """Video near-duplicate detection by SAMPLED-FRAME perceptual hash —
+    the training-lake dedup pass for video: decode is per-frame, cost
+    is bounded by the SAMPLING stride (every 2nd frame here), and two
+    videos are duplicates when >= 75% of their common sampled frames
+    match at hamming <= 6 of 63 — robust to a re-encode perturbing a
+    frame or a trailing edit changing the tail.
+
+    Each doc synthesizes a deterministic video: 4 + media_id % 3
+    frames, frame f's raster = the pHash synthetic decode of the text
+    ROTATED by 7f chars (frames differ like a pan; clones share every
+    frame; variable frame counts exercise the common-frame alignment
+    since a clone's id shifts its length). Per sampled frame: 64 JVM
+    cell lumas -> one Arrow DCT batch (the phash.py path, bit-exact vs
+    the oracle). Signatures (<= 3 (f, h) structs) group once per video,
+    memoized; candidates/verify/emission in video_near_dup_pairs.
+
+    The DuckDB oracle packs (video, frame) into one key to reuse the
+    shared cells/DCT fragments verbatim, then runs PURE verify
+    semantics (per-frame all-pairs + frame-majority HAVING) — valid
+    because banded recall at the admission threshold is guaranteed
+    (see video_near_dup_pairs)."""
+    from ..functions.phash import phash63, synthetic_cells
+    from ..sources.tables import memoized_relation
+
+    def build_sigs():
+        corpus = _docs_with_dups(spark, sf_dir)
+        vids = corpus.select(
+            F.col("doc_id").alias("media_id"),
+            "text",
+            (F.lit(VID_FRAME_BASE) + F.col("doc_id") % VID_FRAME_MOD)
+            .cast("int")
+            .alias("n_frames"),
+        )
+        frames = vids.select(
+            "media_id",
+            "text",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.col("n_frames") - 1, F.lit(VID_STRIDE)
+                )
+            ).alias("f"),
+        )
+        off = (F.col("f") * VID_ROT_STEP) % F.greatest(
+            F.length("text"), F.lit(1)
+        )
+        payload = F.concat(
+            F.col("text").substr(off + 1, F.length("text") - off),
+            F.col("text").substr(F.lit(1), off),
+        )
+        fr = frames.select(
+            "media_id", F.col("f").cast("int").alias("f"),
+            payload.alias("payload"),
+        )
+        ph = fr.select(
+            "media_id",
+            "f",
+            phash63(F.array(*synthetic_cells(F.col("payload")))).alias(
+                "h"
+            ),
+        )
+        return ph.groupBy("media_id").agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("f"), F.col("h")))
+            ).alias("sig")
+        )
+
+    # bound: one row per video, sig <= 3 (int, long) structs — the
+    # video index entry, ~1e-4 of the decoded corpus
+    sig_rel = memoized_relation(
+        _VIDEO_SIG_MEMO, spark, (sf_dir, "videosig"), build_sigs
+    )
+    return video_near_dup_pairs(sig_rel)

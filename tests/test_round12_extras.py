@@ -303,3 +303,65 @@ def test_lsh_emit_orders_identical(spark):
     )
     assert a == b
     assert len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup: frame-majority verify + exactly-once emission
+# ---------------------------------------------------------------------------
+
+_SIG_SCHEMA = "media_id long, sig array<struct<f:int,h:long>>"
+
+
+def _vid_pairs(spark, rows):
+    from flink_cdc_msk_spark.plans.round12_extras import video_near_dup_pairs
+
+    return sorted(
+        tuple(r)
+        for r in video_near_dup_pairs(
+            spark.createDataFrame(rows, _SIG_SCHEMA)
+        ).collect()
+    )
+
+
+def test_video_pairs_identical_sigs_exactly_once(spark):
+    # identical 3-frame videos collide at every (frame, band) — the
+    # lowest-(frame, band) rule must emit the pair exactly once
+    sig = [(0, 10), (2, 20), (4, 30)]
+    got = _vid_pairs(spark, [(1, sig), (2, sig)])
+    assert got == [(1, 2, 3, 3)]
+
+
+def test_video_pairs_frame_majority_boundary(spark):
+    # 3 of 4 frames matched: 4*3 >= 3*4 — admitted at exactly 75%
+    a = [(0, 0), (2, 0), (4, 0), (6, 0)]
+    b = [(0, 0), (2, 0), (4, 0), (6, 255)]  # ham 8 > 6 at f=6
+    assert _vid_pairs(spark, [(1, a), (2, b)]) == [(1, 2, 4, 3)]
+    # 2 of 3 matched: 4*2 < 3*3 — rejected even though candidates exist
+    a3, b3 = a[:3], b[:2] + [(4, 255)]
+    assert _vid_pairs(spark, [(1, a3), (2, b3)]) == []
+
+
+def test_video_pairs_min_common_frames(spark):
+    # one shared frame (exact hash match) is not enough evidence
+    assert _vid_pairs(spark, [(1, [(0, 7)]), (2, [(0, 7), (2, 9)])]) == []
+    # disjoint sampled frames never even meet in the band join
+    assert _vid_pairs(spark, [(1, [(1, 7), (3, 7)]),
+                              (2, [(0, 7), (2, 7)])]) == []
+
+
+def test_video_near_dup_recall_sf0001(spark):
+    from flink_cdc_msk_spark.plans.round12_extras import (
+        multimodal_video_near_dup,
+    )
+
+    rows = multimodal_video_near_dup(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    pairs = {(r.media_id_1, r.media_id_2) for r in rows}
+    assert len(pairs) == len(rows)  # exactly-once
+    # every planted clone (doc_id % 5 == 0, +1M) is recalled with a
+    # full frame match over the common sampled frames
+    clones = {(r.media_id_1, r.media_id_2): r for r in rows}
+    for (m1, m2), r in clones.items():
+        assert m2 == m1 + 1_000_000 and m1 % 5 == 0
+        assert r.n_matched == r.n_common >= 2
