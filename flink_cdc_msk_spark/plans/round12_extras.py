@@ -699,3 +699,225 @@ def multimodal_video_near_dup(spark, sf_dir):
         _VIDEO_SIG_MEMO, spark, (sf_dir, "videosig"), build_sigs
     )
     return video_near_dup_pairs(sig_rel)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL-level dedup (the CommonCrawl first stage)
+# ---------------------------------------------------------------------------
+
+# Messy-URL synthesis: documents carry no URL column, so each doc derives
+# a deterministic crawl-style URL from (doc_id, source) with the noise a
+# real frontier emits — scheme/host case, default ports, trailing slash,
+# tracking params (utm_*/fbclid), param order, fragments. The
+# canonicalizer NEVER sees the components: it parses the assembled
+# string, exactly like production code fed a crawl log.
+URL_SYNTH_DUCK = """
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'http'
+                ELSE 'Http' END
+           || '://'
+           || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END
+           || '.example.com'
+           || CASE doc_id % 4 WHEN 0 THEN ':443' WHEN 1 THEN ':80'
+                   ELSE '' END
+           || '/item/' || CAST(doc_id % 40 AS VARCHAR)
+           || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+           || '?'
+           || CASE WHEN doc_id % 2 = 0
+                   THEN 'a=' || CAST(doc_id % 3 AS VARCHAR)
+                        || '&z=1&utm_source=feed'
+                   ELSE 'z=1&a=' || CAST(doc_id % 3 AS VARCHAR) END
+           || CASE WHEN doc_id % 3 = 0
+                   THEN '&fbclid=' || CAST(doc_id AS VARCHAR)
+                   ELSE '' END
+           || CASE WHEN doc_id % 7 = 0 THEN '#sec2' ELSE '' END
+           AS url
+    FROM documents
+"""
+
+URL_DEDUP_ORACLE = f"""
+    WITH urls AS (
+      {URL_SYNTH_DUCK}
+    ), nofrag AS (
+      SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM urls
+    ), parts AS (
+      SELECT doc_id,
+             lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme,
+             regexp_replace(u, '^[A-Za-z]+://', '') AS rest
+      FROM nofrag
+    ), split1 AS (
+      SELECT doc_id, scheme,
+             regexp_extract(rest, '^([^/?]+)', 1) AS hostport,
+             substr(rest, length(regexp_extract(rest, '^([^/?]+)', 1)) + 1)
+               AS pathq
+      FROM parts
+    ), split2 AS (
+      SELECT doc_id, scheme,
+             regexp_replace(
+               lower(regexp_replace(hostport, ':[0-9]+$', '')),
+               '^www\\.', '') AS host,
+             regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+             regexp_extract(pathq, '^([^?]*)', 1) AS path,
+             regexp_extract(pathq, '\\?(.*)$', 1) AS query
+      FROM split1
+    ), canon AS (
+      SELECT doc_id,
+             scheme || '://' || host
+             || CASE WHEN port = '' THEN ''
+                     WHEN scheme = 'http'  AND port = '80'  THEN ''
+                     WHEN scheme = 'https' AND port = '443' THEN ''
+                     ELSE ':' || port END
+             || CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+                     ELSE regexp_replace(path, '/+$', '') END
+             || CASE WHEN kept = '' THEN '' ELSE '?' || kept END
+               AS canonical_url
+      FROM (
+        SELECT *,
+               array_to_string(list_sort(list_filter(
+                 string_split(query, '&'),
+                 p -> p <> '' AND NOT regexp_matches(
+                   p, '^(utm_|fbclid=|gclid=|ref=)'))), '&') AS kept
+        FROM split2
+      )
+    )
+    SELECT canonical_url,
+           min(doc_id) AS keeper_doc_id,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM canon
+    GROUP BY canonical_url
+"""
+
+
+@register("text_url_canonical_dedup", oracle=URL_DEDUP_ORACLE)
+def text_url_canonical_dedup(spark, sf_dir):
+    """URL-level dedup behind a real URL canonicalizer — the stage every
+    web-scale curation pipeline (CommonCrawl/C4/RefinedWeb lineage) runs
+    BEFORE any content-based dedup, because it removes recrawls of the
+    same page for the price of a metadata shuffle, never touching text.
+
+    Each doc synthesizes a deterministic messy crawl URL (case noise,
+    default ports, trailing slashes, utm_*/fbclid tracking params,
+    param order, fragments); the canonicalizer then treats that string
+    as opaque input: lowercase scheme/host, strip ``www.``, strip the
+    port only when it is the scheme's default (a non-default ``:80``
+    under https SURVIVES), drop the fragment, strip trailing slashes
+    (empty path canonicalizes to ``/``), drop tracking params, and sort
+    the survivors. One row per canonical URL with the elected keeper
+    (min doc_id) and the recrawl count.
+
+    Scale shape: the scan reads (doc_id, source) ONLY — at 100 TB the
+    text column is never decoded (column pruning; the URL relation is
+    ~100 bytes/row). Canonicalization is pure codegen'd string
+    expressions (regexp + higher-order filter/sort on short arrays —
+    no UDF, no Python); the single shuffle is the groupBy on
+    canonical_url, a high-cardinality key with no skew by construction
+    (recrawl multiplicity is bounded by the synthesis moduli; in
+    production by crawl frequency). Reference parity note: the
+    reference repo (yhyyz/flink-cdc-msk) has no curation surface —
+    Part-B LLM-pipeline row."""
+    from ..sources.tables import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "source"
+    )
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 3 == 0, F.lit("HTTPS"))
+        .when(d % 3 == 1, F.lit("http"))
+        .otherwise(F.lit("Http")),
+        F.lit("://"),
+        F.when(d % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".example.com"),
+        F.when(d % 4 == 0, F.lit(":443"))
+        .when(d % 4 == 1, F.lit(":80"))
+        .otherwise(F.lit("")),
+        F.lit("/item/"),
+        (d % 40).cast("string"),
+        F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?"),
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit("a="), (d % 3).cast("string"),
+                F.lit("&z=1&utm_source=feed"),
+            ),
+        ).otherwise(
+            F.concat(F.lit("z=1&a="), (d % 3).cast("string"))
+        ),
+        F.when(
+            d % 3 == 0, F.concat(F.lit("&fbclid="), d.cast("string"))
+        ).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("#sec2")).otherwise(F.lit("")),
+    )
+    urls = docs.select("doc_id", url.alias("url"))
+    # canonicalize FROM THE STRING — the components above are never
+    # consulted (a shared bug between synthesis and canonicalization
+    # cannot cancel: the oracle re-parses independently)
+    nofrag = F.regexp_replace("url", r"#.*$", "")
+    canon = (
+        urls.withColumn("u", nofrag)
+        .withColumn(
+            "scheme", F.lower(F.regexp_extract("u", r"^([A-Za-z]+)://", 1))
+        )
+        .withColumn("rest", F.regexp_replace("u", r"^[A-Za-z]+://", ""))
+        .withColumn("hostport", F.regexp_extract("rest", r"^([^/?]+)", 1))
+        .withColumn(
+            "pathq",
+            F.expr("substr(rest, length(hostport) + 1)"),
+        )
+        .withColumn(
+            "host",
+            F.regexp_replace(
+                F.lower(F.regexp_replace("hostport", r":[0-9]+$", "")),
+                r"^www\.",
+                "",
+            ),
+        )
+        .withColumn("port", F.regexp_extract("hostport", r":([0-9]+)$", 1))
+        .withColumn("path", F.regexp_extract("pathq", r"^([^?]*)", 1))
+        .withColumn("query", F.regexp_extract("pathq", r"\?(.*)$", 1))
+        .withColumn(
+            "kept",
+            F.array_join(
+                F.array_sort(
+                    F.filter(
+                        F.split("query", "&"),
+                        lambda p: (p != "")
+                        & ~p.rlike("^(utm_|fbclid=|gclid=|ref=)"),
+                    )
+                ),
+                "&",
+            ),
+        )
+        .withColumn(
+            "canonical_url",
+            F.concat(
+                F.col("scheme"),
+                F.lit("://"),
+                F.col("host"),
+                F.when(F.col("port") == "", F.lit(""))
+                .when(
+                    (F.col("scheme") == "http") & (F.col("port") == "80"),
+                    F.lit(""),
+                )
+                .when(
+                    (F.col("scheme") == "https")
+                    & (F.col("port") == "443"),
+                    F.lit(""),
+                )
+                .otherwise(F.concat(F.lit(":"), F.col("port"))),
+                F.when(
+                    F.regexp_replace("path", r"/+$", "") == "", F.lit("/")
+                ).otherwise(F.regexp_replace("path", r"/+$", "")),
+                F.when(F.col("kept") == "", F.lit("")).otherwise(
+                    F.concat(F.lit("?"), F.col("kept"))
+                ),
+            ),
+        )
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )

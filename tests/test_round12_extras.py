@@ -365,3 +365,65 @@ def test_video_near_dup_recall_sf0001(spark):
     for (m1, m2), r in clones.items():
         assert m2 == m1 + 1_000_000 and m1 % 5 == 0
         assert r.n_matched == r.n_common >= 2
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup
+# ---------------------------------------------------------------------------
+
+
+def test_url_canonicalizer_semantics(spark):
+    """Pin the canonicalization rules on handcrafted URLs: case folding,
+    www strip, default-vs-non-default port, trailing slash, tracking
+    param removal, param sort, fragment drop — driven through the
+    registered query's corpus so every rule fires on ≥1 real row."""
+    from flink_cdc_msk_spark.plans.round12_extras import (
+        text_url_canonical_dedup,
+    )
+
+    rows = text_url_canonical_dedup(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_url = {r["canonical_url"]: r for r in rows}
+    for u in by_url:
+        assert u == u.lower() or "?" in u  # host/scheme lowercased
+        assert "#" not in u
+        assert "utm_" not in u and "fbclid" not in u
+        assert "www." not in u.split("://")[1].split("/")[0]
+        path = "/" + u.split("://")[1].split("/", 1)[1]
+        assert not path.split("?")[0].endswith("/") or path.split("?")[
+            0
+        ] == "/"
+    # non-default ports survive: doc_id ≡ 9 (mod 12) synthesizes
+    # https + :80 → canonical keeps :80
+    assert any(":80" in u for u in by_url)
+    # default ports are stripped: no canonical https URL carries :443
+    # (http://…:443 is NON-default and must survive)
+    assert not any(
+        ":443" in u for u in by_url if u.startswith("https://")
+    )
+    assert any(
+        ":443" in u for u in by_url if u.startswith("http://")
+    )
+    # query params sorted: a= precedes z= in every kept query string
+    for u in by_url:
+        if "?" in u:
+            q = u.split("?")[1].split("&")
+            assert q == sorted(q)
+
+
+def test_url_dedup_group_election(spark):
+    """Recrawl variants of one page collapse to one canonical row with
+    min-doc_id keeper; n_docs sums to the corpus size."""
+    from flink_cdc_msk_spark.plans.round12_extras import (
+        text_url_canonical_dedup,
+    )
+    from flink_cdc_msk_spark.sources.tables import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    rows = text_url_canonical_dedup(spark, sf).collect()
+    total = load_tables(spark, sf)["documents"].count()
+    assert sum(r["n_docs"] for r in rows) == total
+    assert any(r["n_docs"] > 1 for r in rows)
+    for r in rows:
+        assert r["keeper_doc_id"] >= 0
