@@ -9,6 +9,7 @@ AQE coalesces the initial number down, so a higher static value is safe).
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import SparkSession
@@ -71,6 +72,13 @@ def get_spark(
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
-    for k, v in (extra_conf or {}).items():
+    # $SPARK_GRAFT_CONF: JSON dict of session conf merged under any
+    # explicit extra_conf (caller wins). The deploy-time knob surface —
+    # e.g. {"spark.io.compression.codec": "zstd"} halves shuffle-spill
+    # bytes on hash-heavy dedup joins when a run is temp-disk-bound
+    # (PERF §46), at ~10-15% CPU on the exchange path.
+    env_conf = os.environ.get("SPARK_GRAFT_CONF")
+    merged = {**(json.loads(env_conf) if env_conf else {}), **(extra_conf or {})}
+    for k, v in merged.items():
         b = b.config(k, v)
     return b.getOrCreate()
