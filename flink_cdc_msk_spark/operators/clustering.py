@@ -332,7 +332,7 @@ def ivf_topk_exact_repro(
     ``operators/similarity.py::ivf_topk`` remains the throughput form
     (float centroids, BLAS-friendly); this form is the correctness
     anchor the recall gate measures both against."""
-    from .similarity import as_double, cosine
+    from .similarity import as_double, dot, norm
 
     # single-space caller of the banded Lloyd machinery: constant s=0
     c_elems = _elements(corpus, id_col, vec_col).withColumn("s", F.lit(0))
@@ -341,22 +341,40 @@ def ivf_topk_exact_repro(
     probes = _nearest(q_elems, cent, keep=nprobe).select(
         F.col("id").alias("query_id"), "cl"
     )
-    corpus_cells = corpus.select(
-        F.col(id_col).alias("vec_id"), as_double(vec_col).alias("cv")
-    ).join(
-        assign.select("id", "cl").withColumnsRenamed({"id": "vec_id"}),
-        "vec_id",
+    # norms hoisted out of the per-(query, candidate) projection (r12,
+    # guide §2.3): the corpus norm is one column per corpus vector and
+    # the query norm one per query (computed below the broadcast), so
+    # the scored stream pays only the dot — same doubles, same fold
+    # order, the rounded cosine is bit-identical.
+    corpus_cells = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"), as_double(vec_col).alias("cv")
+        )
+        .withColumn("cn", norm(F.col("cv")))
+        .join(
+            assign.select("id", "cl").withColumnsRenamed(
+                {"id": "vec_id"}
+            ),
+            "vec_id",
+        )
     )
     qvec = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     scored = (
         probes.join(corpus_cells, "cl")
         .filter(F.col("vec_id") != F.col("query_id"))
         # a vector assigned to two probed cells can't duplicate (cells
         # partition the corpus), so no distinct needed
         .join(F.broadcast(qvec), "query_id")
-        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn")),
+                6,
+            ),
+        )
     )
     rank = F.row_number().over(
         Window.partitionBy("query_id").orderBy(
@@ -406,7 +424,7 @@ def semantic_dedup(
     non-memoizing caller that drops the handle leaks one narrow cache
     entry per invocation.  Eagerness is the price of releasing the
     full-width member cache (vectors dominate) before returning."""
-    from .similarity import as_double, cosine
+    from .similarity import as_double, dot, norm
 
     par = df.sparkSession.sparkContext.defaultParallelism
     assign = kmeans_assign(df, k=k, iters=iters, id_col=id_col,
@@ -419,9 +437,18 @@ def semantic_dedup(
     # iteration (recomputing it per join side would double the
     # dominant cost); partitioning by cl makes the self-join
     # shuffle-free on top of the persisted layout
-    # bound: one (id, cl, vec) row per input vector
+    # per-vector norm hoisted INTO the persisted relation (r12, guide
+    # §2.3): the pair filter previously re-derived BOTH norms for every
+    # cluster-local candidate pair (n²/k per cluster) — now each is one
+    # 8-byte column computed once per member row; the per-pair work is
+    # the dot alone. Same doubles through the same left-deep fold —
+    # the rounded cosine is bit-identical.
+    # bound: one (id, cl, vec, norm) row per input vector
     members = (
-        assign.join(vecs, "id").repartition(par, "cl").persist()
+        assign.join(vecs, "id")
+        .withColumn("nv", norm(F.col("v")))
+        .repartition(par, "cl")
+        .persist()
     )
     pairs = (
         members.alias("a")
@@ -431,7 +458,11 @@ def semantic_dedup(
             & (F.col("a.id") < F.col("b.id")),
         )
         .filter(
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+            F.round(
+                dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nv") * F.col("b.nv")),
+                6,
+            )
             >= threshold
         )
         .select(F.col("b.id").alias("id"))

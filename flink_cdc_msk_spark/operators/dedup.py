@@ -402,6 +402,7 @@ def jaccard_pairs(
     max_token_freq: int | None = None,
     ngram: int = 1,
     hashed: bool = True,
+    _single_exchange_cands: bool = True,
 ) -> DataFrame:
     """All (i<j) pairs with token-set Jaccard >= threshold, via
     inverted-index POSTING LISTS (explode units → group by unit into a
@@ -528,16 +529,31 @@ def jaccard_pairs(
     overlap_bound = F.lit(1) + F.least(
         F.col("x.sz") - F.col("x.pos") - 1, F.col("y.sz") - F.col("y.pos") - 1
     )
-    cands = (
-        ex.filter(
-            (F.col("x.id") < F.col("y.id"))
-            & (F.col("x.sz") * th <= F.col("y.sz"))
-            & (F.col("y.sz") * th <= F.col("x.sz"))
-            & (overlap_bound >= required)
+    surviving = ex.filter(
+        (F.col("x.id") < F.col("y.id"))
+        & (F.col("x.sz") * th <= F.col("y.sz"))
+        & (F.col("y.sz") * th <= F.col("x.sz"))
+        & (overlap_bound >= required)
+    ).select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
+    if _single_exchange_cands:
+        # ONE exchange for dedup + the first verify join (r12, guide
+        # §2.4 "share one exchange"): a plain .distinct() plans
+        # Exchange(id1,id2) and the id1-keyed SMJ then plans a SECOND
+        # Exchange(id1) of the very same pair set. Repartitioning the
+        # raw survivors by id1 first lets hashpartitioning(id1) satisfy
+        # BOTH the (id1,id2) dedup's ClusteredDistribution AND the
+        # verify join's — the pair set crosses the wire once. Trade:
+        # the map-side partial dedup below the old first exchange is
+        # lost, but candidate multiplicity under the position filter is
+        # low (measured 1.48× at sf0.1: 32,236 instances / 21,849
+        # distinct — the PPJoin candidate≈output property), so the one
+        # exchange carries ~1.5× rows instead of two exchanges at ~1×
+        # each, and one whole shuffle barrier + sort disappears.
+        cands = surviving.repartition(F.col("id1")).dropDuplicates(
+            ["id1", "id2"]
         )
-        .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
-        .distinct()
-    )
+    else:
+        cands = surviving.distinct()
     # verify joins: MERGE (sort-merge) on BOTH — the only join strategy
     # here with no non-spillable structure.  Unhinted, Catalyst's stats
     # for the persisted unit arrays can land under the broadcast

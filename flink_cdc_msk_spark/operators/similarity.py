@@ -86,50 +86,51 @@ def brute_force_topk(
     """Exact top-k neighbors per query: broadcast queries × stream corpus.
 
     Output: (query_id, vec_id, cos, rank). Two-phase top-k: scoring is
-    pure Catalyst (broadcast queries, corpus streams — no shuffle), then
-    each corpus partition keeps only its local top-k per query in an
-    Arrow-batched ``mapInPandas`` (still no shuffle), and only those
-    |queries| × partitions × k survivors reach the global ranking
-    exchange. The q×n scored set is never shuffled — the phase-1 prune is
-    exact because any global top-k row is necessarily a local top-k row
-    in its own partition (same (cos desc, id asc) order both phases).
+    pure Catalyst (broadcast queries, corpus streams — no shuffle), and
+    the per-partition prune is Spark 4's ``WindowGroupLimit`` pushdown:
+    ``row_number() ... <= k`` plans a PARTIAL group-limit below the
+    exchange, so only |queries| × partitions × k survivors reach the
+    global ranking exchange. The q×n scored set is never shuffled — the
+    phase-1 prune is exact because any global top-k row is necessarily a
+    local top-k row in its own partition (same (cos desc, id asc) order
+    both phases).
+
+    r12 (guide §4 / §2.3): the partial prune was previously a hand-
+    rolled Arrow ``mapInPandas`` — redundant once WindowGroupLimit
+    (SPARK-37099) plans the IDENTICAL per-partition top-k natively;
+    deleting it removes the operator's only JVM↔Python boundary (plan
+    diff: MapInPandas gone, every node whole-stage-codegen'd). Both
+    vector norms are hoisted out of the pair projection: the corpus
+    norm was recomputed for every (query, corpus) PAIR (|queries|×
+    redundant) and the query norm likewise (|corpus|× redundant); each
+    is now one column computed once per input row before the join,
+    leaving only the dot product as per-pair work. Same doubles through
+    the same operations — the cosine is bit-identical.
     For corpora where even the scoring scan is too slow, use
     :func:`ivf_topk`.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    )
+        F.col(id_col).alias("query_id"),
+        as_double(vec_col).alias("qv"),
+    ).withColumn("qn", norm(F.col("qv")))
     c = corpus.select(
-        F.col(id_col).alias("vec_id"), as_double(vec_col).alias("cv")
-    )
+        F.col(id_col).alias("vec_id"),
+        as_double(vec_col).alias("cv"),
+    ).withColumn("cn", norm(F.col("cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cos",
+            dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+        )
         .select("query_id", "vec_id", "cos")
     )
-
-    def local_topk(batches):
-        import pandas as pd
-
-        best = None
-        for pdf in batches:
-            cur = pdf if best is None else pd.concat((best, pdf))
-            cur = cur.sort_values(
-                ["query_id", "cos", "vec_id"],
-                ascending=[True, False, True],
-                kind="mergesort",
-            )
-            best = cur.groupby("query_id", sort=False).head(k)
-        if best is not None and len(best):
-            yield best
-
-    pruned = scored.mapInPandas(local_topk, scored.schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id")
     )
     return (
-        pruned.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id",
                 (F.round("cos", 6) + F.lit(0.0)).alias("cos"), "rank")
@@ -576,12 +577,19 @@ def kmeans_centroids(
     cents = corpus.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cent_id"), as_double(vec_col).alias("cent_v")
     )
+    # vector norm hoisted out of the (vector × centroid) projection
+    # (r12, guide §2.3): one column per vector instead of a re-derived
+    # aggregate per centroid pairing; the centroid norm likewise prices
+    # once per centroid per iteration. Bit-identical cosine.
     c = corpus.select(
         F.col(id_col).alias("_vid"), as_double(vec_col).alias("cv")
-    )
+    ).withColumn("_cn", norm(F.col("cv")))
     for _ in range(iters):
-        scored = c.crossJoin(F.broadcast(cents)).withColumn(
-            "_d", cosine(F.col("cv"), F.col("cent_v"))
+        cents_n = cents.withColumn("_ctn", norm(F.col("cent_v")))
+        scored = c.crossJoin(F.broadcast(cents_n)).withColumn(
+            "_d",
+            dot(F.col("cv"), F.col("cent_v"))
+            / (F.col("_cn") * F.col("_ctn")),
         )
         w = Window.partitionBy("_vid").orderBy(
             F.col("_d").desc(), F.col("cent_id")
@@ -630,20 +638,29 @@ def ivf_topk(
     batches (in a real deployment it would be precomputed + bucketed on
     disk)."""
     if kmeans_iters > 0:
-        centroids = F.broadcast(
-            kmeans_centroids(corpus, n_centroids, kmeans_iters, id_col, vec_col)
+        base_cents = kmeans_centroids(
+            corpus, n_centroids, kmeans_iters, id_col, vec_col
         )
     else:
-        centroids = F.broadcast(
-            corpus.filter(F.col(id_col) < n_centroids).select(
-                F.col(id_col).alias("cent_id"),
-                as_double(vec_col).alias("cent_v"),
-            )
+        base_cents = corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"),
+            as_double(vec_col).alias("cent_v"),
         )
+    # centroid norm priced once per centroid below the broadcast (r12,
+    # guide §2.3) — the assignment projection previously re-derived it
+    # per (vector, centroid) pairing. Same for the vector/query norms:
+    # one column per input row, carried through ``nearest``'s
+    # ``select(*df.columns, ...)`` into the final scoring join, which
+    # then pays only the per-pair dot. Bit-identical cosine.
+    centroids = F.broadcast(
+        base_cents.withColumn("_ctn", norm(F.col("cent_v")))
+    )
 
-    def nearest(df, vcol, out, topn):
+    def nearest(df, vcol, nrmcol, out, topn):
         scored = df.crossJoin(centroids).withColumn(
-            "_d", cosine(F.col(vcol), F.col("cent_v"))
+            "_d",
+            dot(F.col(vcol), F.col("cent_v"))
+            / (F.col(nrmcol) * F.col("_ctn")),
         )
         w = Window.partitionBy(df.columns[0]).orderBy(
             F.col("_d").desc(), F.col("cent_id")
@@ -654,15 +671,23 @@ def ivf_topk(
             .select(*df.columns, F.col("cent_id").alias(out))
         )
 
-    c = corpus.select(F.col(id_col).alias("vec_id"), as_double(vec_col).alias("cv"))
-    assigned = nearest(c, "cv", "cluster", 1)
-    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
-    probed = nearest(q, "qv", "cluster", nprobe)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double(vec_col).alias("cv")
+    ).withColumn("_cn", norm(F.col("cv")))
+    assigned = nearest(c, "cv", "_cn", "cluster", 1)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    ).withColumn("_qn", norm(F.col("qv")))
+    probed = nearest(q, "qv", "_qn", "cluster", nprobe)
 
     scored = (
         assigned.join(F.broadcast(probed), "cluster")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cos",
+            dot(F.col("qv"), F.col("cv"))
+            / (F.col("_qn") * F.col("_cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (

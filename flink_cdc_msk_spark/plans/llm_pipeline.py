@@ -619,12 +619,17 @@ def embedding_ann_ivf(spark, sf_dir):
     """,
 )
 def text_token_stats(spark, sf_dir):
+    # tokenize ONCE into an attribute (r12): the inline form re-ran the
+    # split+filter at both references inside one interpreted Project
     d = _docs(spark, sf_dir)
-    toks = T.tokens("text")
     return d.select(
+        "doc_id", "n_chars", "text", T.tokens("text").alias("_toks")
+    ).select(
         "doc_id",
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("_toks")).cast("bigint").alias(
+            "n_distinct"
+        ),
         F.length("text").cast("bigint").alias("n_chars_computed"),
         "n_chars",
     )
@@ -656,17 +661,38 @@ def text_quality_score(spark, sf_dir):
     """Heuristic quality scoring: punctuation ratio, stopword ratio, mean
     token length, and a pass/fail gate (length band + lexical diversity) —
     the standard pre-training corpus filters, all as codegen'd array
-    expressions."""
+    expressions.
+
+    r12 (guide §4.1/§1.2 per-task work): the token array is MATERIALIZED
+    in its own projection and every ratio reads the attribute — the old
+    single-projection form inlined ``T.tokens("text")`` at each of its
+    ~8 references, and this Project is interpreted (higher-order
+    lambdas), so Spark's subexpression elimination (codegen-only) never
+    deduped them: split+lower+filter ran ~8× per document.
+    CollapseProject keeps the boundary because ``_toks`` is non-cheap
+    and multiply-referenced (the ``_unit_sets`` trick). Same
+    expressions over the same array — bit-identical output."""
     d = _docs(spark, sf_dir)
-    toks = T.tokens("text")
+    toks = F.col("_toks")
+    wl = F.array(*[F.lit(w) for w in T.STOPWORDS["en"]])
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.array_contains(wl, t))
+    ).cast("bigint")
+    avg_len = F.round(
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+        )
+        / F.size(toks),
+        4,
+    )
     diversity = F.size(F.array_distinct(toks)) / F.size(toks)
     return d.select(
+        "doc_id", "text", T.tokens("text").alias("_toks")
+    ).select(
         "doc_id",
         T.punct_ratio("text").alias("punct_ratio"),
-        F.round(
-            T.stopword_hits("text", T.STOPWORDS["en"]) / F.size(toks), 6
-        ).alias("stopword_ratio"),
-        T.avg_token_len("text").alias("avg_token_len"),
+        F.round(stop_hits / F.size(toks), 6).alias("stopword_ratio"),
+        avg_len.alias("avg_token_len"),
         F.when(
             F.size(toks).between(10, 1000) & (diversity > 0.3), 1
         ).otherwise(0).alias("quality_pass"),
@@ -700,14 +726,35 @@ def text_quality_score(spark, sf_dir):
 )
 def text_lang_id(spark, sf_dir):
     """Stopword-profile language guesser (n-gram-heuristic family).
-    Deterministic argmax with fixed precedence en>de>fr>es on ties."""
+    Deterministic argmax with fixed precedence en>de>fr>es on ties.
+
+    r12 staging (guide §1.2 per-task work): tokenize once, then
+    materialize each language's hit COUNT once, then compare longs.
+    The old single projection inlined the tokenizer at every reference
+    — 16 tokenize+filter evaluations per row (4 langs × up to 4
+    references each, no CSE outside codegen); now 1 tokenize + 4
+    filters + long compares. Identical expressions per value —
+    bit-identical output."""
     d = _docs(spark, sf_dir)
-    scores = {
-        lang: T.stopword_hits("text", words)
-        for lang, words in T.STOPWORDS.items()
-    }
+
+    def hits(words):
+        wl = F.array(*[F.lit(w) for w in words])
+        return F.size(
+            F.filter("_toks", lambda t: F.array_contains(wl, t))
+        ).cast("bigint")
+
+    scored = d.select(
+        "doc_id", "lang", T.tokens("text").alias("_toks")
+    ).select(
+        "doc_id",
+        "lang",
+        *[
+            hits(words).alias(f"s_{lang}")
+            for lang, words in T.STOPWORDS.items()
+        ],
+    )
     s_en, s_de, s_fr, s_es = (
-        scores["en"], scores["de"], scores["fr"], scores["es"],
+        F.col("s_en"), F.col("s_de"), F.col("s_fr"), F.col("s_es"),
     )
     guessed = (
         F.when((s_en >= s_de) & (s_en >= s_fr) & (s_en >= s_es), "en")
@@ -715,13 +762,13 @@ def text_lang_id(spark, sf_dir):
         .when(s_fr >= s_es, "fr")
         .otherwise("es")
     )
-    return d.select(
+    return scored.select(
         "doc_id",
         "lang",
-        s_en.alias("s_en"),
-        s_de.alias("s_de"),
-        s_fr.alias("s_fr"),
-        s_es.alias("s_es"),
+        "s_en",
+        "s_de",
+        "s_fr",
+        "s_es",
         guessed.alias("guessed"),
     )
 

@@ -35,7 +35,10 @@ ALLOWED = {
     # contract; lsh_near_dup_pairs is the scale path
     ("operators/similarity.py", "gen"): 1,
     ("operators/similarity.py", "near_dup_pairs_catalyst"): 1,
-    ("operators/similarity.py", "ivf_topk"): 2,  # k centroids
+    # r12: the two per-branch centroid broadcasts consolidated into one
+    # site (norm hoisted once below the broadcast); probed stays under
+    # `nearest` per the nearest-preceding-def attribution
+    ("operators/similarity.py", "ivf_topk"): 1,  # k centroids
     ("operators/similarity.py", "kmeans_centroids"): 1,  # k centroids
     ("operators/similarity.py", "nearest"): 1,  # probed cluster list
     ("operators/sketch.py", "cms_estimate"): 1,  # w x d sketch

@@ -212,10 +212,13 @@ def test_corpus_pipeline_v2_shuffle_budget(spark):
 
 def test_brute_force_topk_prunes_before_ranking_exchange(spark):
     """Two-phase top-k: the q×n scored set must be pruned to local
-    top-k per partition (MapInPandas, no shuffle) BEFORE the global
-    ranking exchange — i.e. the only hash exchange in the plan sits
-    ABOVE the MapInPandas node, so the shuffle carries at most
-    queries × partitions × k rows, never the full scored set."""
+    top-k per partition BEFORE the global ranking exchange. Since r12
+    the partial prune is Spark 4's native WindowGroupLimit pushdown
+    (mode Partial below the exchange, Final above), replacing the old
+    hand-rolled MapInPandas — so the plan must carry NO Python
+    boundary at all, and the only hash exchange sits ABOVE a Partial
+    WindowGroupLimit, carrying at most queries × partitions × k rows,
+    never the full scored set."""
     from flink_cdc_msk_spark.operators import similarity as S
     from flink_cdc_msk_spark.plans.llm_pipeline import load_tables
 
@@ -225,12 +228,16 @@ def test_brute_force_topk_prunes_before_ranking_exchange(spark):
     lines = plan.splitlines()
     ex = [i for i, ln in enumerate(lines)
           if "Exchange hashpartitioning" in ln]
-    mp = [i for i, ln in enumerate(lines) if "MapInPandas" in ln]
+    partial = [i for i, ln in enumerate(lines)
+               if "WindowGroupLimit" in ln and "Partial" in ln]
     assert len(ex) == 1, f"expected exactly 1 hash exchange:\n{plan}"
-    assert mp, f"no MapInPandas prune stage:\n{plan}"
+    assert partial, f"no Partial WindowGroupLimit prune stage:\n{plan}"
     # plan trees print top-down: the exchange (above) must appear on an
-    # EARLIER line than the MapInPandas it consumes
-    assert ex[0] < mp[0], f"exchange below the prune stage:\n{plan}"
+    # EARLIER line than the partial group-limit it consumes
+    assert ex[0] < partial[0], f"exchange below the prune stage:\n{plan}"
+    # the operator's only former Python boundary is gone for good
+    for node in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan, f"unexpected Python boundary {node}:\n{plan}"
 
 
 def test_dedup_verify_joins_never_broadcast_corpus(spark):
