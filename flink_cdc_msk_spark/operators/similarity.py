@@ -217,12 +217,28 @@ def near_dup_pairs_catalyst(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Pure-Catalyst exact pair scan (zip_with/aggregate) — no Python, no
-    driver collect; reference implementation for semantics tests."""
-    a = corpus.select(F.col(id_col).alias("id1"), as_double(vec_col).alias("v1"))
-    b = corpus.select(F.col(id_col).alias("id2"), as_double(vec_col).alias("v2"))
+    driver collect; reference implementation for semantics tests.
+
+    r12 (guide §2.3): per-vector norms hoisted out of the O(n²) pair
+    projection — each norm is one column computed once per input row
+    instead of re-derived for every pair; the per-pair work is the dot
+    alone. Same doubles through the same fold — bit-identical cosine."""
+    a = corpus.select(
+        F.col(id_col).alias("id1"), as_double(vec_col).alias("v1")
+    ).withColumn("n1", norm(F.col("v1")))
+    b = corpus.select(
+        F.col(id_col).alias("id2"), as_double(vec_col).alias("v2")
+    ).withColumn("n2", norm(F.col("v2")))
     return (
         a.join(F.broadcast(b), F.col("id1") < F.col("id2"))
-        .withColumn("cos", F.round(cosine(F.col("v1"), F.col("v2")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("v1"), F.col("v2"))
+                / (F.col("n1") * F.col("n2")),
+                6,
+            ),
+        )
         .filter(F.col("cos") >= threshold)
         .select("id1", "id2", "cos")
     )

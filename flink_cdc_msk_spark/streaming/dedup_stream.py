@@ -433,14 +433,30 @@ class StreamingVectorNearDupFilter:
         """pairs(id1,id2,...) → those with round(cosine,6) >= threshold,
         pair columns preserved.  Rounded before the compare so the admit
         boundary is bit-identical to the batch operator
-        (lsh_near_dup_pairs) and the oracle."""
-        from ..operators.similarity import cosine
+        (lsh_near_dup_pairs) and the oracle.
 
+        r12 (guide §2.3): per-vector norms computed once per side
+        relation, not re-derived per candidate pair — a vector that
+        appears in k pairs prices its norm once, and the per-pair
+        filter pays only the dot. Same doubles, same fold order: the
+        rounded cosine (cosine = dot/(norm·norm)) is bit-identical."""
+        from ..operators.similarity import dot, norm
+
+        s1 = v1.withColumnsRenamed({"id": "id1", "v": "v1"}).withColumn(
+            "_n1", norm(F.col("v1"))
+        )
+        s2 = v2.withColumnsRenamed({"id": "id2", "v": "v2"}).withColumn(
+            "_n2", norm(F.col("v2"))
+        )
         return (
-            pairs.join(v1.withColumnsRenamed({"id": "id1", "v": "v1"}), "id1")
-            .join(v2.withColumnsRenamed({"id": "id2", "v": "v2"}), "id2")
+            pairs.join(s1, "id1")
+            .join(s2, "id2")
             .filter(
-                F.round(cosine(F.col("v1"), F.col("v2")), 6)
+                F.round(
+                    dot(F.col("v1"), F.col("v2"))
+                    / (F.col("_n1") * F.col("_n2")),
+                    6,
+                )
                 >= self.threshold
             )
             .select(*pairs.columns)
