@@ -98,8 +98,20 @@ def _nearest(elems: DataFrame, cent: DataFrame, keep: int = 1) -> DataFrame:
     )
 
 
+def _localized(df: DataFrame) -> DataFrame:
+    """Land a TINY relation on the driver and re-issue it as a local
+    relation (guide §5 bounded-collect: same class as the broadcast
+    1-row stats pattern — here k·d centroid rows, what Spark's own
+    MLlib KMeans ships to the driver every iteration). Downstream
+    plans then reference a LocalTableScan instead of re-deriving the
+    whole upstream lineage. Values round-trip exactly: ints and IEEE
+    doubles are preserved bit-for-bit through Row → createDataFrame."""
+    rows = df.collect()
+    return df.sparkSession.createDataFrame(rows, df.schema)
+
+
 def lloyd_rounds(
-    elems: DataFrame, k: int, iters: int
+    elems: DataFrame, k: int, iters: int, localize: bool = True
 ) -> tuple[DataFrame, DataFrame]:
     """``iters`` deterministic Lloyd rounds over banded element-form
     vectors (s, id, pos, val) — every subspace advances in the same
@@ -107,7 +119,23 @@ def lloyd_rounds(
     (s, cl, pos, cval)). Init: the k smallest ids per subspace. The
     returned centroids are the ones the returned assignment was
     computed against (i.e. post-update for iters>1).  Single-space
-    callers pass a constant ``s`` (see kmeans_assign)."""
+    callers pass a constant ``s`` (see kmeans_assign).
+
+    ``localize=True`` (r12, guide §2.4/§5): each round's centroid set
+    (k·d rows per subspace — bounded and tiny) is collected and
+    re-issued as a local relation before the next distance pass.
+    Without this the unrolled plan re-derives the ENTIRE prior-round
+    subtree at every reference — the registered IVF query's single
+    plan held 20 parquet scans / 16 posexplodes / 42 exchanges / 30
+    windows at iters=2, and re-derivation multiplies per extra round.
+    With it, each round is one shallow job (scan → distance agg →
+    argmin window → mean agg → k·d-row collect) and the final plan
+    references centroids as LocalTableScan. The arithmetic is
+    UNCHANGED — same DECIMAL sums, same tie-breaks, same one rounding
+    per (cluster, dim) — so results stay bit-identical (oracle-pinned);
+    the rounds become eager, which ``semantic_dedup`` already
+    documents as this module's contract. ``localize=False`` keeps the
+    fully-lazy unrolled form (A/B + plan-shape reference)."""
     cent = elems.filter(F.col("id") < k).select(
         "s",
         F.col("id").cast("int").alias("cl"),
@@ -116,6 +144,8 @@ def lloyd_rounds(
     )
     assign = None
     for it in range(iters):
+        if localize:
+            cent = _localized(cent)
         assign = _nearest(elems, cent).select("s", "id", "cl")
         if it < iters - 1:
             cent = (

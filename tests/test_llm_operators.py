@@ -641,6 +641,32 @@ def test_kmeans_assign_partition_invariant(spark):
     assert {cl for _, cl in a1} <= {0, 1, 2, 3}
 
 
+def test_lloyd_localize_bit_identical(spark):
+    """r12 localization: landing each round's k·d centroid rows on the
+    driver as a local relation (MLlib-KMeans-style) must not change a
+    single bit of either output — the DECIMAL sums, tie-breaks and
+    rounding all happen in the same places; only the plan shape (one
+    shallow job per round vs a fully unrolled re-derived subtree)
+    differs."""
+    from flink_cdc_msk_spark.operators import clustering as C
+    from flink_cdc_msk_spark.sources.tables import load_tables
+
+    from tests.conftest import SF_SMALL
+
+    emb = load_tables(spark, SF_SMALL)["embeddings"]
+    elems = C._elements(emb, "vec_id", "embedding").withColumn(
+        "s", F.lit(0)
+    )
+    a_new, c_new = C.lloyd_rounds(elems, k=4, iters=3, localize=True)
+    a_old, c_old = C.lloyd_rounds(elems, k=4, iters=3, localize=False)
+    assert sorted(map(tuple, a_new.collect())) == sorted(
+        map(tuple, a_old.collect())
+    )
+    assert sorted(map(tuple, c_new.collect())) == sorted(
+        map(tuple, c_old.collect())
+    )
+
+
 def test_bloom_prefilter_no_false_negatives(spark):
     """The bloom layer may pass false positives (killed by the exact
     join) but must NEVER drop a true duplicate: output equals the plain
