@@ -2160,22 +2160,34 @@ def embedding_lsh_recall_gate(spark, sf_dir):
     boundary (measured recall 0.735, deterministic because the planes
     are hash-derived). Stronger pairs recall higher (0.83 in the 0.4
     band); recall-vs-strength is pytest's property. Precision is
-    structural — LSH candidates are exact-verified."""
+    structural — LSH candidates are exact-verified.
+
+    r12 (guide §4.2/§1.2): the exact arm is the blocked-BLAS operator —
+    the same pair set `embedding_near_dup`'s oracle pins hash-exact at
+    every driver SF (its oracle IS this gate's counting subquery), ~25 s
+    cheaper per run than the interpreted catalyst fold it replaces; and
+    the two-agg crossJoin shape (which re-derived the exact arm for the
+    semi-join) is one left join + one conditional agg, so each arm is
+    evaluated exactly once."""
     emb = _emb(spark, sf_dir)
-    exact = S.near_dup_pairs_catalyst(emb, threshold=0.3).select(
-        "id1", "id2"
+    exact = S.near_dup_pairs(emb, threshold=0.3).select("id1", "id2")
+    approx = (
+        S.lsh_near_dup_pairs(emb, threshold=0.3, n_planes=4, n_tables=8)
+        .select("id1", "id2")
+        .withColumn("_hit", F.lit(1))
     )
-    approx = S.lsh_near_dup_pairs(
-        emb, threshold=0.3, n_planes=4, n_tables=8
-    ).select("id1", "id2")
-    hit = exact.join(approx, ["id1", "id2"], "left_semi")
-    return exact.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
-        hit.agg(F.count(F.lit(1)).alias("n_hit"))
-    ).select(
-        "n_exact",
-        F.when(F.col("n_hit") >= F.col("n_exact") * 0.65, 1)
-        .otherwise(0)
-        .alias("recall_ok"),
+    return (
+        exact.join(approx, ["id1", "id2"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("_hit").alias("_n_hit"),
+        )
+        .select(
+            "n_exact",
+            F.when(F.col("_n_hit") >= F.col("n_exact") * 0.65, 1)
+            .otherwise(0)
+            .alias("recall_ok"),
+        )
     )
 
 
