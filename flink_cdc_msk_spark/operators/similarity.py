@@ -61,6 +61,40 @@ def weighted_sum_unrolled(a: Column, weights: list[float]) -> Column:
     return acc
 
 
+def weighted_sum_unrolled_cast(
+    col: Column | str, weights: list[float]
+) -> Column:
+    """``weighted_sum_unrolled(as_double(col), w)`` with the cast moved
+    INSIDE each term: ``element_at(v, i).cast(double) * w`` picks element
+    i and casts it, instead of referencing a ``transform(v, cast)`` array
+    per term. Same element, same cast → bit-identical doubles — but the
+    expression carries NO lambda nodes (each ``transform`` reference
+    costs a full array rebuild per TERM at eval time, and every lambda
+    costs Catalyst a scoped resolution per ANALYSIS — ruinous when a
+    32-projection × 64-term tree is re-analyzed per micro-batch action,
+    r12 event-log evidence: 245 s inter-job driver gap)."""
+    if isinstance(col, str):
+        # Build the whole left-deep chain as ONE parsed SQL expression:
+        # constructing it Column-by-Column costs ~5 Py4J round-trips per
+        # TERM (≈10k socket turnarounds for a 32×64 bucket projection,
+        # re-paid per micro-batch — the r12 jstack samples caught the
+        # driver inside functions.element_at reflection and the stream
+        # thread blocked on the Py4J socket). The parsed tree is the
+        # same Add/Multiply/Cast/ElementAt chain: `D`-suffixed literals
+        # are doubles, so no implicit coercion differs.
+        terms = "0.0D"
+        for i, w in enumerate(weights, start=1):
+            terms = (
+                f"({terms} + (CAST(element_at(`{col}`, {i}) AS DOUBLE)"
+                f" * {float(w)!r}D))"
+            )
+        return F.expr(terms)
+    acc = F.lit(0.0)
+    for i, w in enumerate(weights, start=1):
+        acc = acc + F.element_at(col, i).cast("double") * F.lit(float(w))
+    return acc
+
+
 def norm_unrolled(a: Column, dims: int) -> Column:
     """Unrolled ``norm`` — sqrt of the left-deep sum of squares (the
     fold binds x per element and computes acc + x*x; the unrolled chain
@@ -274,6 +308,7 @@ def random_hyperplane_buckets(
     seed: int = 42,
     portable_dims: int | None = None,
     wide: bool = False,
+    form: str = "auto",
 ) -> DataFrame:
     """Signed-random-projection LSH (cosine LSH) with OR-amplification:
     ``n_tables`` independent hash tables of ``n_planes`` sign bits each —
@@ -318,9 +353,29 @@ def random_hyperplane_buckets(
                 # fold form keeps each projection one compact embedded
                 # call.
                 weights = portable_plane_weights(seed, t, p, portable_dims)
-                if n_tables * n_planes <= 40:
-                    proj = weighted_sum_unrolled(as_double(vec_col), weights)
+                unroll = (
+                    n_tables * n_planes <= 40
+                    if form == "auto"
+                    else form == "unrolled"
+                )
+                if unroll:
+                    # r12: per-element cast, NOT element_at over a shared
+                    # as_double transform — bit-identical values, zero
+                    # lambda nodes (see weighted_sum_unrolled_cast).
+                    proj = weighted_sum_unrolled_cast(vec_col, weights)
                 else:
+                    # fold form: ~6 plan nodes per projection instead of
+                    # ~256. Bit-identical to the unrolled chain (same
+                    # left-deep summation over the same doubles) — the
+                    # two forms have always been swapped on the >40
+                    # threshold above. ``form="fold"`` is the MICRO-BATCH
+                    # regime choice (streaming twin): the unrolled form's
+                    # 32-projection explode-consume method exceeds the
+                    # JVM 64 KB limit, so every micro-batch paid a
+                    # multi-second FAILED janino compile and interpreted
+                    # evaluation anyway — the worst of both (r12 log:
+                    # `generate_doConsume` InternalCompilerException
+                    # per batch).
                     proj = dot(as_double(vec_col), F.lit(weights))
             else:
                 proj = F.aggregate(

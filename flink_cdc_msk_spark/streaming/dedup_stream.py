@@ -475,6 +475,18 @@ class StreamingVectorNearDupFilter:
         batch = _spread(
             batch.select(self.id_col, self.vec_col), par
         ).cache()
+        # localCheckpoint, not cache: a cached DataFrame still SHIPS its
+        # full lineage in every downstream task closure (recompute
+        # fallback) and re-enters Catalyst analysis per action — and the
+        # bucketing projection is the plan's largest expression (32
+        # unrolled 64-term chains). r12 event log at sf0.1: 245 s of
+        # inter-job driver gap + 153 s task deserialize in ONE store
+        # write stage, all re-chewing this subtree. Truncating the
+        # lineage here (guide §2 "Materialising an intermediate …
+        # truncates the plan", §5 localCheckpoint) makes every later
+        # per-batch action see a compact LogicalRDD of (id, table,
+        # bucket) rows. Eager, so the projection is paid exactly once
+        # per batch, in its own small job.
         buckets = random_hyperplane_buckets(
             batch,
             self.n_planes,
@@ -482,7 +494,8 @@ class StreamingVectorNearDupFilter:
             self.id_col,
             self.vec_col,
             portable_dims=self.dims,
-        ).cache()
+            form="fold",
+        ).localCheckpoint(eager=True)
         vecs = batch.select(
             F.col(self.id_col).alias("id"),
             as_double(self.vec_col).alias("v"),
