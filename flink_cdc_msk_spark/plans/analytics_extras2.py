@@ -585,12 +585,15 @@ def streaming_cep_pattern(spark, sf_dir):
     d = session_tmpdir("stream_cep_")
     src = f"{d}/src"
     n_slabs = 6
+    # r12: materialize once before the six slab writes (each write
+    # otherwise re-runs the events scan + global ntile window and
+    # discards 5/6 of it — the pHash twin's fixture pattern).
     slabbed = ev.withColumn(
         "slab",
         F.ntile(n_slabs).over(
             Window.orderBy("tss", "event_id")
         ),
-    )
+    ).localCheckpoint(eager=True)
     for s in range(1, n_slabs + 1):
         (
             slabbed.filter(F.col("slab") == s)

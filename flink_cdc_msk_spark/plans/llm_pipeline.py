@@ -2413,9 +2413,12 @@ def streaming_neardup_ingest(spark, sf_dir):
     docs = _docs_with_near_dups(spark, sf_dir).select("doc_id", "text")
     d = session_tmpdir("neardup_ingest_")
     src = f"{d}/src"
+    # r12: materialize once before the four slab writes (each write
+    # otherwise re-runs the dup-synthesis scan + global ntile window
+    # and discards 3/4 of it — the pHash twin's fixture pattern).
     slabbed = docs.withColumn(
         "slab", F.ntile(_ND_SLABS).over(Window.orderBy("doc_id"))
-    )
+    ).localCheckpoint(eager=True)
     for s in range(1, _ND_SLABS + 1):
         (
             slabbed.filter(F.col("slab") == s)

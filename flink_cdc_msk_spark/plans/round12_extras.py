@@ -306,9 +306,17 @@ def streaming_phash_neardup_ingest(spark, sf_dir):
     )
     d = session_tmpdir("phash_neardup_ingest_")
     src = f"{d}/src"
+    # r12: materialize the encoded+slabbed corpus ONCE before the four
+    # slab writes — each write otherwise re-derives the whole relation
+    # (docs scan → PNG/PPM encode → global ntile window) and throws 3/4
+    # away, with the tail single-task under coalesce(1): 16.5 s of the
+    # query's 48 s went to these four setup writes (event-log stages
+    # 10/12/14/16: 7.0+3.3+3.0+3.2 s, 1 task each). The checkpoint pays
+    # the encode once; the writes become plain row pushes. Same rows,
+    # same window order → byte-identical slab files.
     slabbed = media.withColumn(
         "slab", F.ntile(_PHI_SLABS).over(Window.orderBy("media_id"))
-    )
+    ).localCheckpoint(eager=True)
     for s in range(1, _PHI_SLABS + 1):
         (
             slabbed.filter(F.col("slab") == s)

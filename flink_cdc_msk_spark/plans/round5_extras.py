@@ -436,9 +436,12 @@ def streaming_embedding_neardup_ingest(spark, sf_dir):
     )
     d = session_tmpdir("vec_neardup_ingest_")
     src = f"{d}/src"
+    # r12: materialize once before the four slab writes (same rationale
+    # as the pHash twin's fixture — each write otherwise re-runs the
+    # scan + cast + global ntile window and discards 3/4 of it).
     slabbed = emb.withColumn(
         "slab", F.ntile(_VND_SLABS).over(Window.orderBy("vec_id"))
-    )
+    ).localCheckpoint(eager=True)
     for s in range(1, _VND_SLABS + 1):
         (
             slabbed.filter(F.col("slab") == s)
