@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..streaming.dedup_stream import _spread
 from ..streaming.materialize import await_or_raise as _await_or_raise
 from .registry import register
 from .round10b_extras import (
@@ -86,6 +87,12 @@ def maintain_overlap_partials(spark, store: str):
         # occurrence-fed per-batch partial: tokenize -> shingle ->
         # explode -> 32 map-side minima per source. No distinct; the
         # MIN fold (at compaction and at readout) is the only history.
+        # r12: spread the 1-file arrival across the session's cores
+        # first — the tokenize+shingle explode otherwise runs in ONE
+        # task (the §18/§20 single-partition trap; event log: 3.7 s
+        # 1-task stages per batch). MIN is partition-invariant, so the
+        # per-source minima are bit-identical.
+        bdf = _spread(bdf, bdf.sparkSession.sparkContext.defaultParallelism)
         occ = bdf.select(
             "source", T.tokens("text").alias("_t")
         ).select(
