@@ -1028,9 +1028,19 @@ def pandas_cogroup_reconcile(spark, sf_dir):
             ],
         )
 
+    # r12 (guide §2.6 idle capacity): the cogroup stage is the query's
+    # only real work — one Python call per key — and it inherits
+    # spark.sql.shuffle.partitions (8 in the bench regime), so ~55
+    # CPU-seconds of per-key pandas ran through 8 lanes while the other
+    # cores idled. Hash-repartitioning both sides on the cogroup key at
+    # defaultParallelism satisfies FlatMapCoGroupsInPandas's
+    # ClusteredDistribution as-is (plan still has exactly 2 exchanges,
+    # now core-wide); per-key results are partitioning-invariant.
+    par = spark.sparkContext.defaultParallelism
     return (
-        orders.groupBy("o_orderkey")
-        .cogroup(li.groupBy("l_orderkey"))
+        orders.repartition(par, "o_orderkey")
+        .groupBy("o_orderkey")
+        .cogroup(li.repartition(par, "l_orderkey").groupBy("l_orderkey"))
         .applyInPandas(
             reconcile,
             "o_orderkey bigint, totalprice_cents bigint, "
