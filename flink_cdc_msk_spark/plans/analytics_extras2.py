@@ -588,6 +588,8 @@ def streaming_cep_pattern(spark, sf_dir):
     # r12: materialize once before the six slab writes (each write
     # otherwise re-runs the events scan + global ntile window and
     # discards 5/6 of it — the pHash twin's fixture pattern).
+    # bound: one copy of the fixture events (|corpus| rows), fixture
+    # setup only.
     slabbed = ev.withColumn(
         "slab",
         F.ntile(n_slabs).over(

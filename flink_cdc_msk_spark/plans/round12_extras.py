@@ -314,6 +314,8 @@ def streaming_phash_neardup_ingest(spark, sf_dir):
     # 10/12/14/16: 7.0+3.3+3.0+3.2 s, 1 task each). The checkpoint pays
     # the encode once; the writes become plain row pushes. Same rows,
     # same window order → byte-identical slab files.
+    # bound: one copy of the encoded fixture media (|corpus| rows),
+    # fixture setup only.
     slabbed = media.withColumn(
         "slab", F.ntile(_PHI_SLABS).over(Window.orderBy("media_id"))
     ).localCheckpoint(eager=True)

@@ -439,6 +439,8 @@ def streaming_embedding_neardup_ingest(spark, sf_dir):
     # r12: materialize once before the four slab writes (same rationale
     # as the pHash twin's fixture — each write otherwise re-runs the
     # scan + cast + global ntile window and discards 3/4 of it).
+    # bound: one copy of the fixture embeddings (|corpus| rows), fixture
+    # setup only, freed with the session tmpdir.
     slabbed = emb.withColumn(
         "slab", F.ntile(_VND_SLABS).over(Window.orderBy("vec_id"))
     ).localCheckpoint(eager=True)

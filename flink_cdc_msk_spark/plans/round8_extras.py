@@ -672,6 +672,8 @@ def streaming_substring_dedup_ingest(spark, sf_dir):
     # r12: materialize once before the four slab writes (each write
     # otherwise re-runs the dup-synthesis scan + global ntile window
     # and discards 3/4 of it — the pHash twin's fixture pattern).
+    # bound: one copy of the fixture docs (|corpus| rows), fixture
+    # setup only.
     slabbed = docs.withColumn(
         "slab", F.ntile(_SS_SLABS).over(Window.orderBy("doc_id"))
     ).localCheckpoint(eager=True)

@@ -487,6 +487,7 @@ class StreamingVectorNearDupFilter:
         # per-batch action see a compact LogicalRDD of (id, table,
         # bucket) rows. Eager, so the projection is paid exactly once
         # per batch, in its own small job.
+        # bound: |batch| x n_tables rows, replaced every micro-batch.
         buckets = random_hyperplane_buckets(
             batch,
             self.n_planes,
@@ -496,6 +497,7 @@ class StreamingVectorNearDupFilter:
             portable_dims=self.dims,
             form="fold",
         ).localCheckpoint(eager=True)
+        # (bound stated above: |batch| x n_tables rows, per micro-batch)
         vecs = batch.select(
             F.col(self.id_col).alias("id"),
             as_double(self.vec_col).alias("v"),
