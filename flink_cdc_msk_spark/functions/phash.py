@@ -97,17 +97,29 @@ def _pack_bits(coef: np.ndarray) -> np.ndarray:
 
 
 def phash63_from_cells(cells: np.ndarray) -> np.ndarray:
-    """(B, 8, 8) integer cell lumas (0..255) → (B,) int64 pHash."""
+    """(B, 8, 8) integer cell lumas (0..255) → (B,) int64 pHash.
+
+    B @ X @ B^T as two chained matmuls, not a 3-operand einsum: the
+    un-optimized einsum contracts all four indices at once (B·8⁴ ops);
+    the staged form is B·2·8³ — 8× fewer, and bit-identical because
+    int64 arithmetic is exact (worst case |B·X| ≤ 8·2^20·255 ≈ 2^31,
+    final ≤ 8·2^31·2^20 ≈ 2^54 — no overflow)."""
     b = cell_basis_fixed()
-    coef = np.einsum("pu,buv,qv->bpq", b, cells.astype(np.int64), b)
+    coef = b @ cells.astype(np.int64) @ b.T
     return _pack_bits(coef)
 
 
 def phash63_from_pixels(pixels: np.ndarray) -> np.ndarray:
     """(B, 32, 32) integer pixel lumas (0..255) → (B,) int64 pHash —
-    the full-resolution path for a real image codec."""
+    the full-resolution path for a real image codec.
+
+    C @ X @ C^T as two chained matmuls for the same reason as
+    phash63_from_cells: the un-optimized einsum is B·32⁴ int64 ops
+    (measured 124 ms vs 14 ms for 1500 assets), the staged form
+    B·2·32³, bit-identical (worst case |C·X| ≤ 32·2^20·255 ≈ 2^33,
+    final ≤ 32·2^33·2^20 ≈ 2^58 < 2^63 — no overflow)."""
     c = c32_fixed()
-    coef = np.einsum("pi,bij,qj->bpq", c, pixels.astype(np.int64), c)
+    coef = c @ pixels.astype(np.int64) @ c.T
     return _pack_bits(coef)
 
 
