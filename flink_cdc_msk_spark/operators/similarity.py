@@ -342,40 +342,35 @@ def random_hyperplane_buckets(
         planes = []
         for p in range(n_planes):
             if portable_dims is not None:
-                # unrolled literal-weight dot: bit-identical to the
-                # fold over the zipped literal array (same left-deep
-                # order) but whole-stage-codegen instead of interpreted
-                # — UNLESS the projection count is large (a 10-plane ×
-                # 8-table variant inlines 80 × 64-term chains, blowing
-                # the stage past JIT method limits so everything
-                # interprets at the UNROLLED cost, the worst of both;
-                # measured 313 s vs ~60 s at sfx1). Past the cap, the
-                # fold form keeps each projection one compact embedded
-                # call.
+                # ``form="auto"`` resolves to the FOLD: one compact HOF
+                # call per projection (~6 plan nodes), bit-identical to
+                # the unrolled chain (same left-deep summation over the
+                # same doubles). The unrolled form stays available for
+                # A/B (`form="unrolled"`) but loses in every regime the
+                # repo has measured since the r12 cast-per-element
+                # rework: a wide 32-projection × 64-term Project now
+                # blows janino's 64 KB method limit even in BATCH
+                # (CodeContext.makeSpace in the log; the pre-r12
+                # element_at-of-shared-transform form compiled because
+                # codegen deduped the one shared transform), so the
+                # stage pays a failed multi-second compile and then
+                # interprets the 2048-term chain anyway — the worst of
+                # both. Clean-box isolation at sf0.1 (fresh sessions,
+                # noop sink, warm medians of 4): fold 0.45–0.51 s vs
+                # unrolled-cast 1.75–1.92 s vs the pre-r12 compiled
+                # form 0.69–0.77 s — the fold beats even the form that
+                # compiles. In the MICRO-BATCH regime the same failed
+                # compile repeated per batch (exprIds change, nothing
+                # caches): `generate_doConsume` InternalCompiler-
+                # Exception per batch until the streaming twin moved to
+                # the fold.
                 weights = portable_plane_weights(seed, t, p, portable_dims)
-                unroll = (
-                    n_tables * n_planes <= 40
-                    if form == "auto"
-                    else form == "unrolled"
-                )
-                if unroll:
-                    # r12: per-element cast, NOT element_at over a shared
+                if form == "unrolled":
+                    # per-element cast, NOT element_at over a shared
                     # as_double transform — bit-identical values, zero
                     # lambda nodes (see weighted_sum_unrolled_cast).
                     proj = weighted_sum_unrolled_cast(vec_col, weights)
                 else:
-                    # fold form: ~6 plan nodes per projection instead of
-                    # ~256. Bit-identical to the unrolled chain (same
-                    # left-deep summation over the same doubles) — the
-                    # two forms have always been swapped on the >40
-                    # threshold above. ``form="fold"`` is the MICRO-BATCH
-                    # regime choice (streaming twin): the unrolled form's
-                    # 32-projection explode-consume method exceeds the
-                    # JVM 64 KB limit, so every micro-batch paid a
-                    # multi-second FAILED janino compile and interpreted
-                    # evaluation anyway — the worst of both (r12 log:
-                    # `generate_doConsume` InternalCompilerException
-                    # per batch).
                     proj = dot(as_double(vec_col), F.lit(weights))
             else:
                 proj = F.aggregate(
@@ -502,10 +497,14 @@ def lsh_near_dup_pairs(
         portable_dims=portable_dims, wide=True,
     )
     # Expression forms are PER STAGE, chosen from measurement (sfx1,
-    # 104M in-stream pairs):
-    #   * map-side (per-vector norms, hyperplane projections): UNROLLED
-    #     left-deep chains — whole-stage codegen, ~2 core-µs/row, 7.5×
-    #     the interpreted fold;
+    # 104M in-stream pairs; bucketing re-measured r12 third session):
+    #   * map-side per-vector norms: UNROLLED left-deep chain — a
+    #     single 64-term chain per row compiles and codegens fine;
+    #   * map-side hyperplane projections: the FOLD (buckets' form=
+    #     "auto") — the full 32-projection wide Project exceeds the
+    #     janino method limit when unrolled, so the unrolled form
+    #     interprets at unrolled cost after a failed compile; see the
+    #     measured note in random_hyperplane_buckets;
     #   * join-side (the per-pair dot): the sequential FOLD. The join
     #     stage's generated method (SMJ + condition + downstream) blows
     #     the JIT method limit with a 128-node chain inlined, and the

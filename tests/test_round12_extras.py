@@ -427,3 +427,41 @@ def test_url_dedup_group_election(spark):
     assert any(r["n_docs"] > 1 for r in rows)
     for r in rows:
         assert r["keeper_doc_id"] >= 0
+
+
+# ---------------------------------------------------------------------------
+# LSH bucketing form: auto resolves to the fold (r12 third session)
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_bucketing_auto_is_fold_and_forms_identical(spark):
+    """``form="auto"`` must resolve the portable bucketing projection to
+    the compact HOF fold: the 32-projection × 64-term unrolled-cast
+    Project exceeds janino's 64 KB method limit in batch (failed compile
+    + interpreted fallback — measured 1.75–1.92 s vs the fold's
+    0.45–0.51 s warm at sf0.1), so auto must never pick it. Pins (a) the
+    plan shape — auto's projection is the fold (``aggregate(zip_with``)
+    with no unrolled element casts; ``form="unrolled"`` still builds the
+    chain for A/B — and (b) bit-identical bucket relations across forms."""
+    from flink_cdc_msk_spark.operators.similarity import (
+        random_hyperplane_buckets,
+    )
+    from flink_cdc_msk_spark.plans.llm_pipeline import _emb
+
+    corpus = _emb(spark, "/root/testdata/sf0.001")
+    kw = dict(n_planes=4, n_tables=8, portable_dims=64, wide=True)
+    auto = random_hyperplane_buckets(corpus, form="auto", **kw)
+    plan_auto = auto._jdf.queryExecution().analyzed().toString()
+    assert "aggregate(zip_with" in plan_auto
+    # the unrolled chain references element_at once per (projection,
+    # dim) — hundreds of times; the fold never does
+    assert plan_auto.count("element_at") == 0
+
+    unrolled = random_hyperplane_buckets(corpus, form="unrolled", **kw)
+    plan_unrolled = unrolled._jdf.queryExecution().analyzed().toString()
+    assert plan_unrolled.count("element_at") >= 4 * 8 * 64
+
+    a = sorted(map(str, auto.collect()))
+    b = sorted(map(str, unrolled.collect()))
+    assert a == b
+    assert len(a) > 0
