@@ -16,6 +16,13 @@ cost after session memos/caches hold, which is what a long-lived
 service pays and what the pinned sfx protocol reports in PERF.md.
 A single draw can land on a co-tenant slow phase (BENCH_r10 did);
 the median column makes that visible instead of headline-defining.
+
+``load_probe`` (round 13, VERDICT r12 item 7 — ADDITIVE field, schema
+otherwise unchanged): median seconds of a fixed per-process work unit
+across cpu_count concurrent processes, sampled before the session
+starts (``pre``) and after it stops (``post``). Quiet box ≈ 0.7-0.9 s;
+≥ 1.1 s marks the co-tenant phase PERF §§34/40/42 document, so each
+draw carries its own noise context. Runs outside every timed region.
 """
 
 from __future__ import annotations
@@ -45,6 +52,32 @@ HEADLINE = [
 ]
 
 
+def _load_probe(nprocs: int) -> float:
+    """Median seconds of one fixed CPU-bound work unit across ``nprocs``
+    concurrent processes — the co-tenant phase detector PERF §§34/40/42
+    document (quiet box ≈ 0.7-0.9 s, inside a phase ≥ 1.1 s). Emitted as
+    an ADDITIVE ``load_probe`` JSON field (VERDICT r12 item 7) so the
+    driver's artifacts carry the noise context for each draw; it runs
+    OUTSIDE every timed region and changes no existing field."""
+    import multiprocessing as mp
+
+    try:
+        with mp.Pool(nprocs) as pool:
+            per = pool.map(_spin_unit, range(nprocs))
+        return round(sorted(per)[len(per) // 2], 3)
+    except Exception:
+        return -1.0
+
+
+def _spin_unit(_: int) -> float:
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(6_000_000):
+        # mask keeps x a machine int (fixed work, not bigint growth)
+        x = (x + (i ^ (x >> 3))) & 0xFFFFFFFF
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -54,6 +87,8 @@ def main() -> None:
     shuffle = int(
         os.environ.get("SPARK_GRAFT_SHUFFLE", max(8, cpus // 4))
     )
+
+    probe_pre = _load_probe(os.cpu_count() or 4)
 
     from flink_cdc_msk_spark.session import get_spark
 
@@ -149,8 +184,11 @@ def main() -> None:
         out["warm_queries"] = warm
         out["warm_total"] = round(sum(warm.values()), 3)
         out["warm_rounds"] = warm_rounds
-    print(json.dumps(out))
     spark.stop()
+    # post-draw probe AFTER spark.stop() so the probe measures the box,
+    # not leftover executor threads
+    out["load_probe"] = {"pre": probe_pre, "post": _load_probe(os.cpu_count() or 4)}
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -477,10 +477,10 @@ def lsh_near_dup_pairs(
     * self-join on (table, bucket): SMJ sorts only the bucket entry
       relation (corpus-scale, spillable); the quadratic pair stream
       exists ONLY inside the join's output iterator, where the cosine
-      is computed (unrolled left-deep chain when the width is known —
-      whole-stage codegen, bit-identical to the sequential fold) and
-      the threshold filter drops non-survivors before anything is
-      materialized or re-shuffled;
+      is computed (the per-pair dot uses the sequential zip_with FOLD —
+      only the per-vector norms are unrolled; see the per-stage note
+      below) and the threshold filter drops non-survivors before
+      anything is materialized or re-shuffled;
     * a pair colliding in k tables is verified k times (pure compute,
       deterministic — identical cos every time) and deduped by the
       final DISTINCT over survivors, which is linear in the RESULT, not

@@ -278,3 +278,40 @@ def test_degeneracy_probe_fires_without_changing_results(spark):
     finally:
         D._POSTING_WARN_LEN = old_len
         D.LAST_DEGENERACY_WARNING = None
+
+
+def test_degeneracy_probe_thread_is_bounded(spark):
+    """VERDICT r12 item 6: a jaccard plan that is constructed but never
+    materialized must not park its probe thread forever — the watcher
+    polls the observation with a bound and exits when nothing runs."""
+    import threading
+    import time
+
+    from flink_cdc_msk_spark.operators import dedup as D
+
+    pre = {
+        t.ident
+        for t in threading.enumerate()
+        if t.name == "jaccard-degeneracy-probe"
+    }
+    old = D._PROBE_MAX_WAIT_S
+    D._PROBE_MAX_WAIT_S = 1.0
+    try:
+        docs = spark.createDataFrame(
+            [(0, "a b c"), (1, "a b c")], "doc_id long, text string"
+        )
+        D.jaccard_pairs(docs, 0.8)  # plan constructed, NO action
+        def new_probes():
+            return [
+                t
+                for t in threading.enumerate()
+                if t.name == "jaccard-degeneracy-probe"
+                and t.ident not in pre
+            ]
+        assert new_probes(), "probe thread should have started"
+        deadline = time.time() + 15
+        while new_probes() and time.time() < deadline:
+            time.sleep(0.1)
+        assert not new_probes(), "probe thread parked past its bound"
+    finally:
+        D._PROBE_MAX_WAIT_S = old
