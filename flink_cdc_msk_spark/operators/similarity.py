@@ -309,6 +309,7 @@ def random_hyperplane_buckets(
     portable_dims: int | None = None,
     wide: bool = False,
     form: str = "auto",
+    carry_vec: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Signed-random-projection LSH (cosine LSH) with OR-amplification:
     ``n_tables`` independent hash tables of ``n_planes`` sign bits each —
@@ -323,8 +324,34 @@ def random_hyperplane_buckets(
     weights come from :func:`portable_plane_weights` — md5-parity
     literals an external SQL engine can re-derive, and the projection
     is a plain literal-array dot (no per-row hashing at all).
+
+    ``carry_vec=(vname, nvname)`` (round 13, wide form only): the
+    float→double cast is HOISTED into its own projection (O3 pattern —
+    interpreted HOF projections get no subexpression elimination, so
+    the T·P fold projections otherwise each re-run the transform) and
+    the double vector + its norm are CARRIED through the explode as
+    ``vname``/``nvname`` columns. This kills the downstream
+    buckets⋈vecs id-join (two exchanges + two corpus-scale sorts,
+    guide §2.4) in lsh_near_dup_pairs. Bit-identical buckets: same
+    doubles through the same fold.
     """
-    dims = F.size(F.col(vec_col))
+    if carry_vec is not None:
+        if not wide:
+            raise ValueError("carry_vec requires wide=True")
+        if form == "unrolled":
+            raise ValueError(
+                "carry_vec + form='unrolled' unsupported (the unrolled "
+                "chain casts per element; carry the fold form instead)"
+            )
+        vname, nvname = carry_vec
+        src = df.select(
+            F.col(id_col).alias("id"), as_double(vec_col).alias(vname)
+        )
+        vec_ref: Column | None = F.col(vname)
+    else:
+        src = df
+        vec_ref = None
+    dims = F.size(vec_ref if vec_ref is not None else F.col(vec_col))
 
     def signed(t: int, p: int):
         # pseudo-random ±1 weights per dimension: parity of xxhash64
@@ -371,11 +398,16 @@ def random_hyperplane_buckets(
                     # lambda nodes (see weighted_sum_unrolled_cast).
                     proj = weighted_sum_unrolled_cast(vec_col, weights)
                 else:
-                    proj = dot(as_double(vec_col), F.lit(weights))
+                    proj = dot(
+                        vec_ref if vec_ref is not None
+                        else as_double(vec_col),
+                        F.lit(weights),
+                    )
             else:
                 proj = F.aggregate(
                     F.zip_with(
-                        as_double(vec_col),
+                        vec_ref if vec_ref is not None
+                        else as_double(vec_col),
                         F.sequence(F.lit(0), dims - 1),
                         signed(t, p),
                     ),
@@ -399,8 +431,19 @@ def random_hyperplane_buckets(
         # in lsh_near_dup_pairs (PERF §42 family). The heavy projections
         # evaluate once into the wide projection; the explode only
         # restructures.
-        wide_df = df.select(
-            F.col(id_col).alias("id"),
+        if carry_vec is not None:
+            nv_expr = (
+                norm_unrolled(F.col(vname), portable_dims)
+                if portable_dims is not None
+                else norm(F.col(vname))
+            )
+            carry_sel = [F.col(vname), nv_expr.alias(nvname)]
+            carry_names = [vname, nvname]
+        else:
+            carry_sel, carry_names = [], []
+        wide_df = src.select(
+            F.col(id_col).alias("id") if carry_vec is None else F.col("id"),
+            *carry_sel,
             *[e["bucket"].alias(f"tb{t}") for t, e in enumerate(entries)],
         )
         tb = F.array(
@@ -413,10 +456,12 @@ def random_hyperplane_buckets(
         )
         return wide_df.select(
             "id",
+            *carry_names,
             *[f"tb{t}" for t in range(n_tables)],
             F.explode_outer(tb).alias("tb"),
         ).select(
             "id",
+            *carry_names,
             *[f"tb{t}" for t in range(n_tables)],
             F.col("tb.table").alias("table"),
             F.col("tb.bucket").alias("bucket"),
@@ -433,8 +478,258 @@ def random_hyperplane_buckets(
 # bucket's pair enumeration spreads over this many tasks. 32 matches
 # the bench core count; at cluster scale set ~2-4× the executor-core
 # count of one stage wave (pure parallelism knob — results identical
-# for any value ≥ 1).
+# for any value ≥ 1). Round 13: this BLANKET factor is the A/B
+# reference only — the default is the adaptive per-bucket salt below.
 _LSH_SALT = 32
+
+# adaptive salt (round 13, guide §2.5 — size the skew remedy to the
+# actual skew): a bucket of n entries enumerates ~n²/2 in-stream pairs;
+# it gets s = ceil(n² / (2 · PAIRS_PER_TASK)) salt slices so each slice
+# enumerates ≤ ~PAIRS_PER_TASK pairs (≈ seconds of fold-cosine work).
+# Cold buckets get s = 1 — no replication at all — which removes the
+# blanket ×32 payload replication through the salted exchange+sort
+# (at sfx10-hi: 56M → ~1.8M sorted heavy rows). SALT_MAX bounds the
+# replication of a pathological single bucket.
+_LSH_SALT_PAIRS_PER_TASK = 2_000_000
+_LSH_SALT_MAX = 256
+
+
+def _arrow_wide_entries(
+    df: DataFrame,
+    n_planes: int,
+    n_tables: int,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+    seed: int = 42,
+) -> DataFrame:
+    """One vectorized Arrow pass → (id, v double[dims], nv, tb0..tb{T-1}):
+    the md5-parity hyperplane projections, the float→double cast and the
+    vector norm computed batch-at-a-time in numpy (guide §4.2) instead
+    of T·P interpreted fold projections per row (HOF aggregates never
+    enter whole-stage codegen, so the fold path pays ~10k lambda
+    invocations per row at 8×10×64).
+
+    BIT-IDENTICAL to the Catalyst fold path by construction: the per-dim
+    accumulation loop (``acc = acc + v[:, i] * w[i]``) is the same
+    left-deep IEEE sequence as ``aggregate(zip_with(v, w, *), 0.0, +)``
+    — one rounded multiply + one rounded add per element, no FMA fusion,
+    no pairwise re-association (numpy elementwise ops, NOT ``np.dot``) —
+    and float→double widening is exact. Same doubles → same signs →
+    same buckets → same downstream cosines; the DuckDB oracle re-derives
+    the identical fold."""
+    import numpy as np
+
+    wt = np.array(
+        [
+            portable_plane_weights(seed, t, p, dims)
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ],
+        dtype=np.float64,
+    ).T.copy()  # dims × (T·P); column t·P+p
+    n_proj = n_tables * n_planes
+    pw = 1 << np.arange(n_planes, dtype=np.int64)
+    names = ["id", "v", "nv"] + [f"tb{t}" for t in range(n_tables)]
+    out_schema = "id long, v array<double>, nv double, " + ", ".join(
+        f"tb{t} long" for t in range(n_tables)
+    )
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            emb = batch.column(1)
+            if emb.null_count:
+                raise ValueError("null embedding in LSH corpus")
+            flat = emb.flatten()
+            if len(flat) != n * dims:
+                raise ValueError(
+                    f"LSH corpus is ragged: expected {dims}-dim vectors"
+                )
+            arr = flat.to_numpy(zero_copy_only=False).astype(
+                np.float64, copy=False
+            ).reshape(n, dims)
+            proj = np.zeros((n, n_proj), dtype=np.float64)
+            sq = np.zeros(n, dtype=np.float64)
+            for i in range(dims):
+                c = arr[:, i]
+                proj = proj + c[:, None] * wt[i]
+                sq = sq + c * c
+            nv = np.sqrt(sq)
+            bits = (proj > 0.0).astype(np.int64)
+            tbs = bits.reshape(n, n_tables, n_planes) @ pw  # exact ints
+            offsets = pa.array(
+                np.arange(0, (n + 1) * dims, dims, dtype=np.int32)
+            )
+            varr = pa.ListArray.from_arrays(
+                offsets, pa.array(arr.reshape(-1))
+            )
+            cols = [batch.column(0), varr, pa.array(nv)]
+            cols += [pa.array(tbs[:, t]) for t in range(n_tables)]
+            yield pa.record_batch(cols, names=names)
+
+    return df.select(
+        F.col(id_col).alias("id"), F.col(vec_col)
+    ).mapInArrow(gen, out_schema)
+
+
+def _bucket_blas_pairs(
+    entries: DataFrame, n_tables: int, threshold: float
+) -> DataFrame:
+    """In-bucket pair verify as ONE grouped numpy stage (guide §4.2 —
+    the near_dup_pairs pattern applied per bucket): each (table, bucket)
+    group computes its candidate pair dots batch-at-a-time instead of
+    the salted SMJ enumerating them row-by-row with an interpreted fold
+    per pair (sfx10-hi: 948M in-stream candidate instances, ~500 s of
+    enumeration + fold-cosine).
+
+    PROVABLY identical rows to the SMJ form — not merely empirically:
+
+    * the per-pair dot uses the same left-deep sequential accumulation
+      as the zip_with fold (``acc = acc + C[:, i] * V[:, i]`` per dim —
+      one rounded multiply + one rounded add per element, no FMA, no
+      BLAS re-association), and the denominator is the same single
+      ``nv_i * nv_j`` multiply → the RAW cosine is bit-identical;
+    * Python emits survivors of a CONSERVATIVE margin filter
+      (``raw >= threshold - 1e-5``; round(x, 6) can raise x by at most
+      5e-7, so no true survivor is dropped) and the exact
+      ``round(·, 6) >= threshold`` happens in CATALYST on the returned
+      raw value — the same expression the SMJ form evaluates, so the
+      final pair set and the emitted ``cos`` are identical by
+      construction, with no numpy-vs-JVM rounding semantics in play;
+    * the i<j and lowest-matching-table rules are exact integer
+      compares either way.
+
+    Shape: ONE hash repartition of the entry relation by (table,
+    bucket) — corpus × T rows, linear, never pair-volume — then a
+    mapInArrow stage that lexsorts its partition in numpy and walks the
+    bucket boundaries, so thousands of small buckets amortize into one
+    vectorized pass per TASK (a first cut used
+    groupBy().applyInPandas — one pandas frame per bucket — and spent
+    most of its wall in per-group conversion overhead: 8192 groups at
+    sfx10-hi). Memory: the chunked accumulator is bounded at ~32 MB
+    regardless of bucket size. A pathological single bucket still runs
+    in one task — but at vectorized-numpy throughput, which shrinks the
+    skew tail by ~two orders vs the interpreted per-pair fold the salt
+    machinery was spreading."""
+    import numpy as np
+
+    margin = threshold - 1e-5
+    n_tb = n_tables - 1  # tb{T-1} is never compared (rule: t' < t)
+
+    def gen(batches):
+        import pyarrow as pa
+
+        blist = list(batches)
+        if not blist:  # empty partition (fewer buckets than partitions)
+            return
+        tbl = pa.Table.from_batches(blist)
+        n = tbl.num_rows
+        if n == 0:
+            return
+        tbl = tbl.combine_chunks()
+        table = tbl["table"].to_numpy(zero_copy_only=False)
+        bucket = tbl["bucket"].to_numpy(zero_copy_only=False)
+        ids = tbl["id"].to_numpy(zero_copy_only=False)
+        nv = tbl["nv"].to_numpy(zero_copy_only=False)
+        vcol = tbl["v"].combine_chunks()
+        flat = vcol.flatten().to_numpy(zero_copy_only=False)
+        if n == 0 or len(flat) % n:
+            raise ValueError("ragged vectors in LSH entry relation")
+        d = len(flat) // n
+        offs = np.diff(np.asarray(vcol.offsets))
+        if not np.all(offs == d):
+            raise ValueError("ragged vectors in LSH entry relation")
+        V = flat.reshape(n, d)
+        tbs = np.stack(
+            [
+                tbl[f"tb{k}"].to_numpy(zero_copy_only=False)
+                for k in range(n_tb)
+            ]
+        ) if n_tb else np.zeros((0, n), dtype=np.int64)
+        # group by (table, bucket) inside the task: lexsort + boundary
+        # scan (the partition holds every row of each of its buckets —
+        # hash partitioning guarantees it)
+        order = np.lexsort((bucket, table))
+        table, bucket = table[order], bucket[order]
+        ids, nv, V = ids[order], nv[order], V[order]
+        tbs = tbs[:, order]
+        cuts = np.flatnonzero(
+            (table[1:] != table[:-1]) | (bucket[1:] != bucket[:-1])
+        ) + 1
+        starts = np.concatenate(([0], cuts))
+        ends = np.concatenate((cuts, [n]))
+        o1: list = []
+        o2: list = []
+        oc: list = []
+        buffered = 0
+
+        def flush():
+            nonlocal o1, o2, oc, buffered
+            batch = pa.record_batch(
+                [
+                    pa.array(np.concatenate(o1)),
+                    pa.array(np.concatenate(o2)),
+                    pa.array(np.concatenate(oc)),
+                ],
+                names=["id1", "id2", "_rc"],
+            )
+            o1, o2, oc, buffered = [], [], [], 0
+            return batch
+
+        for s0, e0 in zip(starts, ends):
+            gn = e0 - s0
+            if gn < 2:
+                continue
+            t = int(table[s0])
+            gids = ids[s0:e0]
+            gv = V[s0:e0]
+            gnv = nv[s0:e0]
+            gtb = tbs[:t, s0:e0]
+            ch = max(8, min(256, 4_000_000 // gn))
+            for s in range(0, gn - 1, ch):
+                e = min(s + ch, gn)
+                C = gv[s:e]
+                acc = np.zeros((e - s, gn), dtype=np.float64)
+                for i in range(d):
+                    acc = acc + C[:, i : i + 1] * gv[:, i][None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    rc = acc / (gnv[s:e, None] * gnv[None, :])
+                    mask = (gids[None, :] > gids[s:e, None]) & (
+                        rc >= margin
+                    )
+                for k in range(t):
+                    mask &= gtb[k, s:e, None] != gtb[k, None, :]
+                ii, jj = np.nonzero(mask)
+                if len(ii):
+                    o1.append(gids[s + ii])
+                    o2.append(gids[jj])
+                    oc.append(rc[ii, jj])
+                    buffered += len(ii)
+                    if buffered >= 1_000_000:
+                        yield flush()
+        if buffered:
+            yield flush()
+
+    sc = entries.sparkSession.sparkContext
+    nparts = sc.defaultParallelism * 4
+    raw = (
+        entries.select(
+            "id", "v", "nv", "table", "bucket",
+            *[f"tb{t}" for t in range(n_tb)],
+        )
+        .repartition(nparts, "table", "bucket")
+        .mapInArrow(gen, "id1 long, id2 long, _rc double")
+    )
+    return raw.select(
+        "id1",
+        "id2",
+        F.round(F.col("_rc"), 6).alias("cos"),
+    ).filter(F.col("cos") >= F.lit(threshold))
 
 
 def lsh_near_dup_pairs(
@@ -446,6 +741,10 @@ def lsh_near_dup_pairs(
     vec_col: str = "embedding",
     portable_dims: int | None = None,
     _emit_order: str = "lowest_first",
+    _stage: str | None = None,
+    _entries_form: str = "auto",
+    _salt_form: str = "auto",
+    _verify_form: str = "auto",
 ) -> DataFrame:
     """Near-dup pairs restricted to LSH-candidate pairs — the scale path:
     bucketing shuffles on (table, bucket) keys only (linear in
@@ -490,12 +789,52 @@ def lsh_near_dup_pairs(
     task — that is the operator's contract at a loose threshold (dense
     candidates, §24); what the rework removes is the candidate-volume
     SHUFFLE/SORT/DISK footprint, which is what actually breaks first at
-    scale. Never broadcast: every relation here is corpus-sized.
+    scale. Never broadcast: every relation here is corpus-sized (the
+    one exception is the round-13 HOT-BUCKET SIZE relation, bounded by
+    the number of genuinely skewed buckets).
+
+    Round 13 rework (guide §2.4/§2.5/§4.2 — evidence in
+    OPTIMIZATION_r13.md and plans/r13/):
+
+    * ``_entries_form``: how the (id, v, nv, tb*, table, bucket) entry
+      relation is built. ``"arrow"`` (auto when ``portable_dims`` is
+      set): ONE vectorized mapInArrow pass computes cast+norm+all T·P
+      projections in numpy (bit-identical left-deep arithmetic — see
+      ``_arrow_wide_entries``), replacing ~10k interpreted lambda
+      invocations per row; the wide relation is ``localCheckpoint``ed
+      (pre-explode, 1/T the rows) so the a-side, b-side and bucket-size
+      branches read ONE materialization instead of re-deriving the
+      corpus subtree each (it used to run twice; three times under the
+      adaptive salt). ``"fold"`` (auto otherwise): the Catalyst fold
+      projections with the cast hoisted and v/nv carried through the
+      wide build — no buckets⋈vecs id-join (two exchanges + two
+      corpus-scale sorts removed, §2.4). ``"join"``: the pre-r13 shape,
+      kept for A/B.
+    * ``_salt_form="adaptive"`` (auto): per-bucket salt sized from the
+      measured bucket cardinality (one light (table,bucket) count pass
+      over the checkpoint) — s = ceil(n²/2·PAIRS_PER_TASK), so only
+      genuinely hot buckets replicate and the blanket ×32 payload
+      replication through the salted exchange+sort disappears
+      (sfx10-hi: 56M → ~1.8M sorted heavy rows). ``"blanket"``: the
+      pre-r13 constant ×32, kept for A/B. Identical pair set either
+      way: within a bucket, side b carries one salt in [0, s) and side
+      a carries all of [0, s), so every (a, b) entry pair meets exactly
+      once for any s ≥ 1.
     """
-    buckets = random_hyperplane_buckets(
-        corpus, n_planes, n_tables, id_col, vec_col,
-        portable_dims=portable_dims, wide=True,
-    )
+    if _entries_form == "auto":
+        _entries_form = "arrow" if portable_dims is not None else "fold"
+    if _salt_form == "auto":
+        _salt_form = "adaptive"
+    # ``_stage``: measurement-only hook (tools/lsh_hi_decompose.py, the
+    # §40-style phase attribution) — returns the named INTERNAL sub-plan
+    # instead of the full operator. Never set by registered queries.
+    if _entries_form == "join":
+        buckets = random_hyperplane_buckets(
+            corpus, n_planes, n_tables, id_col, vec_col,
+            portable_dims=portable_dims, wide=True,
+        )
+        if _stage == "buckets":
+            return buckets
     # Expression forms are PER STAGE, chosen from measurement (sfx1,
     # 104M in-stream pairs; bucketing re-measured r12 third session):
     #   * map-side per-vector norms: UNROLLED left-deep chain — a
@@ -519,12 +858,6 @@ def lsh_near_dup_pairs(
     # context charges per reference. The entries relation that carries
     # the double arrays through the salt exchange is corpus × tables ×
     # salt rows — linear, never pair-volume.
-    if portable_dims is not None:
-        def nrm(c: Column) -> Column:
-            return norm_unrolled(c, portable_dims)
-    else:
-        nrm = norm
-    raw = as_double(vec_col)
     # zip_with fold for the per-pair dot: A/B'd at sfx1 against (a) the
     # unrolled chain (118 µs/pair — the join stage's generated method
     # exceeds JIT limits and the whole stage interprets) and (b) an
@@ -532,10 +865,71 @@ def lsh_near_dup_pairs(
     # 422/168 s) — the zip_with fold is the fastest evaluable form in
     # the join context.
     dpr = dot
-    vecs = corpus.select(
-        F.col(id_col).alias("id"), raw.alias("v")
-    ).withColumn("nv", nrm(F.col("v")))
-    entries = buckets.hint("merge").join(vecs, "id")
+    if _entries_form == "join":
+        if portable_dims is not None:
+            def nrm(c: Column) -> Column:
+                return norm_unrolled(c, portable_dims)
+        else:
+            nrm = norm
+        vecs = corpus.select(
+            F.col(id_col).alias("id"), as_double(vec_col).alias("v")
+        ).withColumn("nv", nrm(F.col("v")))
+        entries = buckets.hint("merge").join(vecs, "id")
+    elif _entries_form == "arrow":
+        if portable_dims is None:
+            raise ValueError(
+                "_entries_form='arrow' needs portable_dims (the xxhash "
+                "hyperplane scheme has no numpy twin)"
+            )
+        wide = _arrow_wide_entries(
+            corpus, n_planes, n_tables, id_col, vec_col,
+            dims=portable_dims,
+        )
+        if _stage == "buckets":
+            return wide
+        # one materialization feeds the a-side, the b-side and the
+        # bucket-size pass (pre-explode: 1/T the rows of the entry
+        # relation; ~corpus × (8·dims+overhead) bytes — an in-query
+        # bounded intermediate, computed inside the timed region)
+        wide = wide.localCheckpoint(eager=True)
+        tb = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"), F.col(f"tb{t}").alias("bucket")
+                )
+                for t in range(n_tables)
+            ]
+        )
+        entries = wide.select(
+            "id", "v", "nv",
+            *[f"tb{t}" for t in range(n_tables)],
+            F.explode_outer(tb).alias("_tb"),
+        ).select(
+            "id", "v", "nv",
+            *[f"tb{t}" for t in range(n_tables)],
+            F.col("_tb.table").alias("table"),
+            F.col("_tb.bucket").alias("bucket"),
+        )
+    else:  # "fold": Catalyst projections, cast hoisted, v/nv carried
+        entries = random_hyperplane_buckets(
+            corpus, n_planes, n_tables, id_col, vec_col,
+            portable_dims=portable_dims, wide=True,
+            carry_vec=("v", "nv"),
+        )
+        if _stage == "buckets":
+            return entries
+        entries = entries.localCheckpoint(eager=True)
+    if _stage == "entries":
+        return entries
+    # ``_verify_form="blas"`` (auto): the grouped-numpy in-bucket verify
+    # — see _bucket_blas_pairs for the shape and the bit-identity
+    # argument. "smj" keeps the salted sort-merge self-join below (the
+    # r9–r12 form) for A/B and for the _stage="joined"/"cos_all"
+    # decomposition probes, which only exist on that path.
+    if _verify_form == "auto":
+        _verify_form = "blas"
+    if _verify_form == "blas" and _stage is None:
+        return _bucket_blas_pairs(entries, n_tables, threshold)
     # SALTED self-join (output-skew breaker): a dense bucket of n
     # vectors emits C(n, 2) in-stream pairs from ONE merge group — an
     # explosion AQE's skew splitting cannot see (it keys off INPUT
@@ -546,12 +940,59 @@ def lsh_near_dup_pairs(
     # salt spreads every bucket's pair enumeration over _LSH_SALT
     # tasks; the replicated sort volume (entries × _LSH_SALT rows) is
     # corpus-scale, cheap next to the pair stream it parallelizes.
-    a = entries.withColumn(
-        "salt", F.explode(F.sequence(F.lit(0), F.lit(_LSH_SALT - 1)))
-    ).alias("a")
-    b = entries.withColumn(
-        "salt", F.pmod(F.xxhash64("id"), F.lit(_LSH_SALT)).cast("int")
-    ).alias("b")
+    if _salt_form == "adaptive":
+        # per-(table, bucket) cardinalities: a LIGHT pass (ids and
+        # payloads pruned) over the checkpointed wide relation; only
+        # buckets whose pair volume n²/2 exceeds PAIRS_PER_TASK get a
+        # salt factor, so the broadcast below is bounded by the number
+        # of genuinely skewed buckets, not by corpus size. n² computed
+        # in DOUBLE — counts can exceed the long-overflow bound at
+        # corpus scale (and ANSI mode makes that an error, not a wrap).
+        hot = (
+            entries.groupBy("table", "bucket")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(
+                F.col("_bn").cast("double") * F.col("_bn").cast("double")
+                > F.lit(2.0 * _LSH_SALT_PAIRS_PER_TASK)
+            )
+            .select(
+                "table",
+                "bucket",
+                F.least(
+                    F.lit(_LSH_SALT_MAX),
+                    F.ceil(
+                        F.col("_bn").cast("double")
+                        * F.col("_bn").cast("double")
+                        / F.lit(2.0 * _LSH_SALT_PAIRS_PER_TASK)
+                    ).cast("int"),
+                ).alias("_sn"),
+            )
+        )
+        ent2 = entries.join(
+            F.broadcast(hot), ["table", "bucket"], "left"
+        ).withColumn("_sn", F.coalesce(F.col("_sn"), F.lit(1)))
+        a = (
+            ent2.withColumn(
+                "salt", F.explode(F.sequence(F.lit(0), F.col("_sn") - 1))
+            )
+            .drop("_sn")
+            .alias("a")
+        )
+        b = (
+            ent2.withColumn(
+                "salt",
+                F.pmod(F.xxhash64("id"), F.col("_sn")).cast("int"),
+            )
+            .drop("_sn")
+            .alias("b")
+        )
+    else:  # "blanket": the pre-r13 constant replication, A/B reference
+        a = entries.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(_LSH_SALT - 1)))
+        ).alias("a")
+        b = entries.withColumn(
+            "salt", F.pmod(F.xxhash64("id"), F.lit(_LSH_SALT)).cast("int")
+        ).alias("b")
     # lowest-matching-table dedup (the §42 emission rule): within ONE
     # table a pair joins at exactly one salt (side b carries a single
     # id-derived salt), so cross-TABLE collisions were the only source
@@ -578,6 +1019,19 @@ def lsh_near_dup_pairs(
         & (F.col("a.salt") == F.col("b.salt"))
         & (F.col("a.id") < F.col("b.id")),
     )
+    if _stage == "joined":
+        return joined
+    if _stage == "cos_all":
+        # every candidate instance pays the fold-cosine, no filters
+        return joined.select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.round(
+                dpr(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nv") * F.col("b.nv")),
+                6,
+            ).alias("cos"),
+        )
     if _emit_order == "cos_first":
         # PERF §43 bisect arm: threshold the cosine BEFORE the lowest-
         # table compares. Exactly-once-correct like the default (both
