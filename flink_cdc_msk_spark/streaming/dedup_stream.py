@@ -463,45 +463,56 @@ class StreamingVectorNearDupFilter:
         )
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
-        from ..operators.similarity import as_double, random_hyperplane_buckets
+        from ..operators.similarity import _arrow_wide_entries
 
         spark = batch.sparkSession
-        # Spread the batch across the session's cores first: the
-        # hyperplane bucketing below is an interpreted higher-order
-        # function, so a 1-2 partition arrival serializes real compute
-        # (the PERF.md §18/§20 trap), unlike the text twin's codegen'd
-        # minhash.
+        # Spread the batch across the session's cores first so the
+        # Arrow bucketing stage below parallelizes (the PERF.md §18/§20
+        # single-partition-arrival trap).
         par = spark.sparkContext.defaultParallelism
         batch = _spread(
             batch.select(self.id_col, self.vec_col), par
         ).cache()
-        # localCheckpoint, not cache: a cached DataFrame still SHIPS its
-        # full lineage in every downstream task closure (recompute
-        # fallback) and re-enters Catalyst analysis per action — and the
-        # bucketing projection is the plan's largest expression (32
-        # unrolled 64-term chains). r12 event log at sf0.1: 245 s of
-        # inter-job driver gap + 153 s task deserialize in ONE store
-        # write stage, all re-chewing this subtree. Truncating the
-        # lineage here (guide §2 "Materialising an intermediate …
-        # truncates the plan", §5 localCheckpoint) makes every later
-        # per-batch action see a compact LogicalRDD of (id, table,
-        # bucket) rows. Eager, so the projection is paid exactly once
-        # per batch, in its own small job.
-        # bound: |batch| x n_tables rows, replaced every micro-batch.
-        buckets = random_hyperplane_buckets(
+        # r13: ONE vectorized Arrow pass computes the float→double
+        # cast, the norm and all T·P hyperplane projections in numpy —
+        # bit-identical to the fold-form bucketing this replaced (see
+        # _arrow_wide_entries; the r12 fold form paid ~6 plan nodes ×
+        # 32 interpreted projections per batch plus a separate
+        # as_double projection + cache for the vector sidecar).
+        # localCheckpoint, not cache: a cached DataFrame still SHIPS
+        # its full lineage in every downstream task closure and
+        # re-enters Catalyst analysis per action (r12 event log at
+        # sf0.1: 245 s of inter-job driver gap + 153 s task deserialize
+        # in ONE store write stage, all re-chewing the bucketing
+        # subtree — guide §2 "materialising an intermediate truncates
+        # the plan", §5). Eager, so the Arrow stage is paid exactly
+        # once per batch, in its own small job.
+        # bound: |batch| rows (wide, pre-explode), replaced per batch.
+        wide = _arrow_wide_entries(
             batch,
             self.n_planes,
             self.n_tables,
             self.id_col,
             self.vec_col,
-            portable_dims=self.dims,
-            form="fold",
+            dims=self.dims,
         ).localCheckpoint(eager=True)
-        # (bound stated above: |batch| x n_tables rows, per micro-batch)
-        vecs = batch.select(
-            F.col(self.id_col).alias("id"),
-            as_double(self.vec_col).alias("v"),
-        ).cache()
+        tb = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    F.col(f"tb{t}").alias("bucket"),
+                )
+                for t in range(self.n_tables)
+            ]
+        )
+        buckets = wide.select(
+            "id", F.explode_outer(tb).alias("_tb")
+        ).select(
+            "id",
+            F.col("_tb.table").alias("table"),
+            F.col("_tb.bucket").alias("bucket"),
+        )
+        vecs = wide.select("id", "v")
 
         state = _read_or_none(spark, self.store_path)
         _check_unified(state, self.store_path)
@@ -601,8 +612,11 @@ class StreamingVectorNearDupFilter:
             obs_intra
         )
 
-        for df in (admitted, vecs, buckets, batch):
+        for df in (admitted, batch):
             df.unpersist()
+        # vecs/buckets are cheap selects over the checkpointed wide
+        # relation — nothing of theirs is cached; the checkpoint RDD
+        # itself is dropped when `wide` goes out of scope
 
 
 class StreamingPhashNearDupFilter:
