@@ -968,8 +968,15 @@ def lsh_near_dup_pairs(
                 ).alias("_sn"),
             )
         )
+        # threshold-gated, not a hard hint: the hot-bucket list is tiny
+        # on any sane corpus (only buckets with >2e6 pair volume), but
+        # it GROWS with corpus size in the adversarial case, so the
+        # census policy (PLANS.md §broadcast-census) routes it through
+        # dim_broadcast — past the bar Catalyst/AQE picks the join.
+        from .bcast import dim_broadcast
+
         ent2 = entries.join(
-            F.broadcast(hot), ["table", "bucket"], "left"
+            dim_broadcast(hot), ["table", "bucket"], "left"
         ).withColumn("_sn", F.coalesce(F.col("_sn"), F.lit(1)))
         a = (
             ent2.withColumn(
