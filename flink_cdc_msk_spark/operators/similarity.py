@@ -918,6 +918,9 @@ def lsh_near_dup_pairs(
         )
         if _stage == "buckets":
             return entries
+        # bound: corpus × n_tables rows (post-explode entry relation —
+        # id, v double[dims], nv, tb*), one per query invocation,
+        # dropped with the DataFrame
         entries = entries.localCheckpoint(eager=True)
     if _stage == "entries":
         return entries
